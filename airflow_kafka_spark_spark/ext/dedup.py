@@ -1,0 +1,194 @@
+"""Document deduplication (SURVEY.md §2.12): exact, n-gram Jaccard,
+MinHash+LSH.
+
+Scale design (100 TB): exact dedup is a single hash aggregate on a
+fingerprint (map-side combine, one shuffle). Near-dup avoids the O(n²)
+all-pairs comparison with MinHash-LSH: per-doc signatures are computed
+with JVM-side higher-order functions, banded, and only docs sharing a
+band bucket are joined — candidate count scales with true-duplicate
+density, not n². The exact-Jaccard verifier joins only on shared shingles
+(inverted-index join), which is the standard scalable verifier; hot
+shingles can be dropped by document frequency if a corpus makes them skew
+(TODO knob, not needed at fixture scale).
+
+Hashing uses md5 (byte-identical in Spark and DuckDB) so every step is
+oracle-checkable across engines — murmur/xxhash would be engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the lowercased, space-split text.
+    Documents shorter than n words yield a single whole-text shingle so
+    they still participate in dedup."""
+    toks = F.split(F.lower(text), " ")
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, joined).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: md5 fingerprint of normalized text → keeper
+    (min doc_id) + copy count. One hash aggregate; no joins."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    return (
+        docs.select(F.md5(norm.cast("binary")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _doc_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    return docs.select(
+        "doc_id", word_shingles(F.col(text_col), n).alias("shingles")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
+    explode distinct shingles, join docs sharing a shingle, count common
+    shingles, Jaccard = |∩| / (|A|+|B|−|∩|). Only pairs with ≥1 shared
+    shingle are ever materialized."""
+    sh = _doc_shingles(docs, text_col, n)
+    sized = sh.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    inv = sized.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
+    """MinHash signature: for seed i, min over shingles of
+    md5('<i>|' || shingle). String-min over hex digests is a valid
+    min-hash family surrogate and is engine-portable."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with exact Jaccard.
+
+    signature (num_hashes mins) → ``bands`` band keys (md5 of the
+    concatenated rows of each band) → docs sharing any band key become
+    candidate pairs → exact Jaccard on the candidates only. At scale the
+    candidate join replaces the all-pairs blowup; the verify join touches
+    only candidate docs.
+    """
+    rows_per_band = num_hashes // bands
+    sh = _doc_shingles(docs, text_col, n)
+    sig = sh.select(
+        "doc_id", "shingles", *minhash_signature(F.col("shingles"), num_hashes)
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(F.array(*band_cols)).alias("band_key"),
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(b_, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.shingles").alias("sh1"),
+            F.col("b.shingles").alias("sh2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = F.size(F.array_union("sh1", "sh2")).cast("double")
+    return (
+        candidates.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens: per token take 64 bits of
+    xxhash64, sum ±1 per bit position weighted by term frequency, sign →
+    fingerprint bit. Engine-specific hash ⇒ no cross-engine oracle; pinned
+    by unit tests instead (the driver records a rows-only check)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    exploded = docs.select("doc_id", F.explode(toks).alias("tok"))
+    hashed = exploded.select(
+        "doc_id", F.xxhash64("tok").alias("h")
+    )
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fingerprint = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return bit_sums.select("doc_id", fingerprint.alias("simhash"))

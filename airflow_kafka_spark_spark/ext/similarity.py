@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12).
+
+Brute-force cosine top-k is the exact baseline: the query vector is
+broadcast (a one-row cross join Catalyst turns into
+BroadcastNestedLoopJoin), the dot product folds left-to-right with
+``aggregate(zip_with(...))`` — JVM-side, no UDF, deterministic summation
+order so the DuckDB oracle matches bit-for-bit before rounding.
+
+Scale path: brute force is O(n·d) per query — fine fanned out over
+executors for single queries, wrong for query *batches*. ``lsh_buckets``
+provides the bucketed-ANN skeleton: sign-random-projection bucket keys so
+candidate sets shrink to one bucket (+ probes). Hyperplanes are derived
+deterministically from the vectors themselves (element order flips), so
+no cross-engine RNG is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in float64, left-to-right fold — matches the SQL oracle's
+    ``list_sum(list_transform(...))`` evaluation exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to the row with ``query_vec_id``.
+
+    The query side is one row → broadcast; ordering is total
+    (cosine desc, vec_id asc) for determinism. The query row itself is
+    excluded.
+    """
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    joined = embeddings.filter(F.col(id_col) != query_vec_id).crossJoin(
+        F.broadcast(q)
+    )
+    cos = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    return (
+        joined.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-random-projection bucket keys for ANN.
+
+    Plane p scores a vector by Σ sᵢ·vᵢ where the sign pattern
+    sᵢ = ±1 alternates with period p+2 — a fixed, data-independent family
+    that needs no RNG and is reproducible in plain SQL. Bucket key =
+    concatenated sign bits. Real deployments would swap in Gaussian
+    hyperplanes broadcast from the driver; the plumbing (bucketing,
+    candidate lookup by equal key) is identical.
+    """
+    v = F.col(vec_col)
+    bits = []
+    for p in range(n_planes):
+        period = p + 2
+        proj = F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(0), F.size(v) - 1),
+                v,
+                lambda i, x: F.when((i % period) * 2 < period, x.cast("double"))
+                .otherwise(-x.cast("double")),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return embeddings.select(
+        F.col(id_col), F.concat(*bits).alias("bucket"), F.col(vec_col)
+    )
+
+
+def ann_topk_bucketed(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the query's
+    LSH bucket. One equi-join on the bucket key replaces the full scan —
+    the join prunes to a ~2^-n_planes fraction of the corpus."""
+    bucketed = lsh_buckets(embeddings, n_planes, vec_col, id_col)
+    q = bucketed.filter(F.col(id_col) == query_vec_id).select(
+        F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qvec")
+    )
+    cand = bucketed.filter(F.col(id_col) != query_vec_id).join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    )
+    cos = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    return (
+        cand.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

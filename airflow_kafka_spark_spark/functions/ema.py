@@ -1,0 +1,70 @@
+"""Exponential moving average kernel (SURVEY.md §2.6 W7/W9).
+
+Spark has no built-in EMA (it is an order-sensitive recursion, not a frame
+aggregate). The reference computes it with pandas ``ewm(span=N,
+adjust=False)`` on the driver (reference spark/stock_analysis.py:186-190);
+here the identical recurrence runs on *executors* as a grouped-map
+``applyInPandas`` kernel, parallel per key partition:
+
+    alpha = 2 / (span + 1)
+    y[0]  = x[0]
+    y[t]  = alpha * x[t] + (1 - alpha) * y[t-1]
+
+The loop is written explicitly (not pandas ``ewm``) so the floating-point
+operation order — one multiply-each, one add — is bit-identical to the
+DuckDB recursive-CTE oracle, which evaluates the same expression shape.
+pandas ``ewm(adjust=False)`` computes the same recurrence to within 1 ULP
+per step (unit-tested).
+
+Scale note: state is per-key and sequential *within* a key only; keys are
+hash-distributed, so a 1000-executor cluster runs one small pandas frame
+per key concurrently. Arrow-batched transfer, no driver involvement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ema_recurrence(x: np.ndarray, span: int) -> np.ndarray:
+    """Exact adjust=False EMA recurrence over a 1-D float64 array.
+
+    NULL (NaN) handling matches pandas ewm: NaN inputs leave the state
+    unchanged and emit the previous state (the driver fixtures have no
+    NULLs in the value column, but streaming data may).
+    """
+    alpha = 2.0 / (span + 1.0)
+    beta = 1.0 - alpha
+    out = np.empty(len(x), dtype=np.float64)
+    state = np.nan
+    have_state = False
+    for i in range(len(x)):
+        v = x[i]
+        if np.isnan(v):
+            out[i] = state if have_state else np.nan
+            continue
+        if not have_state:
+            state = v
+            have_state = True
+        else:
+            state = alpha * v + beta * state
+        out[i] = state
+    return out
+
+
+def macd_columns(
+    close: np.ndarray,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """MACD line / signal / histogram (W7-W10,
+    spark/stock_analysis.py:186-191): EMA(fast) − EMA(slow), EMA(signal) of
+    the line, and their difference. Defined from the first row (no warm-up
+    NULLs — ewm adjust=False seeds with x[0])."""
+    ema_fast = ema_recurrence(close, fast)
+    ema_slow = ema_recurrence(close, slow)
+    line = ema_fast - ema_slow
+    sig = ema_recurrence(line, signal)
+    hist = line - sig
+    return line, sig, hist

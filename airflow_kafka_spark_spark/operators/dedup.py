@@ -1,0 +1,40 @@
+"""Latest-snapshot-per-key dedup (SURVEY.md §4.3.3 — documented deviation).
+
+The reference can receive *multiple* full-history snapshot messages for one
+symbol in a single micro-batch (30-min DAG cadence vs 10-min trigger, plus
+``startingOffsets=earliest`` replay). Its pandas loop concatenates them,
+corrupting rolling windows with duplicated dates
+(spark/stock_analysis.py:163-174). Messages are self-contained snapshots,
+so the correct semantics — and the evident intent — is to keep only the
+newest message per key before exploding.
+
+Deterministic: ordered by Kafka ``timestamp`` then ``offset`` (a total
+order within a partition; symbols are the message key so one symbol lives
+in one Kafka partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_message_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Keep the single newest row per key. ``order_cols`` must form a total
+    order (e.g. Kafka ``["timestamp", "offset"]``)."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact dedup — ``dropDuplicates`` (hash aggregate under the hood;
+    map-side partial aggregation keeps the shuffle small at scale)."""
+    return df.dropDuplicates(subset)

@@ -1,0 +1,83 @@
+"""Wire-format parsing: Kafka bytes → typed flat series (SURVEY.md §2.2/§2.3).
+
+Covers P1 (binary→string cast), P2 (from_json), P3 (struct flatten),
+A1 (explode), P4 (nested-field projection) and F3/F4 (typed dates) —
+reference spark/stock_analysis.py:57-84 — as one declarative chain that
+stays entirely inside whole-stage codegen. Catalyst prunes unused
+``from_json`` fields automatically (OptimizeJsonExprs), so downstream
+projections reach the JSON parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import STOCK_HISTORY_SCHEMA
+
+
+def parse_history_messages(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka-shaped rows (binary ``value``) → typed message rows.
+
+    P1+P2+P3 (spark/stock_analysis.py:57-60): cast value to string, parse
+    with the declared schema (PERMISSIVE — malformed JSON → null struct,
+    matching the reference's default from_json behavior), flatten.
+    """
+    return (
+        raw.select(F.col(value_col).cast("string").alias("json_data"))
+        .select(F.from_json("json_data", STOCK_HISTORY_SCHEMA).alias("data"))
+        .select("data.*")
+    )
+
+
+def explode_history(messages: DataFrame) -> DataFrame:
+    """One message row → one row per (symbol, trading day).
+
+    A1+P4 (spark/stock_analysis.py:63-78): ``explode`` drops rows with
+    empty/null arrays, matching the reference (producer never sends empty
+    arrays, dag:79). F3/F4 (:83-84): the engine keeps a real ``date``
+    column end-to-end — the reference's string round-trip existed only to
+    dodge a pandas datetime bug it no longer has.
+    """
+    return (
+        messages.select(
+            "symbol",
+            "current_price",
+            F.explode("historical_data").alias("history"),
+        )
+        .select(
+            "symbol",
+            "current_price",
+            F.col("history.time").alias("time"),
+            F.col("history.open").alias("open"),
+            F.col("history.high").alias("high"),
+            F.col("history.low").alias("low"),
+            F.col("history.close").alias("close"),
+            F.col("history.volume").alias("volume"),
+        )
+        .withColumn("date", F.to_date("time", "yyyy-MM-dd"))
+    )
+
+
+def parse_snapshot_messages(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """stock-topic snapshot ``{time: ts, <SYMBOL>: price|null}`` → long rows
+    ``(snapshot_time, symbol, price)``.
+
+    The reference produces this topic but never consumes it
+    (dag:34-50; SURVEY.md §1.1.4). The engine ingests it as the optional
+    current-price side input: a dynamic-keyed JSON object is parsed as a
+    map and melted with ``explode(map)``.
+    """
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), "map<string,string>").alias("m")
+    )
+    return (
+        parsed.select(
+            F.col("m")["time"].alias("snapshot_time"),
+            F.explode(F.map_filter("m", lambda k, _: k != "time")).alias(
+                "symbol", "price_str"
+            ),
+        )
+        .withColumn("price", F.col("price_str").cast("double"))
+        .drop("price_str")
+    )

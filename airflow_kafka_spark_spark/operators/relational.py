@@ -1,0 +1,59 @@
+"""Relational surface helpers (SURVEY.md §2.4/§2.5/§2.9 + M4).
+
+The reference has no joins/aggregation surface beyond counts (§2.4/§2.5);
+the engine exposes the standard Spark relational operators, mostly as
+thin idiomatic compositions. The one non-obvious piece is *deterministic
+cross-engine aggregation*: double-precision SUM is order-dependent, so a
+Spark sum and a DuckDB sum of 60k doubles differ in the last ULPs and an
+exact value-hash comparison would flake. ``decimal_sum`` sidesteps this:
+cast each element to a fixed-scale DECIMAL (deterministic rounding of an
+IEEE double), sum exactly in decimal (both engines do exact decimal
+arithmetic), cast the total back to double (deterministic). The result is
+bit-identical across engines and insensitive to partitioning/order — which
+also makes results stable across cluster sizes, a property worth having at
+100 TB regardless of the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def decimal_sum(col: Column | str, scale: int = 6, precision: int = 22) -> Column:
+    """Order-insensitive, cross-engine-exact SUM of a double column.
+
+    SQL equivalent (DuckDB): ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def decimal_avg(col: Column | str, scale: int = 6, precision: int = 22) -> Column:
+    """Exact-sum average: decimal sum cast to double, divided by the
+    non-null count (double division is deterministic).
+
+    SQL equivalent: ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)
+    / CAST(COUNT(x) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return decimal_sum(c, scale, precision) / F.count(c).cast("double")
+
+
+def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """Global top-k. ``ORDER BY + LIMIT`` lets Spark run a TakeOrdered /
+    per-partition partial top-k instead of a full sort — O(n log k) per
+    partition, tiny shuffle. ``order_cols`` must be a total order."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list[Column], k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top-k rows per group via row_number (one shuffle on the group key).
+    ``order_cols`` must include a unique tiebreaker for determinism."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )

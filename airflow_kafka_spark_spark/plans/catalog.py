@@ -1,0 +1,982 @@
+"""The query catalog (SURVEY.md §2 inventory → driver contract).
+
+Each entry pairs a PySpark callable ``(spark, sf_dir) -> DataFrame`` with
+equivalent ANSI SQL for the DuckDB oracle. Both sides are written for
+*bit-identical* results, not just approximate agreement:
+
+- double SUM/AVG goes through fixed-scale DECIMAL (exact in both engines,
+  order-insensitive) and back to double — see operators.relational;
+- rolling means are left-associated lag-chains (same FP evaluation order
+  everywhere) — see functions.windows.rolling_mean;
+- EMA/MACD use the identical recurrence shape in the applyInPandas kernel
+  and the recursive-CTE oracle;
+- hashes are md5 (byte-identical across engines);
+- every double output is ROUND(x, 6) + 0.0 (the +0.0 collapses -0.0).
+
+Column names are aliased identically on both sides (the driver sorts
+columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ext.dedup import exact_duplicates, jaccard_pairs, minhash_lsh_pairs, simhash64
+from ..ext.multimodal import binary_payloads, decode_image_meta
+from ..ext.similarity import ann_topk_bucketed, cosine_topk
+from ..ext.textstats import bpe_token_counts, language_profile, with_fingerprint, with_text_stats
+from ..functions.windows import last_per_key
+from ..operators.indicators import with_indicators, with_macd
+from ..operators.relational import decimal_avg, decimal_sum, top_k, top_k_per_group
+from ..operators.signals import DEFAULT_REASON, DEFAULT_SUGGESTION, REASONS, SUGGESTIONS, with_suggestion
+from ..schemas import EVENT_PROPS_SCHEMA
+from ..sources.files import load_table
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver records a rows-only check
+    headline: bool = False  # included in bench.py
+
+
+def _r6(c) -> F.Column:
+    """round(x, 6) + 0.0 — cross-engine-stable double output."""
+    return F.round(c, 6) + F.lit(0.0)
+
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments for the indicator oracle (events as the ordered series)
+# ---------------------------------------------------------------------------
+def _lag_mean_sql(col: str, n: int, win: str) -> str:
+    """Left-associated lag-chain mean — mirrors functions.windows.rolling_mean."""
+    terms = [col] + [f"LAG({col}, {k}) OVER {win}" for k in range(1, n)]
+    return f"(({' + '.join(terms)}) / CAST({n} AS DOUBLE))"
+
+
+# base series + MA5/MA20 + delta, per user ordered by (ts, event_id)
+_IND_BASE_SQL = f"""
+base AS (
+  SELECT user_id, event_id, ts, value AS close,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+ma AS (
+  SELECT user_id, event_id, rn, close,
+         {_lag_mean_sql('close', 5, 'wo')} AS ma5,
+         {_lag_mean_sql('close', 20, 'wo')} AS ma20,
+         close - LAG(close, 1) OVER wo AS delta
+  FROM base
+  WINDOW wo AS (PARTITION BY user_id ORDER BY rn)
+),
+gl AS (
+  SELECT *,
+         CASE WHEN delta > 0 THEN delta ELSE CAST(0 AS DOUBLE) END AS gain,
+         CASE WHEN delta < 0 THEN -delta ELSE CAST(0 AS DOUBLE) END AS loss
+  FROM ma
+),
+rsi_t AS (
+  SELECT *,
+         {_lag_mean_sql('gain', 14, 'wg')} AS avg_gain,
+         {_lag_mean_sql('loss', 14, 'wg')} AS avg_loss
+  FROM gl
+  WINDOW wg AS (PARTITION BY user_id ORDER BY rn)
+),
+rsi_f AS (
+  SELECT *,
+         CAST(100 AS DOUBLE) - (CAST(100 AS DOUBLE) / (CAST(1 AS DOUBLE) +
+           CASE WHEN avg_loss = 0 THEN CAST(0 AS DOUBLE)
+                ELSE avg_gain / avg_loss END)) AS rsi
+  FROM rsi_t
+)
+"""
+
+# EMA-12/26 + MACD signal, identical recurrence to functions.ema (see module
+# docstring): alpha*x + (1-alpha)*prev, seeded with x[0]; macd[0]=sig[0]=0.
+_A12 = "(CAST(2 AS DOUBLE) / CAST(13 AS DOUBLE))"
+_A26 = "(CAST(2 AS DOUBLE) / CAST(27 AS DOUBLE))"
+_A9 = "(CAST(2 AS DOUBLE) / CAST(10 AS DOUBLE))"
+_EMA_SQL = f"""
+ema AS (
+  SELECT user_id, event_id, rn, close,
+         close AS ema12, close AS ema26,
+         CAST(0 AS DOUBLE) AS macd_line, CAST(0 AS DOUBLE) AS macd_signal
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn, b.close,
+         {_A12} * b.close + (CAST(1 AS DOUBLE) - {_A12}) * e.ema12,
+         {_A26} * b.close + (CAST(1 AS DOUBLE) - {_A26}) * e.ema26,
+         ({_A12} * b.close + (CAST(1 AS DOUBLE) - {_A12}) * e.ema12)
+           - ({_A26} * b.close + (CAST(1 AS DOUBLE) - {_A26}) * e.ema26),
+         {_A9} * (({_A12} * b.close + (CAST(1 AS DOUBLE) - {_A12}) * e.ema12)
+                  - ({_A26} * b.close + (CAST(1 AS DOUBLE) - {_A26}) * e.ema26))
+           + (CAST(1 AS DOUBLE) - {_A9}) * e.macd_signal
+  FROM base b JOIN ema e ON b.user_id = e.user_id AND b.rn = e.rn + 1
+)
+"""
+
+_SUGGESTION_CASE = f"""
+CASE
+  WHEN ma5 > ma20 AND rsi < 70 AND macd_line > macd_signal THEN '{SUGGESTIONS[0]}'
+  WHEN ma5 > ma20 AND rsi >= 70 THEN '{SUGGESTIONS[1]}'
+  WHEN ma5 < ma20 AND rsi <= 30 AND macd_line > macd_signal THEN '{SUGGESTIONS[2]}'
+  WHEN ma5 < ma20 AND macd_line <= macd_signal THEN '{SUGGESTIONS[3]}'
+  ELSE '{DEFAULT_SUGGESTION}'
+END
+"""
+
+_REASON_CASE = f"""
+CASE
+  WHEN ma5 > ma20 AND rsi < 70 AND macd_line > macd_signal THEN '{REASONS[0]}'
+  WHEN ma5 > ma20 AND rsi >= 70 THEN '{REASONS[1]}'
+  WHEN ma5 < ma20 AND rsi <= 30 AND macd_line > macd_signal THEN '{REASONS[2]}'
+  WHEN ma5 < ma20 AND macd_line <= macd_signal THEN '{REASONS[3]}'
+  ELSE '{DEFAULT_REASON}'
+END
+"""
+
+
+def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as the per-user ordered series the indicator operators run on
+    (the stream analogue mandated by FIXTURES.md §D)."""
+    return load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("value").alias("close")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference-parity queries (SURVEY.md §2.2-2.8)
+# ---------------------------------------------------------------------------
+def q_parse_json_props(spark, sf_dir):
+    """P2/F2: from_json on a JSON string column + aggregate by parsed key."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", EVENT_PROPS_SCHEMA)["k"].alias("k"), "value"
+    )
+    return parsed.groupBy("k").agg(
+        F.count("*").alias("n_events"),
+        _r6(decimal_sum("value")).alias("sum_value"),
+    )
+
+
+SQL_PARSE_JSON_PROPS = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_explode_renest(spark, sf_dir):
+    """A1+A2 round-trip: collect_list(struct) per key → explode back to flat
+    rows (the reference's nested-message shape, dag:81-99 ↔ analysis:63-78)."""
+    ev = load_table(spark, sf_dir, "events")
+    nested = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("evs")
+    )
+    return nested.select("user_id", F.explode("evs").alias("e")).select(
+        "user_id",
+        F.date_format(F.col("e.ts"), TS_FMT_SPARK).alias("ts_str"),
+        F.col("e.value").alias("value"),
+    )
+
+
+SQL_EXPLODE_RENEST = f"""
+SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, value FROM events
+"""
+
+
+def q_ma_windows(spark, sf_dir):
+    """W1/W2: rolling means with pandas min_periods NULL semantics."""
+    from ..operators.indicators import with_moving_averages
+
+    df = with_moving_averages(
+        _events_series(spark, sf_dir), ["user_id"], ["ts", "event_id"], "close"
+    )
+    return df.select(
+        "user_id", "event_id", _r6("ma5").alias("ma5"), _r6("ma20").alias("ma20")
+    )
+
+
+SQL_MA_WINDOWS = f"""
+WITH {_IND_BASE_SQL.strip().rstrip(',')}
+SELECT user_id, event_id,
+       ROUND(ma5, 6) + CAST(0 AS DOUBLE) AS ma5,
+       ROUND(ma20, 6) + CAST(0 AS DOUBLE) AS ma20
+FROM ma
+"""
+
+
+def q_rsi14(spark, sf_dir):
+    """W3-W6: diff → gain/loss split → Cutler RSI with the loss==0 quirk."""
+    from ..operators.indicators import with_rsi
+
+    df = with_rsi(
+        _events_series(spark, sf_dir), ["user_id"], ["ts", "event_id"], "close"
+    )
+    return df.select("user_id", "event_id", _r6("rsi").alias("rsi"))
+
+
+SQL_RSI14 = f"""
+WITH {_IND_BASE_SQL}
+SELECT user_id, event_id, ROUND(rsi, 6) + CAST(0 AS DOUBLE) AS rsi FROM rsi_f
+"""
+
+
+def q_ema_macd(spark, sf_dir):
+    """W7-W10: EMA-12/26 MACD via grouped-map applyInPandas."""
+    df = with_macd(
+        _events_series(spark, sf_dir), ["user_id"], ["ts", "event_id"], "close"
+    )
+    return df.select(
+        "user_id",
+        "event_id",
+        _r6("macd_line").alias("macd_line"),
+        _r6("macd_signal").alias("macd_signal"),
+        _r6("macd_histogram").alias("macd_histogram"),
+    )
+
+
+SQL_EMA_MACD = f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, ts, value AS close,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+{_EMA_SQL}
+SELECT user_id, event_id,
+       ROUND(macd_line, 6) + CAST(0 AS DOUBLE) AS macd_line,
+       ROUND(macd_signal, 6) + CAST(0 AS DOUBLE) AS macd_signal,
+       ROUND(macd_line - macd_signal, 6) + CAST(0 AS DOUBLE) AS macd_histogram
+FROM ema
+"""
+
+
+def q_signal_cascade(spark, sf_dir):
+    """The flagship batch analytics: full W1-W10 indicator stack + C1/C2
+    suggestion cascade, exactly the reference's per-key semantics."""
+    df = with_indicators(
+        _events_series(spark, sf_dir), ["user_id"], ["ts", "event_id"], "close"
+    )
+    df = with_suggestion(df)
+    return df.select(
+        "user_id",
+        "event_id",
+        _r6("ma5").alias("ma5"),
+        _r6("ma20").alias("ma20"),
+        _r6("rsi").alias("rsi"),
+        _r6("macd_line").alias("macd_line"),
+        _r6("macd_signal").alias("macd_signal"),
+        "suggestion",
+        "reason",
+    )
+
+
+SQL_SIGNAL_CASCADE = f"""
+WITH RECURSIVE {_IND_BASE_SQL},
+{_EMA_SQL},
+joined AS (
+  SELECT r.user_id, r.event_id, r.ma5, r.ma20, r.rsi,
+         e.macd_line, e.macd_signal
+  FROM rsi_f r JOIN ema e ON r.user_id = e.user_id AND r.rn = e.rn
+)
+SELECT user_id, event_id,
+       ROUND(ma5, 6) + CAST(0 AS DOUBLE) AS ma5,
+       ROUND(ma20, 6) + CAST(0 AS DOUBLE) AS ma20,
+       ROUND(rsi, 6) + CAST(0 AS DOUBLE) AS rsi,
+       ROUND(macd_line, 6) + CAST(0 AS DOUBLE) AS macd_line,
+       ROUND(macd_signal, 6) + CAST(0 AS DOUBLE) AS macd_signal,
+       {_SUGGESTION_CASE} AS suggestion,
+       {_REASON_CASE} AS reason
+FROM joined
+"""
+
+
+def q_last_per_key(spark, sf_dir):
+    """G6: latest row per key (row_number over desc order)."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = last_per_key(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
+    return latest.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        "event_type",
+        "value",
+    )
+
+
+SQL_LAST_PER_KEY = f"""
+SELECT user_id, event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, event_type, value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_distinct_pairs(spark, sf_dir):
+    """Exact dedup via dropDuplicates (G4/A4 family)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates()
+
+
+SQL_DISTINCT_PAIRS = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# relational surface (SURVEY.md §2.4/§2.5/§2.9 + M4)
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter → 2-key groupBy → 8 aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r6(decimal_sum("l_quantity")).alias("sum_qty"),
+            _r6(decimal_sum("l_extendedprice")).alias("sum_base_price"),
+            _r6(decimal_sum(disc_price, scale=10, precision=28)).alias("sum_disc_price"),
+            _r6(decimal_sum(charge, scale=10, precision=28)).alias("sum_charge"),
+            _r6(decimal_avg("l_quantity")).alias("avg_qty"),
+            _r6(decimal_avg("l_extendedprice")).alias("avg_price"),
+            _r6(decimal_avg("l_discount", scale=10)).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_disc_price,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(22,10))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q6_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight scan filter → single global aggregate.
+    Filters push down to the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            _r6(
+                decimal_sum(
+                    F.col("l_extendedprice") * F.col("l_discount"),
+                    scale=10,
+                    precision=28,
+                )
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_Q6 = """
+SELECT
+  ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 25
+"""
+
+
+def q3_topk_join(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join (broadcastable dim), group, top-10.
+    customer is tiny → Catalyst broadcasts it; AQE picks the lineitem join."""
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-01-01"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    grouped = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_r6(decimal_sum(revenue, scale=10, precision=28)).alias("revenue"))
+    )
+    return top_k(
+        grouped, [F.col("revenue").desc(), F.col("l_orderkey")], 10
+    ).select(
+        "l_orderkey",
+        "revenue",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_multiway_join(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join chain with two broadcastable dims and
+    a co-located nation condition (c_nationkey = s_nationkey)."""
+    re_ = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    na = load_table(spark, sf_dir, "nation")
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), (li.l_suppkey == su.s_suppkey)
+              & (cu.c_nationkey == su.s_nationkey))
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
+        .groupBy("n_name")
+        .agg(_r6(decimal_sum(revenue, scale=10, precision=28)).alias("revenue"))
+    )
+
+
+SQL_Q5 = """
+SELECT n_name,
+  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_join_semi(spark, sf_dir):
+    """left_semi join — EXISTS."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cu.join(
+        od, cu.c_custkey == od.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SQL_JOIN_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def q_join_anti(spark, sf_dir):
+    """left_anti join — NOT EXISTS."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    return cu.join(
+        od, cu.c_custkey == od.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_agg_event_stats(spark, sf_dir):
+    """Aggregate battery: count, distinct count, exact decimal sum/avg,
+    min/max."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _r6(decimal_sum("value")).alias("sum_value"),
+        _r6(decimal_avg("value")).alias("avg_value"),
+        _r6(F.min("value")).alias("min_value"),
+        _r6(F.max("value")).alias("max_value"),
+    )
+
+
+SQL_AGG_EVENT_STATS = """
+SELECT event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_value,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_value,
+  ROUND(MIN(value), 6) + CAST(0 AS DOUBLE) AS min_value,
+  ROUND(MAX(value), 6) + CAST(0 AS DOUBLE) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_topk_orders(spark, sf_dir):
+    """Global top-k: ORDER BY + LIMIT → TakeOrderedAndProject."""
+    od = load_table(spark, sf_dir, "orders")
+    return top_k(
+        od, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT (distinct set semantics on both engines)."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    building = cu.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    with_orders = od.select(F.col("o_custkey").alias("custkey"))
+    with_f = od.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(with_orders).exceptAll(with_f.distinct())
+
+
+SQL_SET_OPS = """
+(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ INTERSECT
+ SELECT o_custkey FROM orders)
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_rollup_lineitem(spark, sf_dir):
+    """ROLLUP grouping sets with subtotal + grand-total rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            _r6(decimal_sum("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_window_rank(spark, sf_dir):
+    """Top-3 orders per customer via row_number (one shuffle on the key)."""
+    od = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        od, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+
+
+SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+FROM orders
+QUALIFY rnk <= 3
+"""
+
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_events(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0).cast("long")).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# extension surface (SURVEY.md §2.12): dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_duplicates(docs)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+_SHINGLES_SQL = """
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      ELSE [array_to_string(t, ' ')]
+    END AS shingles
+  FROM toks
+)
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.4)
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH {_SHINGLES_SQL},
+inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.n_sh AS n1, b.n_sh AS n2,
+         COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc1, doc2,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS jaccard
+FROM common
+WHERE ROUND(CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE), 6) + CAST(0 AS DOUBLE) >= 0.4
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.4)
+
+
+def _mh_sql(i: int) -> str:
+    return (
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}|' || s)), 'min')"
+        f" AS mh{i}"
+    )
+
+
+SQL_MINHASH_LSH = f"""
+WITH {_SHINGLES_SQL},
+sig AS (
+  SELECT doc_id, shingles, {', '.join(_mh_sql(i) for i in range(8))}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, shingles, unnest([
+    md5('0|' || mh0 || '|' || mh1),
+    md5('1|' || mh2 || '|' || mh3),
+    md5('2|' || mh4 || '|' || mh5),
+    md5('3|' || mh6 || '|' || mh7)
+  ]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc1, c.doc2,
+         ROUND(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+               / CAST(len(s1.shingles) + len(s2.shingles)
+                      - len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE), 6)
+           + CAST(0 AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN sh s1 ON c.doc1 = s1.doc_id
+  JOIN sh s2 ON c.doc2 = s2.doc_id
+)
+SELECT doc1, doc2, jaccard FROM verified WHERE jaccard >= 0.4
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """xxhash64-based SimHash — engine-specific hash, rows-only check
+    (pinned by unit tests instead; SURVEY.md §5.2.1 fallback)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs)
+
+
+def q_knn_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_vec_id=0, k=10)
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    ROUND(
+      list_sum(list_transform(range(1, len(embedding) + 1),
+                              i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                                      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(qvec) + 1),
+                                        i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))),
+      6) + CAST(0 AS DOUBLE) AS cosine
+  FROM embeddings, q
+  WHERE vec_id <> 0
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def q_ann_bucketed(spark, sf_dir):
+    """LSH-bucketed ANN — deterministic sign-projection buckets, so even
+    the approximate path is oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_bucketed(emb, query_vec_id=0, k=10, n_planes=8)
+
+
+def _plane_sql(p: int) -> str:
+    period = p + 2
+    return (
+        "CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"i -> CASE WHEN ((i - 1) % {period}) * 2 < {period} "
+        "THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END)) "
+        ">= 0 THEN '1' ELSE '0' END"
+    )
+
+
+SQL_ANN_BUCKETED = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         {' || '.join(_plane_sql(p) for p in range(8))} AS bucket
+  FROM embeddings
+),
+q AS (SELECT bucket AS qbucket, embedding AS qvec FROM bucketed WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id,
+    ROUND(
+      list_sum(list_transform(range(1, len(b.embedding) + 1),
+                              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(q.qvec) + 1),
+                                        i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))),
+      6) + CAST(0 AS DOUBLE) AS cosine
+  FROM bucketed b JOIN q ON b.bucket = q.qbucket
+  WHERE b.vec_id <> 0
+)
+SELECT vec_id, cosine FROM cand ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = with_text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "avg_token_len",
+        "stopword_ratio",
+        "distinct_ratio",
+        "is_quality",
+    )
+
+
+SQL_TEXT_STATS = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+SELECT doc_id,
+  len(t) AS n_tokens,
+  len(list_distinct(t)) AS n_distinct_tokens,
+  ROUND(CAST(list_sum(list_transform(t, x -> strlen(x))) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_token_len,
+  ROUND(CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS stopword_ratio,
+  ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS distinct_ratio,
+  CASE WHEN len(t) >= 10 AND len(t) <= 10000
+            AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.2
+            AND CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) <= 0.5
+       THEN 1 ELSE 0 END AS is_quality
+FROM toks
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = with_fingerprint(docs)
+    return out.select(
+        "doc_id", "fingerprint", F.col("norm_len").cast("long").alias("norm_len")
+    )
+
+
+SQL_DOC_FINGERPRINTS = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       length(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_len
+FROM documents
+"""
+
+
+def q_lang_profile(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return language_profile(docs)
+
+
+SQL_LANG_PROFILE = """
+WITH per_doc AS (
+  SELECT lang, source, n_chars,
+    CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                        x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+              / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) >= 0.05
+         THEN 1 ELSE 0 END AS looks_en
+  FROM documents
+)
+SELECT lang,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT source) AS n_sources,
+  ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_chars,
+  CAST(SUM(looks_en) AS BIGINT) AS n_looks_en
+FROM per_doc GROUP BY lang
+"""
+
+
+def q_bpe_tokens(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs)
+
+
+SQL_BPE_TOKENS = """
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_bpe_tokens) AS total_tokens,
+  ROUND(CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_tokens_per_doc
+FROM per_doc GROUP BY source
+"""
+
+
+def q_mm_image_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → mapInPandas decode →
+    typed metadata. The fake decoder is arithmetic on payload length, so
+    the whole Arrow round-trip is oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_meta(binary_payloads(docs), decoder="fake")
+
+
+SQL_MM_IMAGE_META = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(16 + (octet_length(encode(text)) % 640) AS INTEGER) AS width,
+       CAST(16 + ((octet_length(encode(text)) // 640) % 480) AS INTEGER) AS height,
+       CAST(1 + (octet_length(encode(text)) % 3) AS INTEGER) AS n_channels
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# the catalog
+# ---------------------------------------------------------------------------
+CATALOG: dict[str, Query] = {
+    # reference parity
+    "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
+    "explode_renest": Query(q_explode_renest, SQL_EXPLODE_RENEST),
+    "ma_windows": Query(q_ma_windows, SQL_MA_WINDOWS, headline=True),
+    "rsi14": Query(q_rsi14, SQL_RSI14),
+    "ema_macd": Query(q_ema_macd, SQL_EMA_MACD),
+    "signal_cascade": Query(q_signal_cascade, SQL_SIGNAL_CASCADE, headline=True),
+    "last_per_key": Query(q_last_per_key, SQL_LAST_PER_KEY),
+    "distinct_pairs": Query(q_distinct_pairs, SQL_DISTINCT_PAIRS),
+    # relational surface
+    "q1_pricing_summary": Query(q1_pricing_summary, SQL_Q1, headline=True),
+    "q6_revenue": Query(q6_revenue, SQL_Q6, headline=True),
+    "q3_topk_join": Query(q3_topk_join, SQL_Q3, headline=True),
+    "q5_multiway_join": Query(q5_multiway_join, SQL_Q5, headline=True),
+    "join_semi": Query(q_join_semi, SQL_JOIN_SEMI),
+    "join_anti": Query(q_join_anti, SQL_JOIN_ANTI),
+    "agg_event_stats": Query(q_agg_event_stats, SQL_AGG_EVENT_STATS),
+    "topk_orders": Query(q_topk_orders, SQL_TOPK_ORDERS),
+    "set_ops": Query(q_set_ops, SQL_SET_OPS),
+    "rollup_lineitem": Query(q_rollup_lineitem, SQL_ROLLUP),
+    "window_rank": Query(q_window_rank, SQL_WINDOW_RANK),
+    "pivot_events": Query(q_pivot_events, SQL_PIVOT_EVENTS),
+    # extensions
+    "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
+    "jaccard_pairs": Query(q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "minhash_lsh": Query(q_minhash_lsh, SQL_MINHASH_LSH, headline=True),
+    "simhash": Query(q_simhash, None),  # engine-specific hash → rows-only
+    "knn_cosine": Query(q_knn_cosine, SQL_KNN_COSINE, headline=True),
+    "ann_bucketed": Query(q_ann_bucketed, SQL_ANN_BUCKETED),
+    "text_stats": Query(q_text_stats, SQL_TEXT_STATS, headline=True),
+    "doc_fingerprints": Query(q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
+    "lang_profile": Query(q_lang_profile, SQL_LANG_PROFILE),
+    "bpe_tokens": Query(q_bpe_tokens, SQL_BPE_TOKENS),
+    "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in CATALOG.items() if q.oracle is not None}
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in CATALOG.items() if q.headline}

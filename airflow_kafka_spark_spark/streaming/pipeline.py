@@ -1,0 +1,134 @@
+"""The streaming pipeline shell (SURVEY.md §2.10, §3.1).
+
+The reference's topology — Kafka → parse → explode → indicators →
+suggestion → Kafka — with the driver-side pandas detour removed. The
+*transform* is a pure DataFrame→DataFrame function shared with the batch
+path; ``foreachBatch`` is retained only as a sink router (S3), exactly the
+role SURVEY.md §2.1 assigns it. Inside each micro-batch:
+
+1. dedup to the latest snapshot per key (deterministic; §4.3.3 — the
+   reference's duplicated-snapshot window corruption is deliberately fixed)
+2. the shared batch transform (parse→explode→W1-W10→C1-C2→serialize)
+3. write keyed JSON to the sink
+
+Dropped anti-patterns (SURVEY.md §2.10 T9/T10): the 60 s sleep-in-callback
+and the >20k-row ``randomSplit`` shard (which corrupted per-symbol windows
+by splitting a symbol's rows across shards). Scale is handled the Spark
+way: partitioning by key, AQE, and ``maxOffsetsPerTrigger`` backpressure.
+"""
+
+from __future__ import annotations
+
+import signal
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import latest_message_per_key
+from ..operators.indicators import with_indicators
+from ..operators.parse import explode_history, parse_history_messages
+from ..operators.serialize import to_kafka_records, to_processed
+from ..operators.signals import with_suggestion
+
+DEFAULT_TRIGGER = "10 minutes"  # spark/stock_analysis.py:298
+
+
+def analyze_history_batch(raw: DataFrame, dedup_order_cols: list[str] | None = None) -> DataFrame:
+    """The full analytics transform over Kafka-shaped rows (binary/string
+    ``value`` [+ optional ``timestamp``/``offset`` for dedup]).
+
+    Works identically on a batch DataFrame and a streaming micro-batch —
+    this single function is the engine's core.
+    """
+    messages = parse_history_messages(raw)
+    if dedup_order_cols:
+        keyed = raw.select(
+            raw["value"].cast("string").alias("json_data"), *dedup_order_cols
+        )
+        from pyspark.sql import functions as F
+
+        from ..schemas import STOCK_HISTORY_SCHEMA
+
+        messages = (
+            keyed.select(
+                F.from_json("json_data", STOCK_HISTORY_SCHEMA).alias("data"),
+                *dedup_order_cols,
+            )
+            .select("data.*", *dedup_order_cols)
+        )
+        messages = latest_message_per_key(messages, ["symbol"], dedup_order_cols)
+        messages = messages.drop(*dedup_order_cols)
+    quotes = explode_history(messages)
+    enriched = with_suggestion(with_indicators(quotes))
+    return to_processed(enriched)
+
+
+def start_pipeline(
+    source: DataFrame,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    trigger: str = DEFAULT_TRIGGER,
+    checkpoint_dir: str = "/tmp/aks_spark_checkpoint",
+    dedup_order_cols: list[str] | None = None,
+    query_name: str = "stock_analysis",
+) -> StreamingQuery:
+    """Start the streaming query: source → analyze → sink.
+
+    ``sink(df, batch_id)`` receives the *processed* micro-batch (17-column
+    schema); default sink is a no-op show for smoke runs. Empty batches are
+    skipped (T8). Kafka delivery stays at-least-once like the reference.
+    """
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # T8 (spark/stock_analysis.py:100-106)
+            return
+        processed = analyze_history_batch(batch_df, dedup_order_cols)
+        if sink is not None:
+            sink(processed, batch_id)
+        else:
+            processed.show(5, truncate=False)  # S7 (:272)
+
+    return (
+        source.writeStream.foreachBatch(route)
+        .trigger(processingTime=trigger)
+        .outputMode("update")  # vacuous under foreachBatch (T2)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
+
+
+def kafka_pipeline(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    in_topic: str = "stock-history-topic",
+    out_topic: str = "stock-processed-topic",
+    **kwargs,
+) -> StreamingQuery:
+    """End-to-end Kafka→Kafka wiring matching the reference topology."""
+    from ..sources.kafka import read_stream, write_batch
+
+    source = read_stream(spark, bootstrap_servers, in_topic)
+
+    def kafka_sink(processed: DataFrame, batch_id: int) -> None:
+        write_batch(to_kafka_records(processed), bootstrap_servers, out_topic)
+
+    return start_pipeline(
+        source,
+        sink=kafka_sink,
+        dedup_order_cols=["timestamp", "offset"],
+        **kwargs,
+    )
+
+
+def install_shutdown_handler(spark: SparkSession, query: StreamingQuery) -> None:
+    """T11 (spark/stock_analysis.py:306-321): stop the query and session
+    gracefully on SIGTERM/SIGINT."""
+
+    def handler(sig, frame):
+        if query.isActive:
+            query.stop()
+        spark.stop()
+
+    signal.signal(signal.SIGTERM, handler)
+    signal.signal(signal.SIGINT, handler)
