@@ -54,7 +54,13 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
-    return docs.select(
+    # Shingling + hashing is CPU-heavy per row, but a document corpus often
+    # arrives in few/small files → few input partitions (one 650 KB parquet
+    # = 1 partition = single-threaded md5). Repartition by doc_id first so
+    # the compute fans out to every core/executor; the pre-compute shuffle
+    # is tiny relative to the hashing it parallelizes.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(parallelism, "doc_id").select(
         "doc_id", word_shingles(F.col(text_col), n).alias("shingles")
     )
 
@@ -125,7 +131,10 @@ def minhash_lsh_pairs(
     only candidate docs.
     """
     rows_per_band = num_hashes // bands
-    sh = _doc_shingles(docs, text_col, n)
+    # the shingle frame feeds the signature AND both sides of the verify
+    # join — persist so one action computes it once (MEMORY_AND_DISK, so
+    # an oversized corpus spills instead of OOMing)
+    sh = _doc_shingles(docs, text_col, n).persist()
     sig = sh.select(
         "doc_id", "shingles", *minhash_signature(F.col("shingles"), num_hashes)
     )
@@ -140,26 +149,27 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select(
-        "doc_id",
-        "shingles",
-        F.explode(F.array(*band_cols)).alias("band_key"),
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
     )
     a, b_ = banded.alias("a"), banded.alias("b")
+    # candidate pairs carry only ids — the (potentially large) shingle
+    # arrays are joined back per *candidate doc*, not per band collision
     candidates = (
         a.join(b_, (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
-            F.col("a.shingles").alias("sh1"),
-            F.col("b.shingles").alias("sh2"),
         )
         .dropDuplicates(["doc1", "doc2"])
     )
+    s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
+    verified = candidates.join(s1, "doc1").join(s2, "doc2")
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = F.size(F.array_union("sh1", "sh2")).cast("double")
     return (
-        candidates.withColumn("jaccard", F.round(inter / union, 6))
+        verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )

@@ -1,0 +1,109 @@
+"""Golden tests (SURVEY.md §5.2.2-5.2.3): the engine's native indicator
+stack must reproduce the reference's exact pandas formulae
+(reference spark/stock_analysis.py:166-224) — rolling min_periods NULLs,
+the RSI loss==0→0 quirk, ewm(adjust=False) MACD, first-match-wins
+np.select cascade — on per-symbol series covering every warm-up edge."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from airflow_kafka_spark_spark.operators.indicators import with_indicators
+from airflow_kafka_spark_spark.operators.signals import (
+    DEFAULT_REASON,
+    DEFAULT_SUGGESTION,
+    REASONS,
+    SUGGESTIONS,
+    with_suggestion,
+)
+from airflow_kafka_spark_spark.sources.fixtures import synthetic_quotes_pdf
+
+
+def reference_indicators(symbol_df: pd.DataFrame) -> pd.DataFrame:
+    """The reference's exact per-symbol math (spark/stock_analysis.py
+    :173-224), re-stated from SURVEY.md §2.6/§2.7 semantics."""
+    df = symbol_df.sort_values("date").copy()
+    df["ma5"] = df["close"].rolling(window=5).mean()
+    df["ma20"] = df["close"].rolling(window=20).mean()
+    delta = df["close"].diff()
+    gain = delta.where(delta > 0, 0).rolling(window=14).mean()
+    loss = -delta.where(delta < 0, 0).rolling(window=14).mean()
+    rs = pd.Series(np.where(loss == 0, 0, gain / loss), index=loss.index)
+    df["rsi"] = 100 - (100 / (1 + rs))
+    ema12 = df["close"].ewm(span=12, adjust=False).mean()
+    ema26 = df["close"].ewm(span=26, adjust=False).mean()
+    df["macd_line"] = ema12 - ema26
+    df["macd_signal"] = df["macd_line"].ewm(span=9, adjust=False).mean()
+    df["macd_histogram"] = df["macd_line"] - df["macd_signal"]
+    conditions = [
+        (df["ma5"] > df["ma20"]) & (df["rsi"] < 70)
+        & (df["macd_line"] > df["macd_signal"]),
+        (df["ma5"] > df["ma20"]) & (df["rsi"] >= 70),
+        (df["ma5"] < df["ma20"]) & (df["rsi"] <= 30)
+        & (df["macd_line"] > df["macd_signal"]),
+        (df["ma5"] < df["ma20"]) & (df["macd_line"] <= df["macd_signal"]),
+    ]
+    df["suggestion"] = np.select(conditions, SUGGESTIONS, default=DEFAULT_SUGGESTION)
+    df["reason"] = np.select(conditions, REASONS, default=DEFAULT_REASON)
+    return df
+
+
+@pytest.fixture(scope="module")
+def engine_vs_reference(spark):
+    pdf = synthetic_quotes_pdf()
+    sdf = spark.createDataFrame(pdf)
+    out = with_suggestion(with_indicators(sdf)).toPandas()
+    expected = pd.concat(
+        [reference_indicators(g) for _, g in pdf.groupby("symbol")]
+    )
+    merged = out.merge(
+        expected,
+        on=["symbol", "time"],
+        suffixes=("", "_ref"),
+        validate="one_to_one",
+    )
+    assert len(merged) == len(pdf)
+    return merged
+
+
+NUMERIC = ["ma5", "ma20", "rsi", "macd_line", "macd_signal", "macd_histogram"]
+
+
+@pytest.mark.parametrize("col", NUMERIC)
+def test_indicator_values(engine_vs_reference, col):
+    got = engine_vs_reference[col].to_numpy(dtype=float)
+    want = engine_vs_reference[f"{col}_ref"].to_numpy(dtype=float)
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-12, equal_nan=True), col
+
+
+def test_suggestion_and_reason_exact(engine_vs_reference):
+    m = engine_vs_reference
+    assert (m["suggestion"] == m["suggestion_ref"]).all()
+    assert (m["reason"] == m["reason_ref"]).all()
+
+
+def test_warmup_nulls(engine_vs_reference):
+    """Symbols shorter than a window must be NULL for that indicator;
+    rsi needs 14 rows, ma20 needs 20 (pandas min_periods=window)."""
+    m = engine_vs_reference
+    short = m[m["symbol"] == "SYM0"]  # 3 bars
+    assert short["ma5"].isna().all()
+    assert short["rsi"].isna().all()
+    assert short["macd_line"].notna().all()  # EMA defined from row 1
+    sym13 = m[m["symbol"] == "SYM2"]  # 13 bars: never reaches 14
+    assert sym13["rsi"].isna().all()
+    sym14 = m[m["symbol"] == "SYM3"].sort_values("time")  # exactly 14
+    assert sym14["rsi"].isna().iloc[:-1].all()
+    assert not np.isnan(sym14["rsi"].iloc[-1])
+
+
+def test_rsi_range_property(engine_vs_reference):
+    rsi = engine_vs_reference["rsi"].dropna()
+    assert ((rsi >= 0) & (rsi <= 100)).all()
+
+
+def test_suggestion_domain(engine_vs_reference):
+    allowed = set(SUGGESTIONS) | {DEFAULT_SUGGESTION}
+    assert set(engine_vs_reference["suggestion"].unique()) <= allowed

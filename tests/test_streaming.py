@@ -1,0 +1,72 @@
+"""Streaming-shell tests (SURVEY.md §5.2.4): file-source micro-batches
+drive the same transform the Kafka path runs; no Kafka needed."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from airflow_kafka_spark_spark.sources.fixtures import build_history_messages
+from airflow_kafka_spark_spark.streaming.pipeline import (
+    analyze_history_batch,
+    start_pipeline,
+)
+from .conftest import SF_DIR
+
+
+def test_stream_end_to_end(spark):
+    workdir = tempfile.mkdtemp()
+    src = os.path.join(workdir, "in")
+    msgs = build_history_messages(spark, SF_DIR)
+    msgs.write.mode("overwrite").parquet(src)
+    n_expected = analyze_history_batch(spark.read.parquet(src)).count()
+
+    seen: list[tuple[int, int]] = []
+
+    def sink(df, batch_id):
+        seen.append((batch_id, df.count()))
+
+    source = spark.readStream.schema("key string, value string").parquet(src)
+    q = start_pipeline(
+        source,
+        sink=sink,
+        trigger="1 seconds",
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        query_name="test_stream",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(n for _, n in seen) == n_expected > 0
+
+
+def test_stream_schema_matches_batch(spark):
+    """Processed micro-batch schema == batch path schema (17 columns)."""
+    from airflow_kafka_spark_spark.schemas import PROCESSED_SCHEMA
+
+    msgs = build_history_messages(spark, SF_DIR).limit(2)
+    out = analyze_history_batch(msgs)
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in PROCESSED_SCHEMA.fields
+    ]
+
+
+def test_kafka_wire_format(spark):
+    """to_kafka_records emits (key, value) with the 16-field JSON value
+    (no date_str — reference spark/stock_analysis.py:262-268)."""
+    import json
+
+    from airflow_kafka_spark_spark.operators.serialize import to_kafka_records
+    from airflow_kafka_spark_spark.schemas import JSON_VALUE_FIELDS
+
+    msgs = build_history_messages(spark, SF_DIR).limit(1)
+    rec = to_kafka_records(analyze_history_batch(msgs)).first()
+    assert set(rec.asDict()) == {"key", "value"}
+    payload = json.loads(rec["value"])
+    assert "date_str" not in payload
+    assert [k for k in payload] == [
+        f for f in JSON_VALUE_FIELDS if f in payload
+    ]  # reference field order, minus null-omitted fields
