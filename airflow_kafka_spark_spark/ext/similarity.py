@@ -98,6 +98,45 @@ def lsh_buckets(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs: all (vec1 < vec2) pairs whose
+    cosine similarity ≥ ``threshold``, with candidates pruned to LSH
+    co-bucketed pairs.
+
+    Each vector lands in exactly ONE bucket (its concatenated sign bits),
+    so the self-equi-join on the bucket key emits each candidate pair at
+    most once — no dedup step needed, unlike banded MinHash. The join is a
+    shuffle on the bucket key; with b planes the candidate set shrinks to
+    ~2^-b of the n² pairs, and each bucket's pairs are verified with the
+    exact JVM-side `aggregate`/`zip_with` dot product (no UDF). At 100 TB
+    this is the standard scale path: raise n_planes so buckets stay
+    executor-sized, and salt any pathological hot bucket.
+    """
+    bucketed = lsh_buckets(embeddings, n_planes, vec_col, id_col)
+    a = bucketed.select(
+        F.col(id_col).alias("vec1"),
+        F.col("bucket"),
+        F.col(vec_col).alias("v1"),
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("vec2"),
+        F.col("bucket"),
+        F.col(vec_col).alias("v2"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec1") < F.col("vec2"))
+    cos = _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
+    return (
+        pairs.select("vec1", "vec2", (F.round(cos, 6) + F.lit(0.0)).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ann_topk_bucketed(
     embeddings: DataFrame,
     query_vec_id: int,

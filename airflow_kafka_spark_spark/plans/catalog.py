@@ -27,11 +27,12 @@ from pyspark.sql import functions as F
 
 from ..ext.dedup import exact_duplicates, jaccard_pairs, minhash_lsh_pairs, simhash64
 from ..ext.multimodal import binary_payloads, decode_image_meta
-from ..ext.similarity import ann_topk_bucketed, cosine_topk
+from ..ext.similarity import ann_topk_bucketed, cosine_near_dup_pairs, cosine_topk
 from ..ext.textstats import bpe_token_counts, language_profile, with_fingerprint, with_text_stats
 from ..functions.windows import last_per_key
 from ..operators.indicators import with_indicators, with_macd
 from ..operators.relational import decimal_avg, decimal_sum, top_k, top_k_per_group
+from ..operators.temporal import asof_join, bucketed_range_join, session_agg, tumbling_agg
 from ..operators.signals import DEFAULT_REASON, DEFAULT_SUGGESTION, REASONS, SUGGESTIONS, with_suggestion
 from ..schemas import EVENT_PROPS_SCHEMA
 from ..sources.files import load_table
@@ -659,6 +660,192 @@ FROM events GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# temporal surface: as-of join, range join, event-time windows
+# ---------------------------------------------------------------------------
+def q_asof_purchase(spark, sf_dir):
+    """As-of join: every event picks up the user's most recent purchase
+    at-or-before its own timestamp (union-merge plan: one shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(
+            F.max("event_id").alias("purchase_event_id"),
+            F.max("value").alias("purchase_value"),
+        )
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="pts",
+        right_value_cols=["purchase_event_id", "purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        "event_type",
+        "purchase_event_id",
+        _r6("purchase_value").alias("purchase_value"),
+    )
+
+
+SQL_ASOF_PURCHASE = f"""
+WITH purchases AS (
+  SELECT user_id, ts AS pts,
+         MAX(event_id) AS purchase_event_id,
+         MAX(value) AS pv
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, strftime(e.ts, '{TS_FMT_DUCK}') AS ts_str,
+       e.event_type, p.purchase_event_id,
+       ROUND(p.pv, 6) + CAST(0 AS DOUBLE) AS purchase_value
+FROM events e ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts >= p.pts
+"""
+
+
+def q_range_join_clicks(spark, sf_dir):
+    """Bounded range join: clicks within the 10 minutes preceding each
+    purchase, per user — equi-join on a coarse time bucket + residual
+    filter (no nested-loop range join)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    matched = bucketed_range_join(
+        purchases, clicks, ["user_id"], "p_ts", "c_ts", "10 minutes"
+    )
+    counts = matched.groupBy("p_event_id").agg(F.count("*").alias("n_clicks"))
+    return (
+        purchases.join(counts, "p_event_id", "left")
+        .select(
+            F.col("p_event_id").alias("event_id"),
+            F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+        )
+    )
+
+
+SQL_RANGE_JOIN_CLICKS = """
+SELECT p.event_id, COUNT(c.ts) AS n_clicks
+FROM events p LEFT JOIN events c
+  ON p.user_id = c.user_id AND c.event_type = 'click'
+     AND c.ts > p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
+def q_tumbling_hourly(spark, sf_dir):
+    """Event-time tumbling windows (F.window): hourly per-type traffic.
+    Same operator the streaming path uses under a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            _r6(decimal_sum("value")).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_TUMBLING_HOURLY = f"""
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_session_windows(spark, sf_dir):
+    """Session windows (F.session_window, 30-min gap) per user. Spark
+    merges sessions when the inter-event gap is <= the gap duration
+    (verified empirically: an exact 30:00 gap merges) — the oracle's
+    gaps-and-islands CASE uses <= to match."""
+    ev = load_table(spark, sf_dir, "events")
+    out = session_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.count("*").alias("n_events"),
+            _r6(decimal_sum("value")).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_SESSION_WINDOWS = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_cube_lineitem(spark, sf_dir):
+    """CUBE grouping sets: all 4 grouping combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            _r6(decimal_sum("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
 # extension surface (SURVEY.md §2.12): dedup / similarity / text / multimodal
 # ---------------------------------------------------------------------------
 def q_dedup_exact(spark, sf_dir):
@@ -784,6 +971,14 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-pruned; the
+    oracle replicates the identical 4-plane bucketing so even the pruning
+    is value-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.4, n_planes=4)
+
+
 def q_ann_bucketed(spark, sf_dir):
     """LSH-bucketed ANN — deterministic sign-projection buckets, so even
     the approximate path is oracle-checkable."""
@@ -822,6 +1017,30 @@ cand AS (
   WHERE b.vec_id <> 0
 )
 SELECT vec_id, cosine FROM cand ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+_COS_PAIR = """
+    ROUND(
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+                              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                                        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+      6) + CAST(0 AS DOUBLE)
+"""
+
+SQL_COSINE_NEAR_DUP = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         {' || '.join(_plane_sql(p) for p in range(4))} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec1, b.vec_id AS vec2, {_COS_PAIR} AS cosine
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_PAIR} >= 0.4
 """
 
 
@@ -955,6 +1174,12 @@ CATALOG: dict[str, Query] = {
     "rollup_lineitem": Query(q_rollup_lineitem, SQL_ROLLUP),
     "window_rank": Query(q_window_rank, SQL_WINDOW_RANK),
     "pivot_events": Query(q_pivot_events, SQL_PIVOT_EVENTS),
+    "cube_lineitem": Query(q_cube_lineitem, SQL_CUBE),
+    # temporal surface
+    "asof_join_purchase": Query(q_asof_purchase, SQL_ASOF_PURCHASE, headline=True),
+    "range_join_clicks": Query(q_range_join_clicks, SQL_RANGE_JOIN_CLICKS),
+    "tumbling_hourly": Query(q_tumbling_hourly, SQL_TUMBLING_HOURLY),
+    "session_windows": Query(q_session_windows, SQL_SESSION_WINDOWS, headline=True),
     # extensions
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
     "jaccard_pairs": Query(q_jaccard_pairs, SQL_JACCARD_PAIRS),
@@ -962,6 +1187,7 @@ CATALOG: dict[str, Query] = {
     "simhash": Query(q_simhash, None),  # engine-specific hash → rows-only
     "knn_cosine": Query(q_knn_cosine, SQL_KNN_COSINE, headline=True),
     "ann_bucketed": Query(q_ann_bucketed, SQL_ANN_BUCKETED),
+    "cosine_near_dup": Query(q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
     "text_stats": Query(q_text_stats, SQL_TEXT_STATS, headline=True),
     "doc_fingerprints": Query(q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "lang_profile": Query(q_lang_profile, SQL_LANG_PROFILE),

@@ -1,0 +1,102 @@
+"""Custom stateful streaming operator (SURVEY.md §2.10 T7 "delta-feed
+mode").
+
+The reference's stream is append-of-snapshots — every message carries a
+symbol's FULL history, so indicators recompute statelessly per batch
+(spark/stock_analysis.py:153-231). That design re-ships ~1,400 bars per
+symbol every 30 minutes; at 100 TB the transport alone dominates. The
+scalable alternative is a *delta feed*: messages carry only new bars, and
+the engine carries the indicator recursion state (EMA-12/26, MACD signal)
+across micro-batches with ``applyInPandasWithState``.
+
+State is tiny and per-key — five doubles and a count — so a
+1000-executor cluster shards it by key hash with no hotspot; the state
+store checkpoints with the query, giving exactly-once state evolution on
+restart. The EMA continuation is *bit-exact* with the batch kernel: a
+recurrence's state at a batch boundary fully captures its history, so
+re-seeding ``ema_recurrence`` with the saved state and dropping the seed
+row reproduces the uninterrupted series (unit-tested in
+tests/test_stateful.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.ema import ema_recurrence
+
+STATE_SCHEMA = (
+    "n_rows long, ema12 double, ema26 double, macd_signal double"
+)
+OUTPUT_SCHEMA = (
+    "symbol string, date_str string, close double, ema12 double, "
+    "ema26 double, macd_line double, macd_signal double, "
+    "macd_histogram double, n_rows long"
+)
+
+
+def _continue_ema(x: np.ndarray, span: int, prev: float | None) -> np.ndarray:
+    """Run the EMA recurrence over ``x``, seeded with ``prev`` when a
+    prior batch left state behind (prepend-seed-and-drop: recurrence
+    state at a boundary fully captures its history)."""
+    if prev is None or np.isnan(prev):
+        return ema_recurrence(x, span)
+    return ema_recurrence(np.concatenate([[prev], x]), span)[1:]
+
+
+def _update_macd(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n_prev, e12_prev, e26_prev, sig_prev = state.get
+    else:
+        n_prev, e12_prev, e26_prev, sig_prev = 0, None, None, None
+
+    pdf = pd.concat(list(pdfs)).sort_values("date_str")
+    close = pdf["close"].to_numpy(dtype=np.float64)
+    e12 = _continue_ema(close, 12, e12_prev)
+    e26 = _continue_ema(close, 26, e26_prev)
+    line = e12 - e26
+    sig = _continue_ema(line, 9, sig_prev)
+
+    n_total = n_prev + len(close)
+    state.update((n_total, float(e12[-1]), float(e26[-1]), float(sig[-1])))
+    yield pd.DataFrame(
+        {
+            "symbol": key[0],
+            "date_str": pdf["date_str"].to_numpy(),
+            "close": close,
+            "ema12": e12,
+            "ema26": e26,
+            "macd_line": line,
+            "macd_signal": sig,
+            "macd_histogram": line - sig,
+            "n_rows": np.int64(n_total),
+        }
+    )
+
+
+def running_macd(deltas: DataFrame) -> DataFrame:
+    """Per-key MACD over a delta feed of ``(symbol, date_str, close)``.
+
+    Streaming-only (applyInPandasWithState is unsupported in batch
+    queries — the batch equivalent is the stateless
+    operators.indicators/with_macd kernel, which this reproduces
+    bit-for-bit). Rows within a batch are ordered by ``date_str``; feed batches in
+    event order (the delta-feed contract — late rows belong in a
+    watermarked upstream dedup, not here).
+    """
+    return deltas.groupBy("symbol").applyInPandasWithState(
+        _update_macd,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

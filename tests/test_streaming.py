@@ -70,3 +70,49 @@ def test_kafka_wire_format(spark):
     assert [k for k in payload] == [
         f for f in JSON_VALUE_FIELDS if f in payload
     ]  # reference field order, minus null-omitted fields
+
+
+def test_watermarked_tumbling_window(spark):
+    """Event-time tumbling agg under a watermark on a stream: the same
+    tumbling_agg operator the batch catalog query uses."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.operators.temporal import tumbling_agg
+
+    workdir = tempfile.mkdtemp()
+    src = os.path.join(workdir, "in")
+    rows = [
+        (f"2024-01-01 {h:02d}:{m:02d}:00", "click", 1.0)
+        for h in range(3)
+        for m in (5, 25, 45)
+    ]
+    batch = spark.createDataFrame(
+        rows, "ts_s string, event_type string, value double"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    batch.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src)
+    windowed = tumbling_agg(
+        stream.withWatermark("ts", "1 hour"),
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count("*").alias("n_events")],
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("tumble_test")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT window_start, n_events FROM tumble_test ORDER BY window_start"
+    ).collect()
+    assert len(got) == 3 and all(r["n_events"] == 3 for r in got)

@@ -1,0 +1,87 @@
+"""Temporal operator semantics: as-of join, bucketed range join,
+session-window boundary rules."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_kafka_spark_spark.operators.temporal import (
+    asof_join,
+    bucketed_range_join,
+    session_agg,
+)
+
+
+def _ts(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    for c in df.columns:
+        if c.endswith("ts"):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def test_asof_backward_inclusive(spark):
+    left = _ts(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "a"),
+            (1, "2024-01-01 10:05:00", "b"),  # exact-ts match
+            (1, "2024-01-01 09:00:00", "c"),  # before any right row
+            (2, "2024-01-01 12:00:00", "d"),  # key with no right rows
+        ],
+        "k int, ts string, tag string",
+    )
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 09:30:00", 1.0), (1, "2024-01-01 10:05:00", 2.0)],
+        "k int, rts string, rv double",
+    )
+    out = asof_join(left, right, ["k"], "ts", "rts", ["rv"])
+    got = {r["tag"]: r["rv"] for r in out.collect()}
+    assert got == {"a": 1.0, "b": 2.0, "c": None, "d": None}
+
+
+def test_asof_backward_exclusive(spark):
+    left = _ts(
+        spark,
+        [(1, "2024-01-01 10:05:00", "b")],
+        "k int, ts string, tag string",
+    )
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 09:30:00", 1.0), (1, "2024-01-01 10:05:00", 2.0)],
+        "k int, rts string, rv double",
+    )
+    out = asof_join(left, right, ["k"], "ts", "rts", ["rv"], inclusive=False)
+    assert out.collect()[0]["rv"] == 1.0  # strictly-before row wins
+
+
+def test_bucketed_range_join_boundaries(spark):
+    probe = _ts(
+        spark, [(1, "2024-01-01 10:00:00", "p")], "k int, pts string, tag string"
+    )
+    build = _ts(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "same-instant"),    # included (<=)
+            (1, "2024-01-01 09:50:00", "exact-lookback"),  # excluded (strict >)
+            (1, "2024-01-01 09:50:01", "inside"),          # included, previous bucket
+            (1, "2024-01-01 10:00:01", "future"),          # excluded
+        ],
+        "k int, bts string, name string",
+    )
+    out = bucketed_range_join(probe, build, ["k"], "pts", "bts", "10 minutes")
+    assert sorted(r["name"] for r in out.collect()) == ["inside", "same-instant"]
+
+
+def test_session_exact_gap_merges(spark):
+    """Spark merges sessions when the inter-event gap == the gap duration
+    (oracle SQL_SESSION_WINDOWS uses <= to match)."""
+    df = _ts(
+        spark,
+        [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:30:00", 2.0)],
+        "k int, ts string, v double",
+    )
+    out = session_agg(df, "ts", "30 minutes", ["k"], [F.count("*").alias("n")])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["n"] == 2
