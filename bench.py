@@ -27,8 +27,13 @@ def main() -> None:
     from airflow_kafka_spark_spark.session import build_session
 
     spark = build_session(app_name="aks-bench")
-    # warm the JVM/codegen paths outside the timed region
+    # warm the JVM/codegen paths and the Python/Arrow worker pool outside
+    # the timed region — bench measures steady-state engine throughput,
+    # not one-time process spin-up
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1_000).selectExpr("id % 8 AS g", "id").groupBy("g").applyInArrow(
+        lambda t: t, "g bigint, id bigint"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in headline_queries().items():
