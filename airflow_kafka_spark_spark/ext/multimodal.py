@@ -90,3 +90,124 @@ def decode_image_meta(
             )
 
     return media.mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    list(IMAGE_META_SCHEMA.fields)
+    + [
+        T.StructField("target_width", T.IntegerType()),
+        T.StructField("target_height", T.IntegerType()),
+    ]
+)
+
+
+def resize_image_meta(
+    media: DataFrame,
+    max_side: int = 256,
+    decoder: str = "fake",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Aspect-preserving resize planning: decode metadata, then compute
+    the target box (longest side → ``max_side``, never upscale). A real
+    deployment would re-encode the payload in the same mapInPandas pass;
+    the geometry math — the Spark-visible part — is exact and
+    oracle-checkable. Integer arithmetic only (floor), matching SQL."""
+    meta = decode_image_meta(media, decoder, payload_col)
+    longest = F.greatest("width", "height")
+    scale_num = F.least(longest, F.lit(max_side))  # never upscale
+    return meta.select(
+        "*",
+        ((F.col("width") * scale_num) / longest).cast("int").alias("target_width"),
+        ((F.col("height") * scale_num) / longest).cast("int").alias("target_height"),
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+_FRAME_SIZE = 1000  # fake codec: fixed-size "frames" of the byte stream
+
+
+def sample_frames(
+    media: DataFrame,
+    every_nth: int = 4,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video frame sampling plumbing: one input row fans out to one row
+    per sampled frame (mapInPandas yielding more rows than it receives —
+    the generator shape a real keyframe extractor uses). The fake codec
+    treats the payload as fixed-1000-byte frames and samples every Nth;
+    frame_bytes carries the actual byte slice so downstream stages see a
+    real binary column. Frame *count and offsets* are arithmetic on
+    payload length — oracle-checkable; the slices are checked by length
+    in unit tests."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                n_frames = max(1, len(payload) // _FRAME_SIZE)
+                for i, f in enumerate(range(0, n_frames, every_nth)):
+                    off = f * _FRAME_SIZE
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_bytes"].append(payload[off : off + _FRAME_SIZE])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_offset": pd.Series(out["frame_offset"], dtype="int64"),
+                    "frame_bytes": out["frame_bytes"],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame,
+    n_features: int = 8,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio feature extraction plumbing: payload → fixed-length
+    float vector (the schema/batch shape an MFCC or embedding extractor
+    produces). The fake extractor emits per-chunk byte means —
+    deterministic, so downstream similarity ops on the vector column are
+    testable end-to-end. Swap the inner function for a real DSP call."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                chunks = np.array_split(arr, n_features) if len(arr) else []
+                feats.append(
+                    [float(c.mean()) if len(c) else 0.0 for c in chunks]
+                    or [0.0] * n_features
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext.dedup import exact_duplicates, jaccard_pairs, minhash_lsh_pairs, simhash64
-from ..ext.multimodal import binary_payloads, decode_image_meta
+from ..ext.multimodal import (
+    binary_payloads,
+    decode_image_meta,
+    extract_audio_features,
+    resize_image_meta,
+    sample_frames,
+)
 from ..ext.similarity import ann_topk_bucketed, cosine_near_dup_pairs, cosine_topk
 from ..ext.textstats import bpe_token_counts, language_profile, with_fingerprint, with_text_stats
 from ..functions.windows import last_per_key
@@ -1148,6 +1154,63 @@ FROM documents
 """
 
 
+def q_mm_resize(spark, sf_dir):
+    """Resize planning on decoded image metadata: integer box math after
+    the mapInPandas decode — positive values, so Spark's truncating
+    double→int cast equals SQL floor()."""
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_image_meta(binary_payloads(docs), max_side=256)
+
+
+SQL_MM_RESIZE = """
+WITH meta AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(16 + (octet_length(encode(text)) % 640) AS INTEGER) AS width,
+         CAST(16 + ((octet_length(encode(text)) // 640) % 480) AS INTEGER) AS height,
+         CAST(1 + (octet_length(encode(text)) % 3) AS INTEGER) AS n_channels
+  FROM documents
+)
+SELECT *,
+  CAST(floor(width * least(greatest(width, height), 256)
+             / CAST(greatest(width, height) AS DOUBLE)) AS INTEGER) AS target_width,
+  CAST(floor(height * least(greatest(width, height), 256)
+             / CAST(greatest(width, height) AS DOUBLE)) AS INTEGER) AS target_height
+FROM meta
+"""
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling fan-out (one row per sampled frame). The
+    binary frame slices are dropped for the oracle comparison — count,
+    index, and offset are arithmetic on payload length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(binary_payloads(docs), every_nth=4).select(
+        "doc_id", "frame_idx", "frame_offset"
+    )
+
+
+SQL_MM_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id,
+         greatest(1, octet_length(encode(text)) // 1000) AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+       CAST(f // 4 AS INTEGER) AS frame_idx,
+       CAST(f * 1000 AS BIGINT) AS frame_offset
+FROM (SELECT doc_id, unnest(range(0, n_frames, 4)) AS f FROM m)
+"""
+
+
+def q_mm_audio_features(spark, sf_dir):
+    """Audio feature-vector extraction plumbing (array<double> column) —
+    rows-only check (the driver's value hash does not cover nested
+    arrays); pinned by unit tests instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(binary_payloads(docs), n_features=8)
+
+
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
@@ -1193,6 +1256,9 @@ CATALOG: dict[str, Query] = {
     "lang_profile": Query(q_lang_profile, SQL_LANG_PROFILE),
     "bpe_tokens": Query(q_bpe_tokens, SQL_BPE_TOKENS),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
+    "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
+    "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
+    "mm_audio_features": Query(q_mm_audio_features, None),
 }
 
 
