@@ -527,6 +527,31 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
 
+def q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join (customers with zero orders kept),
+    two-level aggregation — order count per customer, then the
+    distribution of those counts."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
 def q_agg_event_stats(spark, sf_dir):
     """Aggregate battery: count, distinct count, exact decimal sum/avg,
     min/max."""
@@ -1231,6 +1256,7 @@ CATALOG: dict[str, Query] = {
     "q5_multiway_join": Query(q5_multiway_join, SQL_Q5, headline=True),
     "join_semi": Query(q_join_semi, SQL_JOIN_SEMI),
     "join_anti": Query(q_join_anti, SQL_JOIN_ANTI),
+    "q13_custdist": Query(q13_custdist, SQL_Q13),
     "agg_event_stats": Query(q_agg_event_stats, SQL_AGG_EVENT_STATS),
     "topk_orders": Query(q_topk_orders, SQL_TOPK_ORDERS),
     "set_ops": Query(q_set_ops, SQL_SET_OPS),
