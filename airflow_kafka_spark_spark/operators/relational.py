@@ -40,6 +40,40 @@ def decimal_avg(col: Column | str, scale: int = 6, precision: int = 22) -> Colum
     return decimal_sum(c, scale, precision) / F.count(c).cast("double")
 
 
+def salted_decimal_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_salts: int = 16,
+    scale: int = 6,
+    precision: int = 22,
+    out_col: str = "sum_value",
+) -> DataFrame:
+    """Skew-safe two-phase SUM: partial aggregate on (key, salt), final
+    aggregate on key.
+
+    A single hot key turns a plain groupBy into one overloaded reducer;
+    salting splits each key's rows across ``n_salts`` partial groups that
+    aggregate in parallel, and the final pass combines ``n_salts`` small
+    partials per key. Because the partial/final sums are fixed-scale
+    DECIMAL (exact, associative), the result is bit-identical to the
+    unsalted sum — which is what the DuckDB oracle checks. Count-style
+    and min/max aggregates compose the same way; non-associative ones
+    (median) do not.
+    """
+    salt = (F.rand(seed=42) * n_salts).cast("int")
+    dec = F.col(value_col).cast(f"decimal({precision},{scale})")
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(F.sum(dec).alias("__partial"))
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(F.sum("__partial").cast("double").alias(out_col))
+    )
+
+
 def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
     """Global top-k. ``ORDER BY + LIMIT`` lets Spark run a TakeOrdered /
     per-partition partial top-k instead of a full sort — O(n log k) per

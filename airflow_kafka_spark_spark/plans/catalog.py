@@ -37,7 +37,13 @@ from ..ext.similarity import ann_topk_bucketed, cosine_near_dup_pairs, cosine_to
 from ..ext.textstats import bpe_token_counts, language_profile, with_fingerprint, with_text_stats
 from ..functions.windows import last_per_key
 from ..operators.indicators import with_indicators, with_macd
-from ..operators.relational import decimal_avg, decimal_sum, top_k, top_k_per_group
+from ..operators.relational import (
+    decimal_avg,
+    decimal_sum,
+    salted_decimal_sum,
+    top_k,
+    top_k_per_group,
+)
 from ..operators.temporal import asof_join, bucketed_range_join, session_agg, tumbling_agg
 from ..operators.signals import DEFAULT_REASON, DEFAULT_SUGGESTION, REASONS, SUGGESTIONS, with_suggestion
 from ..schemas import EVENT_PROPS_SCHEMA
@@ -659,6 +665,96 @@ QUALIFY rnk <= 3
 """
 
 
+def q_salted_sum(spark, sf_dir):
+    """Skew-safe two-phase aggregation: salted partial sums, exact
+    decimal combine — bit-identical to the direct sum the oracle runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_decimal_sum(
+        li, ["l_returnflag"], "l_extendedprice", n_salts=16, out_col="sum_price"
+    )
+    return out.select("l_returnflag", _r6(F.col("sum_price")).alias("sum_price"))
+
+
+SQL_SALTED_SUM = """
+SELECT l_returnflag,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_window_analytics(spark, sf_dir):
+    """Analytic window battery: rank / dense_rank / ntile / lead / lag
+    over one per-key ordered window (single shuffle, single Window pass)."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        _r6(F.lead("o_totalprice", 1).over(w)).alias("next_price"),
+        _r6(F.lag("o_totalprice", 1).over(w)).alias("prev_price"),
+    )
+
+
+SQL_WINDOW_ANALYTICS = """
+SELECT o_custkey, o_orderkey,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  NTILE(4) OVER w AS quartile,
+  ROUND(LEAD(o_totalprice, 1) OVER w, 6) + CAST(0 AS DOUBLE) AS next_price,
+  ROUND(LAG(o_totalprice, 1) OVER w, 6) + CAST(0 AS DOUBLE) AS prev_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def q_scalar_functions(spark, sf_dir):
+    """Scalar function battery: date parts, date arithmetic, string
+    functions, regex, integer math — all JVM-side builtins."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.datediff(
+            F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("days_to_98"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 3).alias("prio3"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.regexp_extract("o_orderpriority", "^(\\d+)", 1).alias("prio_num"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.ceil("o_totalprice").cast("long").alias("price_ceil"),
+        (F.col("o_orderkey") % 7).cast("long").alias("key_mod7"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+    )
+
+
+SQL_SCALAR_FUNCTIONS = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS BIGINT) AS yr,
+  CAST(month(o_orderdate) AS BIGINT) AS mo,
+  CAST(day(o_orderdate) AS BIGINT) AS dom,
+  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98,
+  upper(o_orderpriority) AS prio_upper,
+  substring(o_orderpriority, 1, 3) AS prio3,
+  concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+  regexp_extract(o_orderpriority, '^(\\d+)', 1) AS prio_num,
+  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+  o_orderkey % 7 AS key_mod7,
+  CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+FROM orders
+"""
+
+
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
@@ -1261,7 +1357,10 @@ CATALOG: dict[str, Query] = {
     "topk_orders": Query(q_topk_orders, SQL_TOPK_ORDERS),
     "set_ops": Query(q_set_ops, SQL_SET_OPS),
     "rollup_lineitem": Query(q_rollup_lineitem, SQL_ROLLUP),
+    "salted_sum": Query(q_salted_sum, SQL_SALTED_SUM),
     "window_rank": Query(q_window_rank, SQL_WINDOW_RANK),
+    "window_analytics": Query(q_window_analytics, SQL_WINDOW_ANALYTICS),
+    "scalar_functions": Query(q_scalar_functions, SQL_SCALAR_FUNCTIONS),
     "pivot_events": Query(q_pivot_events, SQL_PIVOT_EVENTS),
     "cube_lineitem": Query(q_cube_lineitem, SQL_CUBE),
     # temporal surface

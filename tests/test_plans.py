@@ -1,0 +1,71 @@
+"""Physical-plan shape assertions (the 100 TB contract): filters reach
+the parquet scan, small dims broadcast, key-series pipelines shuffle
+exactly once. These pin the *plan*, not just the values — a correct
+query that scans all columns or shuffles twice would regress silently
+otherwise."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from airflow_kafka_spark_spark.plans.catalog import CATALOG
+from .conftest import SF_DIR
+
+
+def _explain(df, mode: str = "simple") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q6_pushdown_and_pruning(spark):
+    s = _explain(CATALOG["q6_revenue"].fn(spark, SF_DIR), mode="formatted")
+    pushed = s.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan: {pushed}"
+    read = s.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read
+    # column pruning: only the 4 referenced lineitem columns are read
+    assert read.count(":") <= 5, f"scan reads too many columns: {read}"
+
+
+def test_q3_broadcasts_dimension(spark):
+    s = _explain(CATALOG["q3_topk_join"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in s
+
+
+def test_indicator_stack_single_shuffle(spark):
+    """Window indicators + Arrow MACD grouped-map share one hash
+    partitioning on the key — exactly one Exchange in the plan."""
+    from airflow_kafka_spark_spark.operators.indicators import with_indicators
+    from airflow_kafka_spark_spark.sources.files import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", F.col("value").alias("close")
+    )
+    s = _explain(with_indicators(ev, ["user_id"], ["ts", "event_id"]))
+    assert s.count("Exchange") == 1, s
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-merge as-of join is one Exchange (the window) — no
+    nested-loop join, no per-side shuffles."""
+    s = _explain(CATALOG["asof_join_purchase"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in s and "CartesianProduct" not in s
+    assert s.count("Exchange") <= 3, s  # purchase pre-agg + window
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketed range join must plan as a hash/sort-merge equi-join,
+    never a nested loop over the range predicate."""
+    s = _explain(CATALOG["range_join_clicks"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in s and "CartesianProduct" not in s
+
+
+def test_knn_broadcasts_query_vector(spark):
+    s = _explain(CATALOG["knn_cosine"].fn(spark, SF_DIR))
+    assert "Broadcast" in s
