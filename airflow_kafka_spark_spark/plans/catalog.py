@@ -207,6 +207,54 @@ SELECT user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, value FROM events
 """
 
 
+def q_snapshot_roundtrip(spark, sf_dir):
+    """§1.1.4 snapshot-map message: build the reference's stock-topic
+    shape ``{time: ts, <SYMBOL>: price, ...}`` (dynamic-keyed JSON, one
+    object for the whole market) from the latest event per user, then
+    melt it back to long rows with from_json(map) + explode(map_filter).
+    Exercises the full map round-trip the reference produces-but-never-
+    consumes (dag:34-50)."""
+    from ..operators.parse import parse_snapshot_messages
+
+    ev = load_table(spark, sf_dir, "events")
+    latest = last_per_key(ev, ["user_id"], [F.col("ts"), F.col("event_id")])
+    agg = latest.agg(
+        F.date_format(F.max("ts"), TS_FMT_SPARK).alias("time_str"),
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.concat(F.lit("U"), "user_id"),
+                    F.col("value").cast("string"),
+                )
+            )
+        ).alias("prices"),
+    )
+    msg = agg.select(
+        F.to_json(
+            F.map_concat(
+                F.create_map(F.lit("time"), F.col("time_str")), F.col("prices")
+            )
+        ).alias("value")
+    )
+    out = parse_snapshot_messages(msg)
+    return out.select(
+        "snapshot_time", "symbol", _r6(F.col("price")).alias("price")
+    )
+
+
+SQL_SNAPSHOT_ROUNDTRIP = f"""
+WITH latest AS (
+  SELECT user_id, value FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT strftime((SELECT max(ts) FROM events), '{TS_FMT_DUCK}') AS snapshot_time,
+       'U' || user_id AS symbol,
+       ROUND(value, 6) + CAST(0 AS DOUBLE) AS price
+FROM latest
+"""
+
+
 def q_ma_windows(spark, sf_dir):
     """W1/W2: rolling means with pandas min_periods NULL semantics."""
     from ..operators.indicators import with_moving_averages
@@ -1339,6 +1387,7 @@ CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
     "explode_renest": Query(q_explode_renest, SQL_EXPLODE_RENEST),
+    "snapshot_roundtrip": Query(q_snapshot_roundtrip, SQL_SNAPSHOT_ROUNDTRIP),
     "ma_windows": Query(q_ma_windows, SQL_MA_WINDOWS, headline=True),
     "rsi14": Query(q_rsi14, SQL_RSI14),
     "ema_macd": Query(q_ema_macd, SQL_EMA_MACD),

@@ -85,3 +85,59 @@ def test_running_macd_across_microbatches(spark):
             assert row["macd_signal"] == pytest.approx(sig[d], abs=0.0)
             assert row["macd_histogram"] == pytest.approx(hist[d], abs=0.0)
         assert got[(s, "2024-01-40")]["n_rows"] == 40
+
+
+def test_state_recovers_across_query_restart(spark):
+    """T12: stop the query, add data, restart from the same checkpoint —
+    the state store must restore the EMA recursion so the continuation
+    still matches the uninterrupted batch kernel exactly."""
+    rng = np.random.default_rng(23)
+    series = rng.uniform(10, 100, size=30)
+
+    workdir = tempfile.mkdtemp()
+    src = os.path.join(workdir, "in")
+    ckpt = os.path.join(workdir, "ckpt")
+    os.makedirs(src)
+
+    def add_file(i, lo, hi):
+        rows = [("KEY", f"2024-01-{d + 1:02d}", float(series[d])) for d in range(lo, hi)]
+        tmp = os.path.join(workdir, f"tmp_r{i}")
+        spark.createDataFrame(
+            rows, "symbol string, date_str string, close double"
+        ).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(src, f"b{i}.parquet"))
+
+    captured: list = []
+
+    def run_query():
+        stream = spark.readStream.schema(
+            "symbol string, date_str string, close double"
+        ).parquet(src)
+        q = (
+            running_macd(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: captured.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    add_file(0, 0, 15)
+    run_query()                      # first run: rows 0..14
+    add_file(1, 15, 30)
+    run_query()                      # restart: only rows 15..29, state restored
+
+    assert len(captured) == 30
+    line, sig, hist = macd_columns(series)
+    by_date = {r["date_str"]: r for r in captured}
+    for d in range(30):
+        row = by_date[f"2024-01-{d + 1:02d}"]
+        assert row["macd_line"] == pytest.approx(line[d], abs=0.0)
+        assert row["macd_signal"] == pytest.approx(sig[d], abs=0.0)
+    assert by_date["2024-01-30"]["n_rows"] == 30
