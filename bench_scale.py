@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Scale probe: the flagship indicator+signal cascade at 1x/4x/10x the
+sf0.1 events table (keys shifted per replica, so key cardinality grows
+with data — the 100 TB growth axis). Prints one JSON line with rows/s
+per multiplier; wall time should stay near-flat while throughput climbs,
+because the plan is one shuffle + per-key parallel work.
+
+Usage: python bench_scale.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import reduce
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.operators.indicators import with_indicators
+    from airflow_kafka_spark_spark.operators.signals import with_suggestion
+    from airflow_kafka_spark_spark.session import build_session
+    from airflow_kafka_spark_spark.sources.files import load_table
+
+    spark = build_session(app_name="aks-bench-scale")
+    # warm JVM + Python/Arrow workers
+    spark.range(1000).selectExpr("id % 8 AS g", "id").groupBy("g").applyInArrow(
+        lambda t: t, "g bigint, id bigint"
+    ).write.format("noop").mode("overwrite").save()
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("value").alias("close")
+    )
+    results = {}
+    for mult in (1, 4, 10):
+        big = reduce(
+            lambda a, b: a.unionByName(b),
+            [ev.withColumn("user_id", F.col("user_id") + 1000 * i) for i in range(mult)],
+        )
+        n = big.count()
+        t0 = time.perf_counter()
+        with_suggestion(
+            with_indicators(big, ["user_id"], ["ts", "event_id"])
+        ).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        results[f"{mult}x"] = {
+            "rows": n,
+            "sec": round(dt, 3),
+            "krows_per_sec": round(n / dt / 1000, 1),
+        }
+    print(json.dumps({"metric": "cascade_scaling", "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
