@@ -632,6 +632,19 @@ FROM events GROUP BY event_type
 """
 
 
+def q_approx_aggs(spark, sf_dir):
+    """Approximate aggregates (the interactive-profiling path at 100 TB):
+    HLL++ distinct count + quantile sketch. Sketch internals are
+    engine-specific → rows-only driver check; exactness bounds are pinned
+    by a unit test against the exact aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95)), 10000)
+        .alias("value_p50_p95"),
+    )
+
+
 def q_topk_orders(spark, sf_dir):
     """Global top-k: ORDER BY + LIMIT → TakeOrderedAndProject."""
     od = load_table(spark, sf_dir, "orders")
@@ -1403,6 +1416,7 @@ CATALOG: dict[str, Query] = {
     "join_anti": Query(q_join_anti, SQL_JOIN_ANTI),
     "q13_custdist": Query(q13_custdist, SQL_Q13),
     "agg_event_stats": Query(q_agg_event_stats, SQL_AGG_EVENT_STATS),
+    "approx_aggs": Query(q_approx_aggs, None),  # sketches engine-specific
     "topk_orders": Query(q_topk_orders, SQL_TOPK_ORDERS),
     "set_ops": Query(q_set_ops, SQL_SET_OPS),
     "rollup_lineitem": Query(q_rollup_lineitem, SQL_ROLLUP),

@@ -107,3 +107,30 @@ def test_rsi_range_property(engine_vs_reference):
 def test_suggestion_domain(engine_vs_reference):
     allowed = set(SUGGESTIONS) | {DEFAULT_SUGGESTION}
     assert set(engine_vs_reference["suggestion"].unique()) <= allowed
+
+
+def test_approx_aggs_within_bounds(spark):
+    """approx_count_distinct (HLL++, rsd 5% default) and percentile_approx
+    must land near the exact values on the fixtures."""
+    from airflow_kafka_spark_spark.plans.catalog import q_approx_aggs
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    approx = {r["event_type"]: r for r in q_approx_aggs(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.5, 0.95))").alias("pcts"),
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a["approx_users"] - e["users"]) <= max(2, 0.1 * e["users"])
+        for got, want in zip(a["value_p50_p95"], e["pcts"]):
+            assert abs(got - want) <= 0.1 * (abs(want) + 1)

@@ -1,0 +1,95 @@
+"""Ingest-layer contract: messages built by ingest.py must round-trip
+through the engine's own parse operators (the two sides of the Kafka
+topic agree on the wire format)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+
+from airflow_kafka_spark_spark.ingest import (
+    HISTORY_TOPIC,
+    SNAPSHOT_TOPIC,
+    publish_market_cycle,
+)
+from airflow_kafka_spark_spark.operators.parse import (
+    explode_history,
+    parse_history_messages,
+    parse_snapshot_messages,
+)
+
+
+def _fake_market():
+    # numpy scalars on purpose — the encoder must coerce them (NpEncoder
+    # parity, reference dag:12-22)
+    symbols = ["AAA", "BBB", "CCC", "DDD"]
+    prices = {"AAA": np.float64(12.5), "BBB": None, "CCC": 9.0, "DDD": 1.0}
+    bars = {
+        s: [
+            {
+                "time": f"2024-02-{d + 1:02d}",
+                "open": np.float64(10 + d),
+                "high": 11.0 + d,
+                "low": 9.0 + d,
+                "close": np.float64(10.5 + d),
+                "volume": np.int64(1000 * (d + 1)),
+            }
+            for d in range(3)
+        ]
+        for s in symbols
+    }
+    bars["DDD"] = []  # empty history → no message (dag:79)
+    return symbols, prices, bars
+
+
+def test_cycle_roundtrips_through_engine_parsers(spark):
+    symbols, prices, bars = _fake_market()
+    sent: list[tuple[str, bytes]] = []
+    throttled: list[int] = []
+    counts = publish_market_cycle(
+        symbols,
+        fetch_price=lambda s: prices[s],
+        fetch_history=lambda s: bars[s],
+        send=lambda topic, value: sent.append((topic, value)),
+        now=dt.datetime(2024, 2, 4, 12, 0, 0),
+        throttle=throttled.append,
+    )
+    assert counts == {"snapshot": 1, "history": 3}
+    assert [t for t, _ in sent] == [SNAPSHOT_TOPIC] + [HISTORY_TOPIC] * 3
+    assert throttled == [0, 1, 2]  # called per fetched symbol
+
+    # history topic → engine parse → explode
+    hist_raw = spark.createDataFrame(
+        [(v,) for t, v in sent if t == HISTORY_TOPIC], "value binary"
+    )
+    quotes = explode_history(parse_history_messages(hist_raw))
+    rows = quotes.collect()
+    assert len(rows) == 9  # 3 symbols x 3 bars; DDD dropped
+    by_key = {(r["symbol"], r["time"]): r for r in rows}
+    r = by_key[("AAA", "2024-02-02")]
+    assert r["close"] == 11.5 and r["volume"] == 2000.0
+    assert r["current_price"] == 12.5
+    assert by_key[("BBB", "2024-02-01")]["current_price"] is None
+
+    # snapshot topic → map melt
+    snap_raw = spark.createDataFrame(
+        [(v,) for t, v in sent if t == SNAPSHOT_TOPIC], "value binary"
+    )
+    melted = {r["symbol"]: r for r in parse_snapshot_messages(snap_raw).collect()}
+    assert melted["AAA"]["price"] == 12.5
+    assert melted["BBB"]["price"] is None
+    assert melted["AAA"]["snapshot_time"] == "2024-02-04T12:00:00"
+
+
+def test_symbol_cap(spark=None):
+    sent = []
+    publish_market_cycle(
+        [f"S{i}" for i in range(10)],
+        fetch_price=lambda s: 1.0,
+        fetch_history=lambda s: [{"time": "2024-01-01", "open": 1, "high": 1,
+                                  "low": 1, "close": 1, "volume": 1}],
+        send=lambda t, v: sent.append(t),
+        max_symbols=4,
+    )
+    assert sent.count(HISTORY_TOPIC) == 4  # dag:55 cap
