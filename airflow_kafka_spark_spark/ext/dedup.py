@@ -202,3 +202,36 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
         term = F.shiftleft(bit, i)
         fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
     return bit_sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_md5(docs: DataFrame, text_col: str = "text", n_bits: int = 32) -> DataFrame:
+    """Portable-hash SimHash: same algorithm as :func:`simhash64` but the
+    per-token hash is the first 32 bits of md5 — byte-identical in every
+    engine, so the whole fingerprint is oracle-checkable cross-engine
+    (unlike the faster xxhash64 variant). Term frequency weights ±1 votes
+    per bit; sum > 0 → bit set."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    exploded = docs.select("doc_id", F.explode(toks).alias("tok"))
+    hashed = exploded.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(n_bits)
+        ]
+    )
+    fingerprint = None
+    for i in range(n_bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return bit_sums.select("doc_id", fingerprint.alias("simhash"))

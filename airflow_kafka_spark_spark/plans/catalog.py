@@ -25,7 +25,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..ext.dedup import exact_duplicates, jaccard_pairs, minhash_lsh_pairs, simhash64
+from ..ext.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash64,
+    simhash_md5,
+)
 from ..ext.multimodal import (
     binary_payloads,
     decode_image_meta,
@@ -1135,6 +1141,58 @@ def q_simhash(spark, sf_dir):
     return simhash64(docs)
 
 
+def q_simhash_md5(spark, sf_dir):
+    """Cross-engine-portable SimHash (md5 token hashes): the full 32-bit
+    fingerprint value-checks against DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_md5(docs)
+
+
+def _simhash_sql(n_bits: int = 32) -> str:
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+        for i in range(n_bits)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(string_split(lower(text), ' '))), 1, 8))::BIGINT AS h
+  FROM documents
+),
+sums AS (
+  SELECT doc_id,
+    {sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {fp} AS simhash FROM sums
+"""
+
+
+SQL_SIMHASH_MD5 = _simhash_sql(32)
+
+
+def q_sql_api_q6(spark, sf_dir):
+    """The SQL entry point: identical Q6 semantics submitted as a SQL
+    string through spark.sql over registered temp views — the parser/
+    analyzer surface, not just the DataFrame DSL."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE), 6)
+                 + CAST(0 AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 25
+        """
+    )
+
+
 def q_knn_cosine(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, query_vec_id=0, k=10)
@@ -1436,6 +1494,8 @@ CATALOG: dict[str, Query] = {
     "jaccard_pairs": Query(q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "minhash_lsh": Query(q_minhash_lsh, SQL_MINHASH_LSH, headline=True),
     "simhash": Query(q_simhash, None),  # engine-specific hash → rows-only
+    "simhash_md5": Query(q_simhash_md5, SQL_SIMHASH_MD5),
+    "sql_api_q6": Query(q_sql_api_q6, SQL_Q6),
     "knn_cosine": Query(q_knn_cosine, SQL_KNN_COSINE, headline=True),
     "ann_bucketed": Query(q_ann_bucketed, SQL_ANN_BUCKETED),
     "cosine_near_dup": Query(q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
