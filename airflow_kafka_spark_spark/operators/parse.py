@@ -59,6 +59,23 @@ def explode_history(messages: DataFrame) -> DataFrame:
     )
 
 
+def attach_current_prices(
+    bars: DataFrame, snapshot: DataFrame, how: str = "left"
+) -> DataFrame:
+    """SURVEY.md §2.4: the reference *embeds* current_price in every
+    history message (a denormalized per-key scalar fan-out); the
+    normalized equivalent is an explicit broadcast equi-join of the
+    melted snapshot (`parse_snapshot_messages` output) onto the bar
+    rows. The snapshot is one row per listed symbol — always tiny
+    relative to history — so it broadcasts regardless of AQE thresholds."""
+    from pyspark.sql import functions as F
+
+    prices = snapshot.select(
+        "symbol", F.col("price").alias("current_price")
+    )
+    return bars.join(F.broadcast(prices), "symbol", how)
+
+
 def parse_snapshot_messages(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """stock-topic snapshot ``{time: ts, <SYMBOL>: price|null}`` → long rows
     ``(snapshot_time, symbol, price)``.

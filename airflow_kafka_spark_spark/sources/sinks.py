@@ -1,0 +1,60 @@
+"""Partitioned / bucketed table writers (the 100 TB output path).
+
+At scale, how a table is laid out determines every downstream query's
+cost: directory partitioning gives partition *pruning* (a filter on the
+partition column skips whole directories — `PartitionFilters` in the
+scan), bucketing gives shuffle-free joins/aggregations on the bucket key
+for readers that join on it. Neither appears in the reference (it writes
+only to Kafka); both are table-stakes for a parquet-lake deployment of
+the same pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Directory-partitioned parquet: one directory per distinct value
+    combination of ``partition_cols``. Keep partition columns
+    low-cardinality (date, type, tenant) — a high-cardinality partition
+    key produces millions of small files and kills the driver's listing.
+    ``max_records_per_file`` bounds file size without an extra
+    repartition job."""
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-bucketed managed table: rows hash-distributed into
+    ``n_buckets`` files per partition by ``bucket_cols``. Two tables
+    bucketed the same way join WITHOUT a shuffle (Catalyst recognizes the
+    output partitioning); per-key pipelines (our indicator stack) read
+    pre-clustered data. Requires saveAsTable (bucket metadata lives in
+    the catalog, not the directory layout)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned layout back; partition columns come from
+    directory names and filters on them prune at planning time
+    (check `PartitionFilters` in .explain)."""
+    return spark.read.parquet(path)

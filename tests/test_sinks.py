@@ -1,0 +1,110 @@
+"""Partitioned/bucketed output layouts and the broadcast price attach:
+the plan-visible scale features (PartitionFilters pruning, shuffle-free
+bucketed joins, broadcast side input)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from airflow_kafka_spark_spark.sources.files import load_table
+from airflow_kafka_spark_spark.sources.sinks import (
+    read_partitioned,
+    write_bucketed_table,
+    write_partitioned,
+)
+from .conftest import SF_DIR
+
+
+def _explain(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_partition_pruning(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    path = os.path.join(tempfile.mkdtemp(), "ev_by_type")
+    write_partitioned(ev, path, ["event_type"])
+    assert sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("event_type=")
+    ) == sorted(r["event_type"] for r in ev.select("event_type").distinct().collect())
+
+    back = read_partitioned(spark, path).filter(F.col("event_type") == "click")
+    s = _explain(back)
+    pf = s.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_type" in pf  # pruning happens at the scan, not post-filter
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_bucketed_join_no_shuffle(spark):
+    import shutil
+
+    # managed-table locations may survive a previous session's metastore
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("ev_bucketed_a", "ev_bucketed_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "event_id", "value")
+    write_bucketed_table(ev, "ev_bucketed_a", ["user_id"], 4)
+    write_bucketed_table(
+        ev.groupBy("user_id").agg(F.count("*").alias("n")),
+        "ev_bucketed_b",
+        ["user_id"],
+        4,
+    )
+    a = spark.table("ev_bucketed_a")
+    b = spark.table("ev_bucketed_b")
+    # at fixture scale the dim side broadcasts (also shuffle-free, but it
+    # hides bucketing); force the sort-merge path a big-big join takes
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "user_id")
+        s = _explain(joined, mode="simple")
+        assert "SortMergeJoin" in s, s
+        assert "Exchange" not in s, s  # co-bucketed: no shuffle either side
+        assert joined.count() == ev.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_attach_current_prices_broadcasts(spark):
+    from airflow_kafka_spark_spark.operators.parse import (
+        attach_current_prices,
+        explode_history,
+        parse_history_messages,
+        parse_snapshot_messages,
+    )
+    from airflow_kafka_spark_spark.sources.fixtures import build_history_messages
+
+    msgs = build_history_messages(spark, SF_DIR)
+    bars = explode_history(parse_history_messages(msgs)).drop("current_price")
+
+    # snapshot built from the same messages' embedded price
+    import json
+
+    snap_obj = {"time": "2024-01-01T00:00:00"}
+    for r in msgs.collect():
+        v = json.loads(r["value"])
+        snap_obj[v["symbol"]] = v["current_price"]
+    snap_raw = spark.createDataFrame(
+        [(json.dumps(snap_obj).encode(),)], "value binary"
+    )
+    snapshot = parse_snapshot_messages(snap_raw)
+
+    out = attach_current_prices(bars, snapshot)
+    assert "BroadcastHashJoin" in _explain(out, mode="simple")
+    # every bar row got the symbol's snapshot price (same source → equal
+    # to the embedded current_price the reference fans out)
+    orig = explode_history(parse_history_messages(msgs)).select(
+        "symbol", "time", F.col("current_price").alias("embedded")
+    )
+    cmp = out.join(orig, ["symbol", "time"])
+    assert cmp.filter(F.col("current_price") != F.col("embedded")).count() == 0
+    assert cmp.filter(F.col("current_price").isNull()).count() == 0
