@@ -1,0 +1,39 @@
+"""SimHash semantics (the rows-only catalog entries' backing tests):
+equal docs hash equal; near-duplicates land closer in Hamming distance
+than unrelated docs — the property LSH-style dedup relies on."""
+
+from __future__ import annotations
+
+from airflow_kafka_spark_spark.ext.dedup import simhash64, simhash_md5
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # dup
+    (2, "the quick brown fox jumps over the lazy dog near the river shore"),  # near
+    (3, "completely unrelated text about distributed query engines and shuffles"),
+]
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & (2**64 - 1)).count("1")
+
+
+def _fingerprints(spark, fn):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return {r["doc_id"]: r["simhash"] for r in fn(df).collect()}
+
+
+def test_simhash64_properties(spark):
+    fp = _fingerprints(spark, simhash64)
+    assert fp[0] == fp[1]  # identical text → identical fingerprint
+    near = _hamming(fp[0], fp[2])
+    far = _hamming(fp[0], fp[3])
+    assert near < far, (near, far)
+    assert near <= 16  # one word changed out of 13
+
+
+def test_simhash_md5_properties(spark):
+    fp = _fingerprints(spark, simhash_md5)
+    assert fp[0] == fp[1]
+    assert _hamming(fp[0], fp[2]) < _hamming(fp[0], fp[3])
+    assert all(0 <= v < 2**32 for v in fp.values())  # 32-bit fingerprints
