@@ -70,16 +70,31 @@ def jaccard_pairs(
     threshold: float = 0.4,
     n: int = 3,
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
     explode distinct shingles, join docs sharing a shingle, count common
     shingles, Jaccard = |∩| / (|A|+|B|−|∩|). Only pairs with ≥1 shared
-    shingle are ever materialized."""
+    shingle are ever materialized.
+
+    ``max_shingle_df``: the skew knob for huge corpora. A shingle shared
+    by d documents contributes O(d²) candidate pairs, so one boilerplate
+    shingle ("all rights reserved …") can dominate the whole join; capping
+    document frequency drops shingles with df > cap from the *index* while
+    keeping them in each doc's shingle count. Results become a recall
+    approximation (pairs sharing ONLY ultra-common shingles are missed —
+    by construction the least-interesting pairs); ``None`` (default) keeps
+    exact semantics and oracle parity."""
     sh = _doc_shingles(docs, text_col, n)
     sized = sh.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
     inv = sized.select(
         "doc_id", "n_sh", F.explode("shingles").alias("shingle")
     )
+    if max_shingle_df is not None:
+        df_counts = inv.groupBy("shingle").agg(
+            F.count("*").alias("__df")
+        ).filter(F.col("__df") <= max_shingle_df)
+        inv = inv.join(df_counts.select("shingle"), "shingle")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

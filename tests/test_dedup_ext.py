@@ -37,3 +37,25 @@ def test_simhash_md5_properties(spark):
     assert fp[0] == fp[1]
     assert _hamming(fp[0], fp[2]) < _hamming(fp[0], fp[3])
     assert all(0 <= v < 2**32 for v in fp.values())  # 32-bit fingerprints
+
+
+def test_jaccard_df_cap_is_recall_approximation(spark):
+    """max_shingle_df drops hot shingles from the index: the capped
+    result is a subset of the exact pairs (recall-only loss), and a cap
+    above every df reproduces the exact result."""
+    from airflow_kafka_spark_spark.ext.dedup import jaccard_pairs
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    exact = {(r["doc1"], r["doc2"]) for r in jaccard_pairs(docs).collect()}
+    capped = {
+        (r["doc1"], r["doc2"])
+        for r in jaccard_pairs(docs, max_shingle_df=3).collect()
+    }
+    uncapped = {
+        (r["doc1"], r["doc2"])
+        for r in jaccard_pairs(docs, max_shingle_df=10**9).collect()
+    }
+    assert capped <= exact
+    assert uncapped == exact
