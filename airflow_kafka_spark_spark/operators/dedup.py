@@ -38,3 +38,22 @@ def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """Exact dedup — ``dropDuplicates`` (hash aggregate under the hood;
     map-side partial aggregation keeps the shuffle small at scale)."""
     return df.dropDuplicates(subset)
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    id_cols: list[str],
+    ts_col: str,
+    watermark: str,
+) -> DataFrame:
+    """Cross-micro-batch exactly-once-style event dedup for streams:
+    ``dropDuplicatesWithinWatermark`` keeps the first occurrence of each
+    ``id_cols`` tuple and expires its dedup state once the watermark
+    passes — bounded state, unlike plain ``dropDuplicates`` on a stream
+    (whose keyed state grows forever). Use for at-least-once sources
+    (Kafka redelivery, producer retries) where duplicates arrive within
+    a known lateness bound.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )

@@ -132,3 +132,22 @@ def install_shutdown_handler(spark: SparkSession, query: StreamingQuery) -> None
 
     signal.signal(signal.SIGTERM, handler)
     signal.signal(signal.SIGINT, handler)
+
+
+def observed(df: DataFrame, name: str = "batch_metrics"):
+    """SURVEY.md §2.5 G1/G2: the reference ran separate count() jobs per
+    micro-batch for logging (spark/stock_analysis.py:123,285); `observe`
+    accumulates the same metrics inside the existing job — zero extra
+    passes. Returns (df, Observation) in batch; on a streaming frame the
+    metrics surface in each QueryProgress event instead."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("symbol").alias("n_symbols"),
+    ]
+    if df.isStreaming:
+        return df.observe(name, *metrics), None
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -116,3 +116,64 @@ def test_watermarked_tumbling_window(spark):
         "SELECT window_start, n_events FROM tumble_test ORDER BY window_start"
     ).collect()
     assert len(got) == 3 and all(r["n_events"] == 3 for r in got)
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Duplicate event ids across micro-batches are dropped while the
+    watermark holds the dedup state."""
+    import tempfile
+    import time as _time
+
+    from airflow_kafka_spark_spark.operators.dedup import streaming_dedup
+
+    workdir = tempfile.mkdtemp()
+    src = os.path.join(workdir, "in")
+    os.makedirs(src)
+
+    def add_file(i, rows):
+        tmp = os.path.join(workdir, f"tmp{i}")
+        spark.createDataFrame(rows, "event_id long, ts_s string").selectExpr(
+            "event_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dest = os.path.join(src, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        t = _time.time() - 100 + i * 10
+        os.utime(dest, (t, t))
+
+    add_file(0, [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00")])
+    add_file(1, [(2, "2024-01-01 10:01:00"), (3, "2024-01-01 10:02:00")])  # 2 = dup
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = streaming_dedup(stream, ["event_id"], "ts", "1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM dedup_stream_test").collect()
+    )
+    assert got == [1, 2, 3]  # the redelivered id 2 appears exactly once
+
+
+def test_observed_metrics_no_extra_job(spark):
+    from airflow_kafka_spark_spark.sources.fixtures import build_history_messages
+    from airflow_kafka_spark_spark.streaming.pipeline import observed
+
+    msgs = build_history_messages(spark, SF_DIR)
+    processed = analyze_history_batch(msgs)
+    df, obs = observed(processed)
+    n = df.count()  # ONE job; metrics ride along
+    assert obs.get["n_rows"] == n > 0
+    assert obs.get["n_symbols"] > 0
