@@ -23,17 +23,30 @@ from pyspark.sql import functions as F
 def decimal_sum(col: Column | str, scale: int = 6, precision: int = 22) -> Column:
     """Order-insensitive, cross-engine-exact SUM of a double column.
 
-    SQL equivalent (DuckDB): ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)``.
+    The decimal sum is exact in both engines; the subtle part is the
+    decimal→double CAST at the end. A double→decimal conversion is only
+    *single-rounded identically* in every engine when the decimal's
+    unscaled integer fits in 2^53 (then it is exact-int / 10^s with one
+    correctly-rounded division). So the exact sum is first rounded to
+    scale 6 IN THE DECIMAL DOMAIN (exact, engine-identical) — bounding
+    the unscaled value to |sum|·10^6 < 2^53, i.e. sums up to ~9e9 — and
+    only then cast. Without this, a scale-10 sum of ~4.5e9 differs by
+    1 ULP between Spark and DuckDB (observed at sf0.1).
+
+    SQL equivalent (DuckDB):
+    ``CAST(ROUND(SUM(CAST(x AS DECIMAL(p,s))), 6) AS DOUBLE)``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+    return F.round(
+        F.sum(c.cast(f"decimal({precision},{scale})")), 6
+    ).cast("double")
 
 
 def decimal_avg(col: Column | str, scale: int = 6, precision: int = 22) -> Column:
     """Exact-sum average: decimal sum cast to double, divided by the
     non-null count (double division is deterministic).
 
-    SQL equivalent: ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)
+    SQL equivalent: ``CAST(ROUND(SUM(CAST(x AS DECIMAL(p,s))), 6) AS DOUBLE)
     / CAST(COUNT(x) AS DOUBLE)``.
     """
     c = F.col(col) if isinstance(col, str) else col
@@ -70,7 +83,9 @@ def salted_decimal_sum(
     )
     return (
         partial.groupBy(*key_cols)
-        .agg(F.sum("__partial").cast("double").alias(out_col))
+        .agg(
+            F.round(F.sum("__partial"), 6).cast("double").alias(out_col)
+        )  # same bounded decimal→double cast as decimal_sum
     )
 
 

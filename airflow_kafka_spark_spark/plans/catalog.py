@@ -182,14 +182,14 @@ def q_parse_json_props(spark, sf_dir):
     )
     return parsed.groupBy("k").agg(
         F.count("*").alias("n_events"),
-        _r6(decimal_sum("value")).alias("sum_value"),
+        (decimal_sum("value") + F.lit(0.0)).alias("sum_value"),
     )
 
 
 SQL_PARSE_JSON_PROPS = """
 SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_value
 FROM events GROUP BY 1
 """
 
@@ -408,10 +408,10 @@ def q1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "2000-12-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r6(decimal_sum("l_quantity")).alias("sum_qty"),
-            _r6(decimal_sum("l_extendedprice")).alias("sum_base_price"),
-            _r6(decimal_sum(disc_price, scale=10, precision=28)).alias("sum_disc_price"),
-            _r6(decimal_sum(charge, scale=10, precision=28)).alias("sum_charge"),
+            (decimal_sum("l_quantity") + F.lit(0.0)).alias("sum_qty"),
+            (decimal_sum("l_extendedprice") + F.lit(0.0)).alias("sum_base_price"),
+            (decimal_sum(disc_price, scale=10, precision=28) + F.lit(0.0)).alias("sum_disc_price"),
+            (decimal_sum(charge, scale=10, precision=28) + F.lit(0.0)).alias("sum_charge"),
             _r6(decimal_avg("l_quantity")).alias("avg_qty"),
             _r6(decimal_avg("l_extendedprice")).alias("avg_price"),
             _r6(decimal_avg("l_discount", scale=10)).alias("avg_disc"),
@@ -422,13 +422,13 @@ def q1_pricing_summary(spark, sf_dir):
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_base_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_disc_price,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(22,10))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_disc,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_charge,
+  ROUND(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(22,6))), 6) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_qty,
+  ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(22,6))), 6) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_price,
+  ROUND(CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(22,10))), 6) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -463,7 +463,7 @@ def q6_revenue(spark, sf_dir):
 
 SQL_Q6 = """
 SELECT
-  ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS revenue,
   COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -489,7 +489,7 @@ def q3_topk_join(spark, sf_dir):
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(_r6(decimal_sum(revenue, scale=10, precision=28)).alias("revenue"))
+        .agg((decimal_sum(revenue, scale=10, precision=28) + F.lit(0.0)).alias("revenue"))
     )
     return top_k(
         grouped, [F.col("revenue").desc(), F.col("l_orderkey")], 10
@@ -502,7 +502,7 @@ def q3_topk_join(spark, sf_dir):
 
 SQL_Q3 = """
 SELECT l_orderkey,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS revenue,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS revenue,
   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -536,13 +536,13 @@ def q5_multiway_join(spark, sf_dir):
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
         .groupBy("n_name")
-        .agg(_r6(decimal_sum(revenue, scale=10, precision=28)).alias("revenue"))
+        .agg((decimal_sum(revenue, scale=10, precision=28) + F.lit(0.0)).alias("revenue"))
     )
 
 
 SQL_Q5 = """
 SELECT n_name,
-  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS revenue
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -619,7 +619,7 @@ def q_agg_event_stats(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        _r6(decimal_sum("value")).alias("sum_value"),
+        (decimal_sum("value") + F.lit(0.0)).alias("sum_value"),
         _r6(decimal_avg("value")).alias("avg_value"),
         _r6(F.min("value")).alias("min_value"),
         _r6(F.max("value")).alias("max_value"),
@@ -630,8 +630,8 @@ SQL_AGG_EVENT_STATS = """
 SELECT event_type,
   COUNT(*) AS n_events,
   COUNT(DISTINCT user_id) AS n_users,
-  ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_value,
-  ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_value,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_value,
+  ROUND(CAST(ROUND(SUM(CAST(value AS DECIMAL(22,6))), 6) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_value,
   ROUND(MIN(value), 6) + CAST(0 AS DOUBLE) AS min_value,
   ROUND(MAX(value), 6) + CAST(0 AS DOUBLE) AS max_value
 FROM events GROUP BY event_type
@@ -695,7 +695,7 @@ def q_rollup_lineitem(spark, sf_dir):
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_rows"),
-            _r6(decimal_sum("l_quantity")).alias("sum_qty"),
+            (decimal_sum("l_quantity") + F.lit(0.0)).alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -710,7 +710,7 @@ SQL_ROLLUP = """
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
        COUNT(*) AS n_rows,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_qty
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -739,12 +739,12 @@ def q_salted_sum(spark, sf_dir):
     out = salted_decimal_sum(
         li, ["l_returnflag"], "l_extendedprice", n_salts=16, out_col="sum_price"
     )
-    return out.select("l_returnflag", _r6(F.col("sum_price")).alias("sum_price"))
+    return out.select("l_returnflag", (F.col("sum_price") + F.lit(0.0)).alias("sum_price"))
 
 
 SQL_SALTED_SUM = """
 SELECT l_returnflag,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_price
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_price
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -946,7 +946,7 @@ def q_tumbling_hourly(spark, sf_dir):
         ["event_type"],
         [
             F.count("*").alias("n_events"),
-            _r6(decimal_sum("value")).alias("sum_value"),
+            (decimal_sum("value") + F.lit(0.0)).alias("sum_value"),
         ],
     )
     return out.select(
@@ -960,7 +960,7 @@ def q_tumbling_hourly(spark, sf_dir):
 SQL_TUMBLING_HOURLY = f"""
 SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
        event_type, COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -978,7 +978,7 @@ def q_session_windows(spark, sf_dir):
         ["user_id"],
         [
             F.count("*").alias("n_events"),
-            _r6(decimal_sum("value")).alias("sum_value"),
+            (decimal_sum("value") + F.lit(0.0)).alias("sum_value"),
         ],
     )
     return out.select(
@@ -1007,7 +1007,7 @@ SELECT user_id,
        strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
        strftime(MAX(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
        COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_value
 FROM sess GROUP BY user_id, sid
 """
 
@@ -1019,7 +1019,7 @@ def q_cube_lineitem(spark, sf_dir):
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_rows"),
-            _r6(decimal_sum("l_quantity")).alias("sum_qty"),
+            (decimal_sum("l_quantity") + F.lit(0.0)).alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -1034,7 +1034,7 @@ SQL_CUBE = """
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
        COUNT(*) AS n_rows,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS sum_qty
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -1182,7 +1182,7 @@ def q_sql_api_q6(spark, sf_dir):
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
         """
-        SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE), 6)
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 6) AS DOUBLE)
                  + CAST(0 AS DOUBLE) AS revenue,
                COUNT(*) AS n_rows
         FROM lineitem
