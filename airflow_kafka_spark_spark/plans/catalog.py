@@ -638,6 +638,31 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stats_aggs(spark, sf_dir):
+    """Statistical aggregate battery: exact interpolated percentiles
+    (quantile_cont semantics), sample stddev, Pearson correlation — all
+    JVM-side, verified value-identical to DuckDB at sf0.01 and sf0.1."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r6(F.expr("percentile(value, 0.25)")).alias("p25"),
+        _r6(F.expr("percentile(value, 0.5)")).alias("p50"),
+        _r6(F.expr("percentile(value, 0.75)")).alias("p75"),
+        _r6(F.stddev_samp("value")).alias("sd_value"),
+        _r6(F.corr("value", F.col("user_id").cast("double"))).alias("corr_value_user"),
+    )
+
+
+SQL_STATS_AGGS = """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.25), 6) + CAST(0 AS DOUBLE) AS p25,
+  ROUND(quantile_cont(value, 0.5), 6) + CAST(0 AS DOUBLE) AS p50,
+  ROUND(quantile_cont(value, 0.75), 6) + CAST(0 AS DOUBLE) AS p75,
+  ROUND(stddev_samp(value), 6) + CAST(0 AS DOUBLE) AS sd_value,
+  ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) + CAST(0 AS DOUBLE) AS corr_value_user
+FROM events GROUP BY event_type
+"""
+
+
 def q_approx_aggs(spark, sf_dir):
     """Approximate aggregates (the interactive-profiling path at 100 TB):
     HLL++ distinct count + quantile sketch. Sketch internals are
@@ -1474,6 +1499,7 @@ CATALOG: dict[str, Query] = {
     "join_anti": Query(q_join_anti, SQL_JOIN_ANTI),
     "q13_custdist": Query(q13_custdist, SQL_Q13),
     "agg_event_stats": Query(q_agg_event_stats, SQL_AGG_EVENT_STATS),
+    "stats_aggs": Query(q_stats_aggs, SQL_STATS_AGGS),
     "approx_aggs": Query(q_approx_aggs, None),  # sketches engine-specific
     "topk_orders": Query(q_topk_orders, SQL_TOPK_ORDERS),
     "set_ops": Query(q_set_ops, SQL_SET_OPS),
