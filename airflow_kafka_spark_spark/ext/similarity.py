@@ -98,6 +98,113 @@ def lsh_buckets(
     )
 
 
+def ivf_assignments(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids (driver-trained on a
+    sample, broadcast back) + per-vector nearest-centroid assignment.
+
+    The centroid model is tiny (n_lists × dim floats) — the classic
+    train-small/apply-big split: training touches a bounded sample,
+    assignment is one broadcast + JVM-side dot products over the full
+    corpus. Returns (assignments df [id, list_id], centroids).
+    """
+    import numpy as np
+
+    sample = np.array(
+        [
+            r[0]
+            for r in embeddings.select(vec_col)
+            .sort(id_col)  # deterministic sample
+            .limit(max(n_lists * 20, 256))
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_lists, replace=False)]
+    for _ in range(10):  # fixed-iteration Lloyd's — deterministic
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(n_lists):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+
+    cent_cols = [
+        F.array(*[F.lit(float(x)) for x in c]).alias(f"c{j}")
+        for j, c in enumerate(centroids)
+    ]
+    v = F.col(vec_col)
+    d2_cols = [
+        F.aggregate(
+            F.zip_with(v, F.col(f"c{j}"), lambda a_, b_: (a_.cast("double") - b_) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for j in range(n_lists)
+    ]
+    best = F.array_position(
+        F.array(*d2_cols), F.array_min(F.array(*d2_cols))
+    ) - 1
+    with_cents = embeddings.select(F.col(id_col), F.col(vec_col), *cent_cols)
+    assigned = with_cents.select(
+        F.col(id_col), best.cast("int").alias("list_id")
+    )
+    return assigned, [list(map(float, c)) for c in centroids]
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: exact cosine rerank restricted to the ``n_probe``
+    inverted lists whose centroids are nearest the query. The
+    assignments join is an equi-join on ``list_id`` — candidate volume
+    drops to ~n_probe/n_lists of the corpus, the same contract as a
+    FAISS IVF-Flat index but expressed as DataFrame joins."""
+    import numpy as np
+
+    assigned, centroids = ivf_assignments(
+        embeddings, n_lists, vec_col=vec_col, id_col=id_col
+    )
+    qvec = np.array(
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(vec_col)
+        .first()[0],
+        dtype=np.float64,
+    )
+    cents = np.array(centroids)
+    d2 = ((cents - qvec[None, :]) ** 2).sum(axis=1)
+    probe = [int(j) for j in np.argsort(d2)[:n_probe]]
+
+    cand_ids = assigned.filter(F.col("list_id").isin(probe)).select(id_col)
+    cand = embeddings.join(cand_ids, id_col).filter(
+        F.col(id_col) != query_vec_id
+    )
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    joined = cand.crossJoin(F.broadcast(q))
+    cos = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    return (
+        joined.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -39,7 +39,12 @@ from ..ext.multimodal import (
     resize_image_meta,
     sample_frames,
 )
-from ..ext.similarity import ann_topk_bucketed, cosine_near_dup_pairs, cosine_topk
+from ..ext.similarity import (
+    ann_topk_bucketed,
+    ann_topk_ivf,
+    cosine_near_dup_pairs,
+    cosine_topk,
+)
 from ..ext.textstats import bpe_token_counts, language_profile, with_fingerprint, with_text_stats
 from ..functions.windows import last_per_key
 from ..operators.indicators import with_indicators, with_macd
@@ -1242,6 +1247,15 @@ SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN: seeded k-means coarse quantizer (driver-trained on
+    a bounded sample, broadcast), inverted-list probe, exact cosine
+    rerank. Deterministic but not SQL-expressible (the quantizer) →
+    rows-only check; recall vs exact top-k pinned by unit test."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(emb, query_vec_id=0, k=10)
+
+
 def q_cosine_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, LSH-bucket-pruned; the
     oracle replicates the identical 4-plane bucketing so even the pruning
@@ -1524,6 +1538,7 @@ CATALOG: dict[str, Query] = {
     "sql_api_q6": Query(q_sql_api_q6, SQL_Q6),
     "knn_cosine": Query(q_knn_cosine, SQL_KNN_COSINE, headline=True),
     "ann_bucketed": Query(q_ann_bucketed, SQL_ANN_BUCKETED),
+    "ann_ivf": Query(q_ann_ivf, None),  # quantizer not SQL-expressible
     "cosine_near_dup": Query(q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
     "text_stats": Query(q_text_stats, SQL_TEXT_STATS, headline=True),
     "doc_fingerprints": Query(q_doc_fingerprints, SQL_DOC_FINGERPRINTS),

@@ -59,3 +59,22 @@ def test_jaccard_df_cap_is_recall_approximation(spark):
     }
     assert capped <= exact
     assert uncapped == exact
+
+
+def test_ivf_ann_recall(spark):
+    """IVF ANN with 4/16 probes must recover most of the exact top-10 —
+    and everything it returns must be a true cosine (subset with
+    identical scores)."""
+    from airflow_kafka_spark_spark.ext.similarity import ann_topk_ivf, cosine_topk
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {r["vec_id"]: r["cosine"] for r in cosine_topk(emb, 0, k=10).collect()}
+    approx = {r["vec_id"]: r["cosine"] for r in ann_topk_ivf(emb, 0, k=10).collect()}
+    # scores for ids found by both must be identical (same rerank math)
+    for vid, cos in approx.items():
+        if vid in exact:
+            assert cos == exact[vid]
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.5, (recall, approx, exact)
