@@ -121,6 +121,16 @@ def kafka_pipeline(
     )
 
 
+# Why foreachBatch and not a single continuous writeStream.format("kafka")
+# plan: the indicator stack uses per-key ordered Window functions (lag
+# chains), which Structured Streaming rejects on unbounded streams
+# (NON_TIME_WINDOW_NOT_SUPPORTED_IN_STREAMING — verified empirically).
+# Messages are self-contained snapshots, so per-micro-batch evaluation
+# inside foreachBatch is semantically exact, and the only alternative —
+# applyInPandasWithState over a delta feed — is implemented separately in
+# streaming/stateful.py. foreachBatch here is architecture, not legacy.
+
+
 def install_shutdown_handler(spark: SparkSession, query: StreamingQuery) -> None:
     """T11 (spark/stock_analysis.py:306-321): stop the query and session
     gracefully on SIGTERM/SIGINT."""

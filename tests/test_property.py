@@ -1,0 +1,105 @@
+"""Property-based indicator tests (SURVEY.md §5.2.3): on random price
+series, the engine's Window/Arrow pipeline must equal the reference's
+exact pandas formulae (rolling min_periods, Cutler RSI with the loss==0
+quirk, ewm adjust=False), and the invariants must hold.
+
+Few examples, seeded: each example round-trips through Spark. The cheap
+pure-Python EMA properties run with full hypothesis budgets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from airflow_kafka_spark_spark.functions.ema import ema_recurrence
+from airflow_kafka_spark_spark.operators.indicators import with_indicators
+from airflow_kafka_spark_spark.operators.signals import (
+    DEFAULT_SUGGESTION,
+    SUGGESTIONS,
+    with_suggestion,
+)
+
+prices = st.lists(
+    st.floats(min_value=0.01, max_value=1e5, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(xs=prices)
+@settings(max_examples=200, deadline=None)
+def test_ema_matches_pandas_ewm(xs):
+    """pandas ewm(adjust=False) divides by (old_wt + new_wt) each step,
+    so it can drift from the pure recurrence by ~1 ULP per step (this is
+    why the engine/oracle pair uses the explicit recurrence on BOTH
+    sides, not pandas) — equality here is to a few-ULP tolerance."""
+    arr = np.asarray(xs, dtype=np.float64)
+    ours = ema_recurrence(arr, 12)
+    pandas_ = pd.Series(arr).ewm(span=12, adjust=False).mean().to_numpy()
+    assert np.allclose(ours, pandas_, rtol=1e-12, atol=0)
+
+
+@given(xs=prices)
+@settings(max_examples=200, deadline=None)
+def test_ema_bounded_by_series_extremes(xs):
+    arr = np.asarray(xs, dtype=np.float64)
+    out = ema_recurrence(arr, 26)
+    lo, hi = arr.min(), arr.max()
+    assert ((out >= lo - 1e-9) & (out <= hi + 1e-9)).all()
+
+
+def _reference_pandas(series: np.ndarray) -> pd.DataFrame:
+    """The reference's exact math (spark/stock_analysis.py:173-191)."""
+    close = pd.Series(series)
+    out = pd.DataFrame({"close": close})
+    out["ma5"] = close.rolling(5).mean()
+    out["ma20"] = close.rolling(20).mean()
+    delta = close.diff()
+    gain = delta.where(delta > 0, 0.0).rolling(14).mean()
+    loss = (-delta.where(delta < 0, 0.0)).rolling(14).mean()
+    rs = np.where(loss == 0, 0.0, gain / loss)
+    out["rsi"] = 100.0 - 100.0 / (1.0 + rs)
+    out.loc[gain.isna() | loss.isna(), "rsi"] = np.nan
+    ema12 = close.ewm(span=12, adjust=False).mean()
+    ema26 = close.ewm(span=26, adjust=False).mean()
+    out["macd_line"] = ema12 - ema26
+    out["macd_signal"] = out["macd_line"].ewm(span=9, adjust=False).mean()
+    return out
+
+
+@given(data=st.data())
+@settings(max_examples=5, deadline=None)
+def test_engine_matches_reference_formulae(spark, data):
+    n_keys = data.draw(st.integers(min_value=1, max_value=3))
+    series = {
+        f"K{k}": np.asarray(
+            data.draw(prices.filter(lambda l: len(l) >= 2)), dtype=np.float64
+        )
+        for k in range(n_keys)
+    }
+    rows = [
+        (sym, i, float(v))
+        for sym, arr in series.items()
+        for i, v in enumerate(arr)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, seq long, close double")
+    out = with_suggestion(
+        with_indicators(df, ["symbol"], ["seq"], "close")
+    ).toPandas()
+
+    for sym, arr in series.items():
+        got = out[out.symbol == sym].sort_values("seq").reset_index(drop=True)
+        want = _reference_pandas(arr)
+        for col in ("ma5", "ma20", "rsi", "macd_line", "macd_signal"):
+            g, w = got[col].to_numpy(), want[col].to_numpy()
+            both_nan = np.isnan(g) & np.isnan(w)
+            close_ = np.isclose(g, w, rtol=1e-9, atol=1e-9, equal_nan=True)
+            assert (both_nan | close_).all(), (sym, col, g, w)
+        # invariants: RSI domain + suggestion domain + warm-up default
+        rsi = got["rsi"].to_numpy()
+        assert ((rsi[~np.isnan(rsi)] >= 0) & (rsi[~np.isnan(rsi)] <= 100)).all()
+        assert set(got["suggestion"]) <= set(SUGGESTIONS) | {DEFAULT_SUGGESTION}
+        warm = got[got["ma20"].isna()]
+        assert (warm["suggestion"] == DEFAULT_SUGGESTION).all()
