@@ -617,6 +617,95 @@ GROUP BY c_count
 """
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS (decorrelated by Catalyst into
+    a semi-join) + grouped count."""
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        od.join(
+            li,
+            (od.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > od.o_orderdate),  # correlated non-equi predicate
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar + correlated scalar subqueries: orders above the global
+    average price AND above their own customer's average."""
+    od = load_table(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice, 6) + CAST(0 AS DOUBLE) AS total_price
+        FROM orders_v o
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_v)
+          AND o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders_v i
+                              WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+SQL_SCALAR_SUBQUERY = """
+SELECT o_orderkey, o_custkey,
+       ROUND(o_totalprice, 6) + CAST(0 AS DOUBLE) AS total_price
+FROM orders o
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+  AND o_totalprice > (SELECT AVG(i.o_totalprice) FROM orders i
+                      WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+def q_range_frame(spark, sf_dir):
+    """RANGE window frame (peer rows aggregate together — ROWS frames
+    would split ties nondeterministically): running event-count and
+    decimal-exact running sum per user by timestamp."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))  # micros: same peer groups as the
+        .rangeBetween(Window.unboundedPreceding, 0)  # oracle's ts ordering
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_so_far"),
+        F.round(F.sum(F.col("value").cast("decimal(22,6)")).over(w), 6)
+        .cast("double")
+        .alias("sum_so_far"),
+    )
+
+
+SQL_RANGE_FRAME = """
+SELECT user_id, event_id,
+  COUNT(*) OVER w AS n_so_far,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(22,6))) OVER w, 6) AS DOUBLE) AS sum_so_far
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_agg_event_stats(spark, sf_dir):
     """Aggregate battery: count, distinct count, exact decimal sum/avg,
     min/max."""
@@ -1512,6 +1601,9 @@ CATALOG: dict[str, Query] = {
     "join_semi": Query(q_join_semi, SQL_JOIN_SEMI),
     "join_anti": Query(q_join_anti, SQL_JOIN_ANTI),
     "q13_custdist": Query(q13_custdist, SQL_Q13),
+    "q4_order_priority": Query(q4_order_priority, SQL_Q4),
+    "scalar_subquery": Query(q_scalar_subquery, SQL_SCALAR_SUBQUERY),
+    "range_frame": Query(q_range_frame, SQL_RANGE_FRAME),
     "agg_event_stats": Query(q_agg_event_stats, SQL_AGG_EVENT_STATS),
     "stats_aggs": Query(q_stats_aggs, SQL_STATS_AGGS),
     "approx_aggs": Query(q_approx_aggs, None),  # sketches engine-specific
