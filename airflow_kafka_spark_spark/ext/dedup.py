@@ -118,12 +118,24 @@ def jaccard_pairs(
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
-    """MinHash signature: for seed i, min over shingles of
-    md5('<i>|' || shingle). String-min over hex digests is a valid
-    min-hash family surrogate and is engine-portable."""
+    """MinHash signature: hash i takes the min over shingles of an
+    8-hex-char (32-bit) slice of md5('<seed>|' || shingle), where four
+    hashes share one md5 (seed = i // 4, slice = i % 4). String-min over
+    uniform hex slices is a valid min-hash family surrogate and engine-
+    portable. The shared-digest structure needs ceil(n/4) distinct md5s
+    per shingle; measured locally it is wash-to-slightly-faster (Spark
+    does not subexpression-eliminate across separate higher-order
+    lambdas), but engines/codegens that do share it get the 4× for
+    free, and min over 8-char slices compares cheaper than over 32-char
+    digests."""
     return [
         F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            F.transform(
+                shingles,
+                lambda s: F.substring(
+                    F.md5(F.concat(F.lit(f"{i // 4}|"), s)), (i % 4) * 8 + 1, 8
+                ),
+            )
         ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]

@@ -1214,8 +1214,11 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def _mh_sql(i: int) -> str:
+    # mirrors ext.dedup.minhash_signature: 32-bit hex slice of a shared
+    # md5 (seed = i // 4, slice = i % 4)
     return (
-        f"list_aggregate(list_transform(shingles, s -> md5('{i}|' || s)), 'min')"
+        f"list_aggregate(list_transform(shingles, "
+        f"s -> substr(md5('{i // 4}|' || s), {(i % 4) * 8 + 1}, 8)), 'min')"
         f" AS mh{i}"
     )
 
