@@ -33,6 +33,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss.SSSSSS",
+) -> DataFrame:
+    """CSV source with an EXPLICIT schema — inference reads the data
+    twice and types drift run-to-run, both wrong at scale. PERMISSIVE
+    mode (malformed → nulls) matches the engine's JSON-edge policy."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("timestampFormat", timestamp_format)
+        .csv(path)
+    )
+
+
+def read_jsonl_table(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss.SSSSSS",
+) -> DataFrame:
+    """JSON-lines source with an explicit schema; unknown fields are
+    dropped by the schema projection, malformed rows go PERMISSIVE-null
+    (same contract as from_json on the Kafka path)."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("timestampFormat", timestamp_format)
+        .json(path)
+    )
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -108,3 +108,44 @@ def test_attach_current_prices_broadcasts(spark):
     cmp = out.join(orig, ["symbol", "time"])
     assert cmp.filter(F.col("current_price") != F.col("embedded")).count() == 0
     assert cmp.filter(F.col("current_price").isNull()).count() == 0
+
+
+def test_csv_and_jsonl_sources_match_parquet(spark):
+    """Round-trip events through CSV and JSON-lines with explicit
+    schemas: same rows as the parquet original (format-independent
+    source layer)."""
+    from airflow_kafka_spark_spark.sources.files import (
+        read_csv_table,
+        read_jsonl_table,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    base = tempfile.mkdtemp()
+    csv_p, json_p = os.path.join(base, "ev.csv"), os.path.join(base, "ev.jsonl")
+    fmt = F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    ev.withColumn("ts", fmt).write.option("header", "true").csv(csv_p)
+    ev.withColumn("ts", fmt).write.json(json_p)
+
+    want = sorted(map(tuple, ev.collect()))
+    for back in (
+        read_csv_table(spark, csv_p, schema),
+        read_jsonl_table(spark, json_p, schema),
+    ):
+        got = sorted(map(tuple, back.select(*ev.columns).collect()))
+        assert got == want
+
+
+def test_malformed_csv_rows_go_null(spark):
+    from airflow_kafka_spark_spark.sources.files import read_csv_table
+
+    base = tempfile.mkdtemp()
+    p = os.path.join(base, "bad.csv")
+    with open(os.path.join(base, "bad.csv"), "w") as f:
+        f.write("event_id,value\n1,2.5\nnot_a_number,oops\n3,4.5\n")
+    out = read_csv_table(spark, p, "event_id long, value double").collect()
+    assert len(out) == 3
+    bad = [r for r in out if r["event_id"] is None]
+    assert len(bad) == 1 and bad[0]["value"] is None
