@@ -58,3 +58,76 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     directory names and filters on them prune at planning time
     (check `PartitionFilters` in .explain)."""
     return spark.read.parquet(path)
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    target_records_per_file: int = 1_000_000,
+) -> None:
+    """Small-file compaction — the lake-maintenance chore every
+    streaming/micro-batch writer creates work for. Each micro-batch
+    appends a few small files per partition; after N batches a scan pays
+    N× task-scheduling and footer-read overhead. Rewrite each partition
+    into ~target-sized files.
+
+    Writes to a staging directory first and atomically swaps via rename,
+    so a crash mid-compaction never leaves the table half-written.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compacting"
+    (
+        df.repartition(*partition_cols)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(staging)
+    )
+    backup = path.rstrip("/") + "__precompact"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    partition_cols: list[str],
+) -> None:
+    """Merge/upsert for plain-parquet tables: union current + updates,
+    keep the latest row per key (``order_cols`` desc — same
+    latest-per-key primitive as the streaming dedup), rewrite
+    atomically. This is the full-rewrite strategy; with a table format
+    (Iceberg/Delta) the same latest-wins logic would ride MERGE INTO and
+    rewrite only touched files. Partition-wise it only needs to rewrite
+    partitions present in ``updates`` — kept whole-table here for
+    plain-parquet simplicity."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    current = spark.read.parquet(path)
+    merged = current.unionByName(updates.select(*current.columns))
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    staging = path.rstrip("/") + "__upserting"
+    latest.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+    backup = path.rstrip("/") + "__preupsert"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)

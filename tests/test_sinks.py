@@ -149,3 +149,47 @@ def test_malformed_csv_rows_go_null(spark):
     assert len(out) == 3
     bad = [r for r in out if r["event_id"] is None]
     assert len(bad) == 1 and bad[0]["value"] is None
+
+
+def test_compact_partitioned(spark):
+    from airflow_kafka_spark_spark.sources.sinks import compact_partitioned
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = os.path.join(tempfile.mkdtemp(), "ev_frag")
+    # fragment: tiny files (many per partition)
+    ev.repartition(16).write.option("maxRecordsPerFile", 50).partitionBy(
+        "event_type"
+    ).parquet(path)
+
+    def n_files():
+        return sum(
+            1 for root, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        )
+
+    before_rows = spark.read.parquet(path).count()
+    before_files = n_files()
+    compact_partitioned(spark, path, ["event_type"])
+    assert n_files() < before_files / 4  # actually compacted
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__precompact")
+
+
+def test_upsert_latest_wins(spark):
+    from airflow_kafka_spark_spark.sources.sinks import upsert_partitioned
+
+    path = os.path.join(tempfile.mkdtemp(), "tbl")
+    base = spark.createDataFrame(
+        [(1, 1, 10.0, "a"), (2, 1, 20.0, "a"), (3, 1, 30.0, "b")],
+        "id long, version long, value double, part string",
+    )
+    base.write.partitionBy("part").parquet(path)
+    updates = spark.createDataFrame(
+        [(2, 2, 25.0, "a"),   # replaces id=2
+         (4, 1, 40.0, "b")],  # new row
+        "id long, version long, value double, part string",
+    )
+    upsert_partitioned(spark, path, updates, ["id"], ["version"], ["part"])
+    got = {r["id"]: (r["version"], r["value"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (1, 10.0), 2: (2, 25.0), 3: (1, 30.0), 4: (1, 40.0)}
