@@ -37,9 +37,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in headline_queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: one timing per query is ±25% machine-load noise;
+        # min of two runs reports the engine, not the neighbors
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
