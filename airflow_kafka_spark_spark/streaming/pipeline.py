@@ -71,12 +71,18 @@ def start_pipeline(
     checkpoint_dir: str = "/tmp/aks_spark_checkpoint",
     dedup_order_cols: list[str] | None = None,
     query_name: str = "stock_analysis",
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Start the streaming query: source → analyze → sink.
 
     ``sink(df, batch_id)`` receives the *processed* micro-batch (17-column
     schema); default sink is a no-op show for smoke runs. Empty batches are
     skipped (T8). Kafka delivery stays at-least-once like the reference.
+
+    ``available_now=True`` switches to backfill mode: drain everything
+    currently in the source in rate-limited micro-batches, then stop —
+    the catch-up/replay pattern (run once after downtime, same
+    checkpoint, then restart the processing-time trigger).
     """
 
     def route(batch_df: DataFrame, batch_id: int) -> None:
@@ -88,10 +94,13 @@ def start_pipeline(
         else:
             processed.show(5, truncate=False)  # S7 (:272)
 
+    writer = source.writeStream.foreachBatch(route)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger)
     return (
-        source.writeStream.foreachBatch(route)
-        .trigger(processingTime=trigger)
-        .outputMode("update")  # vacuous under foreachBatch (T2)
+        writer.outputMode("update")  # vacuous under foreachBatch (T2)
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
         .start()

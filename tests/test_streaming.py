@@ -177,3 +177,27 @@ def test_observed_metrics_no_extra_job(spark):
     n = df.count()  # ONE job; metrics ride along
     assert obs.get["n_rows"] == n > 0
     assert obs.get["n_symbols"] > 0
+
+
+def test_available_now_backfill(spark):
+    """availableNow drains the whole source then terminates on its own —
+    the post-downtime catch-up mode."""
+    import tempfile
+
+    workdir = tempfile.mkdtemp()
+    src = os.path.join(workdir, "in")
+    msgs = build_history_messages(spark, SF_DIR)
+    msgs.write.mode("overwrite").parquet(src)
+    n_expected = analyze_history_batch(spark.read.parquet(src)).count()
+
+    seen = []
+    source = spark.readStream.schema("key string, value string").parquet(src)
+    q = start_pipeline(
+        source,
+        sink=lambda df, bid: seen.append(df.count()),
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        query_name="backfill_test",
+        available_now=True,
+    )
+    assert q.awaitTermination(120)  # self-terminates after the drain
+    assert sum(seen) == n_expected > 0
