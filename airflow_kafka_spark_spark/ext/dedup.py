@@ -81,10 +81,13 @@ def jaccard_pairs(
     by d documents contributes O(d²) candidate pairs, so one boilerplate
     shingle ("all rights reserved …") can dominate the whole join; capping
     document frequency drops shingles with df > cap from the *index* while
-    keeping them in each doc's shingle count. Results become a recall
-    approximation (pairs sharing ONLY ultra-common shingles are missed —
-    by construction the least-interesting pairs); ``None`` (default) keeps
-    exact semantics and oracle parity."""
+    keeping them in each doc's shingle count. This is a one-sided
+    approximation: capped shingles no longer count toward |∩|, so
+    reported jaccard values are LOWER BOUNDS and pairs whose overlap is
+    mostly high-df shingles can drop below the threshold even if they
+    also share some rare ones (surviving pairs are always true ≥threshold
+    pairs under the deflated score). ``None`` (default) keeps exact
+    semantics and oracle parity."""
     sh = _doc_shingles(docs, text_col, n)
     sized = sh.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
     inv = sized.select(
@@ -160,7 +163,12 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # the shingle frame feeds the signature AND both sides of the verify
     # join — persist so one action computes it once (MEMORY_AND_DISK, so
-    # an oversized corpus spills instead of OOMing)
+    # an oversized corpus spills instead of OOMing). The cache entry
+    # lives until the session ends or the caller unpersists: long-lived
+    # sessions running dedup over MANY corpora should call
+    # spark.catalog.clearCache() (or keep a handle via _doc_shingles and
+    # unpersist) between corpora — a lazily-returned DataFrame gives
+    # this function no post-action hook to release it itself.
     sh = _doc_shingles(docs, text_col, n).persist()
     sig = sh.select(
         "doc_id", "shingles", *minhash_signature(F.col("shingles"), num_hashes)

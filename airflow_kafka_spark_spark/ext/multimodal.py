@@ -92,15 +92,6 @@ def decode_image_meta(
     return media.mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
-RESIZED_SCHEMA = T.StructType(
-    list(IMAGE_META_SCHEMA.fields)
-    + [
-        T.StructField("target_width", T.IntegerType()),
-        T.StructField("target_height", T.IntegerType()),
-    ]
-)
-
-
 def resize_image_meta(
     media: DataFrame,
     max_side: int = 256,

@@ -118,13 +118,17 @@ def ivf_assignments(
     sample = np.array(
         [
             r[0]
-            for r in embeddings.select(vec_col)
+            for r in embeddings.select(id_col, vec_col)
             .sort(id_col)  # deterministic sample
             .limit(max(n_lists * 20, 256))
+            .select(vec_col)
             .collect()
         ],
         dtype=np.float64,
     )
+    if len(sample) == 0:
+        raise ValueError("ivf_assignments: embeddings table is empty")
+    n_lists = min(n_lists, len(sample))  # tiny corpus → fewer lists
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=n_lists, replace=False)]
     for _ in range(10):  # fixed-iteration Lloyd's — deterministic
@@ -177,12 +181,14 @@ def ann_topk_ivf(
     assigned, centroids = ivf_assignments(
         embeddings, n_lists, vec_col=vec_col, id_col=id_col
     )
-    qvec = np.array(
-        embeddings.filter(F.col(id_col) == query_vec_id)
-        .select(vec_col)
-        .first()[0],
-        dtype=np.float64,
+    q_row = (
+        embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
     )
+    if q_row is None:
+        raise ValueError(
+            f"ann_topk_ivf: no row with {id_col}={query_vec_id!r}"
+        )
+    qvec = np.array(q_row[0], dtype=np.float64)
     cents = np.array(centroids)
     d2 = ((cents - qvec[None, :]) ** 2).sum(axis=1)
     probe = [int(j) for j in np.argsort(d2)[:n_probe]]

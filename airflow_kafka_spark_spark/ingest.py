@@ -100,13 +100,14 @@ def publish_market_cycle(
     n_history = 0
     for i, sym in enumerate(capped):
         bars = list(fetch_history(sym))
-        if not bars:  # producer only sends non-empty histories (dag:79)
-            continue
-        send(
-            HISTORY_TOPIC,
-            encode_message(history_message(sym, prices[sym], bars)),
-        )
-        n_history += 1
+        if bars:  # producer only sends non-empty histories (dag:79)
+            send(
+                HISTORY_TOPIC,
+                encode_message(history_message(sym, prices[sym], bars)),
+            )
+            n_history += 1
+        # throttle per API CALL, not per message — an empty history still
+        # consumed a fetch_history request against the upstream rate limit
         if throttle is not None:
             throttle(i)
     return {"snapshot": 1, "history": n_history}

@@ -67,8 +67,13 @@ def attach_current_prices(
     normalized equivalent is an explicit broadcast equi-join of the
     melted snapshot (`parse_snapshot_messages` output) onto the bar
     rows. The snapshot is one row per listed symbol — always tiny
-    relative to history — so it broadcasts regardless of AQE thresholds."""
+    relative to history — so it broadcasts regardless of AQE thresholds.
+    An existing ``current_price`` column (the reference's embedded copy,
+    present on explode_history output) is replaced, not duplicated."""
     from pyspark.sql import functions as F
+
+    if "current_price" in bars.columns:
+        bars = bars.drop("current_price")
 
     prices = snapshot.select(
         "symbol", F.col("price").alias("current_price")

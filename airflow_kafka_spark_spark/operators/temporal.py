@@ -51,16 +51,21 @@ def asof_join(
     """
     left_payload = [c for c in left.columns if c not in key_cols]
     l_side, r_side = (1, 0) if inclusive else (0, 1)
+    # the right payload travels as ONE struct: last(ignorenulls) then
+    # skips left rows (struct NULL) but never skips a right row whose
+    # *fields* are NULL — per-column carry would mix fields from
+    # different right rows when payload columns contain NULLs
+    r_struct = F.struct(*right_value_cols)
+    r_struct_type = (
+        right.select(r_struct.alias("__r")).schema["__r"].dataType
+    )
     l = left.select(
         *key_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(l_side).alias("__side"),
         F.lit(True).alias("__is_left"),
         *left_payload,
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(c)
-            for c in right_value_cols
-        ],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r = right.select(
         *key_cols,
@@ -71,17 +76,24 @@ def asof_join(
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left_payload
         ],
-        *right_value_cols,
+        r_struct.alias("__r"),
     )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = l.unionByName(r)
-    for c in right_value_cols:
-        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return merged.filter(F.col("__is_left")).drop("__ts", "__side", "__is_left")
+    merged = l.unionByName(r).withColumn(
+        "__r", F.last("__r", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("__is_left"))
+        .select(
+            *key_cols,
+            *left_payload,
+            *[F.col("__r")[c].alias(c) for c in right_value_cols],
+        )
+    )
 
 
 def bucketed_range_join(
@@ -102,10 +114,24 @@ def bucketed_range_join(
     unlike a nested-loop range join) and the exact range predicate runs as
     a residual filter on the equi-joined candidates. ``lookback`` is a
     Spark interval string like ``"10 minutes"``.
+
+    Inner join only: the bucket fan-out + residual filter cannot express
+    outer semantics (null-extended rows fail the residual predicate, and
+    the 2× probe fan-out would duplicate unmatched rows). For
+    left-join-style results, aggregate the inner result and join it back
+    to the probe side — see catalog q_range_join_clicks.
     """
+    if how != "inner":
+        raise ValueError(
+            "bucketed_range_join supports how='inner' only; for left "
+            "semantics aggregate the inner result and join back to the "
+            "probe side (see q_range_join_clicks)"
+        )
+    # timestamp_micros(0) is the epoch INSTANT — unlike a string-literal
+    # cast, which parses in the session timezone and silently corrupts
+    # the span (even negative) off UTC
     span_us = F.unix_micros(
-        F.lit("1970-01-01 00:00:00").cast("timestamp")
-        + F.expr(f"INTERVAL {lookback}")
+        F.timestamp_micros(F.lit(0)) + F.expr(f"INTERVAL {lookback}")
     )
     p_bucket = F.floor(F.unix_micros(F.col(probe_ts)) / span_us)
     b_bucket = F.floor(F.unix_micros(F.col(build_ts)) / span_us)

@@ -72,14 +72,18 @@ def compact_partitioned(
     N× task-scheduling and footer-read overhead. Rewrite each partition
     into ~target-sized files.
 
-    Writes to a staging directory first and atomically swaps via rename,
-    so a crash mid-compaction never leaves the table half-written.
+    Local-filesystem tables only (os-level renames): writes to a staging
+    directory, then swaps. The swap is two renames, not one atomic op —
+    a crash in the instant between them leaves the table at
+    ``<path>__precompact`` (complete and recoverable, never
+    half-written); stale staging/backup dirs from a crashed run are
+    cleaned up or restored on the next invocation. Object-store lakes
+    (s3a/hdfs) should use a table format (Iceberg/Delta) whose commit
+    protocol does this transactionally.
     """
-    import os
-    import shutil
-
-    df = spark.read.parquet(path)
     staging = path.rstrip("/") + "__compacting"
+    _recover_and_clean(path, staging, path.rstrip("/") + "__precompact")
+    df = spark.read.parquet(path)
     (
         df.repartition(*partition_cols)
         .write.mode("overwrite")
@@ -87,10 +91,7 @@ def compact_partitioned(
         .partitionBy(*partition_cols)
         .parquet(staging)
     )
-    backup = path.rstrip("/") + "__precompact"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    _swap(path, staging, path.rstrip("/") + "__precompact")
 
 
 def upsert_partitioned(
@@ -108,13 +109,13 @@ def upsert_partitioned(
     (Iceberg/Delta) the same latest-wins logic would ride MERGE INTO and
     rewrite only touched files. Partition-wise it only needs to rewrite
     partitions present in ``updates`` — kept whole-table here for
-    plain-parquet simplicity."""
-    import os
-    import shutil
-
+    plain-parquet simplicity. Same local-filesystem swap caveats as
+    :func:`compact_partitioned`."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    staging = path.rstrip("/") + "__upserting"
+    _recover_and_clean(path, staging, path.rstrip("/") + "__preupsert")
     current = spark.read.parquet(path)
     merged = current.unionByName(updates.select(*current.columns))
     w = Window.partitionBy(*key_cols).orderBy(
@@ -125,9 +126,26 @@ def upsert_partitioned(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    staging = path.rstrip("/") + "__upserting"
     latest.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
-    backup = path.rstrip("/") + "__preupsert"
+    _swap(path, staging, path.rstrip("/") + "__preupsert")
+
+
+def _recover_and_clean(path: str, staging: str, backup: str) -> None:
+    """Heal a crashed prior run: restore the backup if the table vanished
+    mid-swap, then clear stale staging/backup dirs."""
+    import os
+    import shutil
+
+    if not os.path.exists(path) and os.path.exists(backup):
+        os.rename(backup, path)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def _swap(path: str, staging: str, backup: str) -> None:
+    import os
+    import shutil
+
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

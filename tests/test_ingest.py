@@ -57,7 +57,9 @@ def test_cycle_roundtrips_through_engine_parsers(spark):
     )
     assert counts == {"snapshot": 1, "history": 3}
     assert [t for t, _ in sent] == [SNAPSHOT_TOPIC] + [HISTORY_TOPIC] * 3
-    assert throttled == [0, 1, 2]  # called per fetched symbol
+    # throttle fires per API call — including DDD, whose empty history
+    # produced no message but did consume a fetch_history request
+    assert throttled == [0, 1, 2, 3]
 
     # history topic → engine parse → explode
     hist_raw = spark.createDataFrame(

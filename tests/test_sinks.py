@@ -193,3 +193,19 @@ def test_upsert_latest_wins(spark):
     upsert_partitioned(spark, path, updates, ["id"], ["version"], ["part"])
     got = {r["id"]: (r["version"], r["value"]) for r in spark.read.parquet(path).collect()}
     assert got == {1: (1, 10.0), 2: (2, 25.0), 3: (1, 30.0), 4: (1, 40.0)}
+
+
+def test_compact_recovers_from_crashed_swap(spark):
+    """A table left at the backup path by a mid-swap crash is restored
+    on the next invocation."""
+    from airflow_kafka_spark_spark.sources.sinks import compact_partitioned
+
+    ev = load_table(spark, SF_DIR, "events").limit(100)
+    path = os.path.join(tempfile.mkdtemp(), "tbl")
+    write_partitioned(ev, path, ["event_type"])
+    n = spark.read.parquet(path).count()
+    # simulate the crash window: table renamed to backup, nothing at path
+    os.rename(path, path + "__precompact")
+    compact_partitioned(spark, path, ["event_type"])
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.exists(path + "__precompact")

@@ -85,3 +85,38 @@ def test_session_exact_gap_merges(spark):
     out = session_agg(df, "ts", "30 minutes", ["k"], [F.count("*").alias("n")])
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["n"] == 2
+
+
+def test_asof_null_right_fields_not_mixed(spark):
+    """A right row with NULL fields must be carried as-is — per-column
+    last(ignorenulls) would stitch fields from different right rows."""
+    left = _ts(spark, [(1, "2024-01-01 10:00:00", "a")], "k int, ts string, tag string")
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 09:00:00", 5.0, 9.0),
+         (1, "2024-01-01 09:30:00", None, 7.0)],
+        "k int, rts string, x double, y double",
+    )
+    out = asof_join(left, right, ["k"], "ts", "rts", ["x", "y"]).collect()[0]
+    assert out["x"] is None and out["y"] == 7.0  # the 09:30 row, verbatim
+
+
+def test_range_join_timezone_independent(spark):
+    """The lookback span must not depend on the session timezone."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        probe = _ts(spark, [(1, "2024-01-01 10:00:00", "p")], "k int, pts string, tag string")
+        build = _ts(spark, [(1, "2024-01-01 09:55:00", "in")], "k int, bts string, name string")
+        out = bucketed_range_join(probe, build, ["k"], "pts", "bts", "10 minutes")
+        assert [r["name"] for r in out.collect()] == ["in"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_range_join_rejects_outer(spark):
+    import pytest
+
+    probe = _ts(spark, [(1, "2024-01-01 10:00:00", "p")], "k int, pts string, tag string")
+    with pytest.raises(ValueError, match="inner"):
+        bucketed_range_join(probe, probe, ["k"], "pts", "pts", "10 minutes", how="left")
