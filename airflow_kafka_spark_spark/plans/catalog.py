@@ -706,6 +706,50 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_array_hof(spark, sf_dir):
+    """Higher-order array function battery: collect → sort → transform /
+    filter / aggregate (fold) / slice — all JVM-side lambdas, the same
+    primitives the dedup/similarity extensions build on."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("evs")
+    )
+    vals = F.transform("evs", lambda e: e["value"])
+    return arr.select(
+        "user_id",
+        F.size("evs").alias("n_events"),
+        _r6(
+            F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + F.round(v, 6))
+        ).alias("sum_rounded"),
+        F.size(F.filter(vals, lambda v: v > 500)).cast("long").alias("n_over_500"),
+        _r6(F.element_at(vals, 1)).alias("first_value"),
+        _r6(F.element_at(vals, -1)).alias("last_value"),
+        F.size(F.slice("evs", 1, 10)).cast("long").alias("first10"),
+    )
+
+
+SQL_ARRAY_HOF = """
+WITH arr AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(ts := ts, event_id := event_id, value := value))) AS evs
+  FROM events GROUP BY user_id
+),
+vals AS (
+  SELECT user_id, evs,
+         list_transform(evs, e -> e.value) AS v
+  FROM arr
+)
+SELECT user_id,
+  len(evs) AS n_events,
+  ROUND(list_sum(list_transform(v, x -> ROUND(x, 6))), 6) + CAST(0 AS DOUBLE) AS sum_rounded,
+  CAST(len(list_filter(v, x -> x > 500)) AS BIGINT) AS n_over_500,
+  ROUND(v[1], 6) + CAST(0 AS DOUBLE) AS first_value,
+  ROUND(v[-1], 6) + CAST(0 AS DOUBLE) AS last_value,
+  CAST(len(evs[1:10]) AS BIGINT) AS first10
+FROM vals
+"""
+
+
 def q_agg_event_stats(spark, sf_dir):
     """Aggregate battery: count, distinct count, exact decimal sum/avg,
     min/max."""
@@ -1617,6 +1661,7 @@ CATALOG: dict[str, Query] = {
     "window_rank": Query(q_window_rank, SQL_WINDOW_RANK),
     "window_analytics": Query(q_window_analytics, SQL_WINDOW_ANALYTICS),
     "scalar_functions": Query(q_scalar_functions, SQL_SCALAR_FUNCTIONS),
+    "array_hof": Query(q_array_hof, SQL_ARRAY_HOF),
     "pivot_events": Query(q_pivot_events, SQL_PIVOT_EVENTS),
     "cube_lineitem": Query(q_cube_lineitem, SQL_CUBE),
     # temporal surface
