@@ -52,7 +52,38 @@ def main() -> None:
             "sec": round(dt, 3),
             "krows_per_sec": round(n / dt / 1000, 1),
         }
-    print(json.dumps({"metric": "cascade_scaling", "results": results}))
+
+    # the quadratic-risk operator: replicas are exact duplicates, so the
+    # true near-dup pair count grows ~quadratically with the multiplier —
+    # wall time must stay near-linear in docs regardless
+    from airflow_kafka_spark_spark.ext.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    dedup_results = {}
+    for mult in (1, 4, 10):
+        big = reduce(
+            lambda a, b: a.unionByName(b),
+            [docs.withColumn("doc_id", F.col("doc_id") + 100_000 * i) for i in range(mult)],
+        )
+        n = big.count()
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_pairs(big, num_hashes=8, bands=4, threshold=0.4).count()
+        dt = time.perf_counter() - t0
+        dedup_results[f"{mult}x"] = {
+            "docs": n,
+            "sec": round(dt, 3),
+            "pairs": pairs,
+            "docs_per_sec": round(n / dt),
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "cascade_scaling",
+                "results": results,
+                "minhash_scaling": dedup_results,
+            }
+        )
+    )
     spark.stop()
 
 
