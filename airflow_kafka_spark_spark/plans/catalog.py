@@ -279,7 +279,7 @@ def q_ma_windows(spark, sf_dir):
 
 
 SQL_MA_WINDOWS = f"""
-WITH {_IND_BASE_SQL.strip().rstrip(',')}
+WITH {_IND_BASE_SQL}
 SELECT user_id, event_id,
        ROUND(ma5, 6) + CAST(0 AS DOUBLE) AS ma5,
        ROUND(ma20, 6) + CAST(0 AS DOUBLE) AS ma20
@@ -1211,7 +1211,7 @@ def q_dedup_exact(spark, sf_dir):
 
 
 SQL_DEDUP_EXACT = """
-SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+SELECT md5(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g')) AS fingerprint,
        MIN(doc_id) AS keep_doc_id,
        COUNT(*) AS n_copies
 FROM documents GROUP BY 1
@@ -1484,7 +1484,7 @@ WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
 SELECT doc_id,
   len(t) AS n_tokens,
   len(list_distinct(t)) AS n_distinct_tokens,
-  ROUND(CAST(list_sum(list_transform(t, x -> strlen(x))) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_token_len,
+  ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_token_len,
   ROUND(CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS stopword_ratio,
   ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS distinct_ratio,
   CASE WHEN len(t) >= 10 AND len(t) <= 10000
@@ -1505,8 +1505,8 @@ def q_doc_fingerprints(spark, sf_dir):
 
 SQL_DOC_FINGERPRINTS = """
 SELECT doc_id,
-       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
-       length(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_len
+       md5(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g')) AS fingerprint,
+       length(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g')) AS norm_len
 FROM documents
 """
 

@@ -38,13 +38,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in headline_queries().items():
         # best-of-2: one timing per query is ±25% machine-load noise;
-        # min of two runs reports the engine, not the neighbors
+        # min of two runs reports the engine, not the neighbors.
+        # clearCache before EVERY run: queries that persist intermediates
+        # (minhash_lsh) must not get a warm-cache second run, and cached
+        # state must not occupy memory while later queries are timed.
         best = float("inf")
         for _ in range(2):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -10,10 +10,7 @@ import math
 import duckdb
 import pandas as pd
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+from airflow_kafka_spark_spark.sources.files import TABLES
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
