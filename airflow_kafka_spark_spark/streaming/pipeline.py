@@ -170,3 +170,39 @@ def observed(df: DataFrame, name: str = "batch_metrics"):
         return df.observe(name, *metrics), None
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    watermark: str,
+    join_window: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a bounded time-range
+    condition — the shape Structured Streaming requires to keep join
+    state finite: both sides watermark their event time, and the range
+    predicate lets the engine expire buffered rows once the watermark
+    passes. Without BOTH constraints a stream-stream join's state grows
+    unboundedly; with them, state is O(watermark-window of data).
+
+    ``join_window``: right rows match left rows with
+    ``right_ts ∈ [left_ts - join_window, left_ts + join_window]``.
+    """
+    from pyspark.sql import functions as F
+
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in key_cols:
+        c = l[k] == r[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {join_window}"))
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {join_window}"))
+    )
+    return l.join(r, cond, how)

@@ -201,3 +201,48 @@ def test_available_now_backfill(spark):
     )
     assert q.awaitTermination(120)  # self-terminates after the drain
     assert sum(seen) == n_expected > 0
+
+
+def test_stream_stream_join(spark):
+    """Watermarked stream-stream join: clicks joined to purchases of the
+    same user within ±10 minutes, across two file-source streams."""
+    import tempfile
+
+    from airflow_kafka_spark_spark.streaming.pipeline import stream_stream_join
+
+    workdir = tempfile.mkdtemp()
+    cdir, pdir = os.path.join(workdir, "clicks"), os.path.join(workdir, "purch")
+    clicks = [(1, "2024-01-01 10:00:00", "c1"),
+              (1, "2024-01-01 12:00:00", "c2"),   # no purchase within 10m
+              (2, "2024-01-01 10:05:00", "c3")]
+    purchases = [(1, "2024-01-01 10:07:00", "p1"),
+                 (2, "2024-01-01 10:00:00", "p2"),
+                 (2, "2024-01-01 10:20:00", "p3")]  # outside ±10m of c3? 15m -> no
+    spark.createDataFrame(clicks, "user_id long, cts_s string, click_id string").selectExpr(
+        "user_id", "CAST(cts_s AS TIMESTAMP) AS cts", "click_id"
+    ).write.parquet(cdir)
+    spark.createDataFrame(purchases, "user_id long, pts_s string, purchase_id string").selectExpr(
+        "user_id", "CAST(pts_s AS TIMESTAMP) AS pts", "purchase_id"
+    ).write.parquet(pdir)
+
+    cs = spark.readStream.schema("user_id long, cts timestamp, click_id string").parquet(cdir)
+    ps = spark.readStream.schema("user_id long, pts timestamp, purchase_id string").parquet(pdir)
+    joined = stream_stream_join(
+        cs, ps, ["user_id"], "cts", "pts", watermark="1 hour", join_window="10 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    )
+    assert got == [("c1", "p1"), ("c3", "p2")]
