@@ -1629,6 +1629,293 @@ def q_mm_audio_features(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    nation is tiny → explicit broadcast; the fact-side joins shuffle on
+    the join keys and AQE coalesces post-shuffle partitions."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    na = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    grouped = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((decimal_sum(revenue, scale=10, precision=28) + F.lit(0.0)).alias("revenue"))
+    )
+    return top_k(grouped, [F.col("revenue").desc(), F.col("c_custkey")], 20)
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo-revenue share — CASE inside an aggregate
+    over a broadcast dimension join; one month of lineitem reaches the
+    scan as a pushed-down predicate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    pa = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .agg(
+            _r6(
+                F.lit(100.0)
+                * decimal_sum(promo, scale=10, precision=28)
+                / decimal_sum(disc, scale=10, precision=28)
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_Q14 = """
+SELECT
+  ROUND(100.0
+    * CAST(ROUND(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,10))), 6) AS DOUBLE)
+    / CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 6) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS promo_revenue_pct,
+  COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered aggregate as a join input (large
+    orders by total quantity). The groupBy-then-filter runs as a partial
+    (map-side) + final aggregate before the join, so only qualifying
+    orderkeys reach the shuffle joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg((decimal_sum("l_quantity") + F.lit(0.0)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(od, big.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+SQL_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_qty
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT c_name, c_custkey, l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE sum_qty > 150
+"""
+
+
+def q19_or_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges across the join — Catalyst extracts the common join key so
+    this stays a hash join (not a nested-loop) with the OR applied as a
+    post-join filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .filter(cond)
+        .agg(
+            (decimal_sum(disc, scale=10, precision=28) + F.lit(0.0)).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_Q19 = """
+SELECT
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#13' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+def q7_volume_bilateral(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume by year between two
+    nations. The nation dims are pre-filtered to the two nations BEFORE
+    the broadcast joins, so the filter prunes fact rows at join time
+    instead of post-hoc."""
+    nations = ["NATION_1", "NATION_2"]
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(nations))
+    n1 = na.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((decimal_sum(disc, scale=10, precision=28) + F.lit(0.0)).alias("volume"))
+    )
+
+
+SQL_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l_shipdate) AS l_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS volume
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders — uncorrelated scalar subquery (1-row broadcast cross join)
+    + left-anti join, grouped by nation."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(
+        decimal_avg("c_acctbal").alias("avg_bal")
+    )
+    recent = od.filter(F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    rich = cu.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        (decimal_sum("c_acctbal") + F.lit(0.0)).alias("totacctbal"),
+    )
+
+
+SQL_Q22 = """
+SELECT c_nationkey, COUNT(*) AS numcust,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(22,6))), 6) AS DOUBLE) / CAST(COUNT(c_acctbal) AS DOUBLE)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY 1
+"""
+
+
+def q_quality_filter(spark, sf_dir):
+    """Training-data quality gate: per-document stats → rule filter →
+    per-language corpus accounting. The canonical select-what-to-train-on
+    pipeline stage; everything JVM-side higher-order functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = with_text_stats(docs)
+    kept = stats.filter(F.col("is_quality") == 1).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        _r6(decimal_avg("stopword_ratio", scale=10)).alias("avg_stop_ratio"),
+    )
+
+
+SQL_QUALITY_FILTER = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents
+),
+stats AS (
+  SELECT doc_id, lang, len(t) AS n_tokens,
+    ROUND(CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS stopword_ratio,
+    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dr,
+    CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS sr
+  FROM toks
+)
+SELECT lang, COUNT(*) AS n_docs,
+  SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+  ROUND(CAST(ROUND(SUM(CAST(stopword_ratio AS DECIMAL(22,10))), 6) AS DOUBLE) / CAST(COUNT(stopword_ratio) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_stop_ratio
+FROM stats
+WHERE n_tokens >= 10 AND n_tokens <= 10000 AND dr >= 0.2 AND sr <= 0.5
+GROUP BY 1
+"""
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
@@ -1648,6 +1935,12 @@ CATALOG: dict[str, Query] = {
     "join_semi": Query(q_join_semi, SQL_JOIN_SEMI),
     "join_anti": Query(q_join_anti, SQL_JOIN_ANTI),
     "q13_custdist": Query(q13_custdist, SQL_Q13),
+    "q10_returned_items": Query(q10_returned_items, SQL_Q10),
+    "q14_promo_revenue": Query(q14_promo_revenue, SQL_Q14),
+    "q18_large_volume": Query(q18_large_volume, SQL_Q18),
+    "q19_or_predicates": Query(q19_or_predicates, SQL_Q19),
+    "q7_volume_bilateral": Query(q7_volume_bilateral, SQL_Q7),
+    "q22_idle_customers": Query(q22_idle_customers, SQL_Q22),
     "q4_order_priority": Query(q4_order_priority, SQL_Q4),
     "scalar_subquery": Query(q_scalar_subquery, SQL_SCALAR_SUBQUERY),
     "range_frame": Query(q_range_frame, SQL_RANGE_FRAME),
@@ -1684,6 +1977,7 @@ CATALOG: dict[str, Query] = {
     "doc_fingerprints": Query(q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "lang_profile": Query(q_lang_profile, SQL_LANG_PROFILE),
     "bpe_tokens": Query(q_bpe_tokens, SQL_BPE_TOKENS),
+    "quality_filter": Query(q_quality_filter, SQL_QUALITY_FILTER),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
     "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
