@@ -1892,7 +1892,9 @@ def q_quality_filter(spark, sf_dir):
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
-        _r6(decimal_avg("stopword_ratio", scale=10)).alias("avg_stop_ratio"),
+        # No outer round — decimal_avg is already engine-deterministic;
+        # re-rounding the double can tie-break differently across engines.
+        (decimal_avg("stopword_ratio", scale=10) + F.lit(0.0)).alias("avg_stop_ratio"),
     )
 
 
@@ -1909,10 +1911,116 @@ stats AS (
 )
 SELECT lang, COUNT(*) AS n_docs,
   SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
-  ROUND(CAST(ROUND(SUM(CAST(stopword_ratio AS DECIMAL(22,10))), 6) AS DOUBLE) / CAST(COUNT(stopword_ratio) AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS avg_stop_ratio
+  CAST(ROUND(SUM(CAST(stopword_ratio AS DECIMAL(22,10))), 6) AS DOUBLE) / CAST(COUNT(stopword_ratio) AS DOUBLE) + CAST(0 AS DOUBLE) AS avg_stop_ratio
 FROM stats
 WHERE n_tokens >= 10 AND n_tokens <= 10000 AND dr >= 0.2 AND sr <= 0.5
 GROUP BY 1
+"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (two single-column sets + grand total) with
+    per-column GROUPING flags — the general form rollup/cube specialize.
+    One pass over the fact table expands to the three sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count("*").alias("n_rows"),
+            (decimal_sum("l_extendedprice") + F.lit(0.0)).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_window_distribution(spark, sf_dir):
+    """Distribution window battery: percent_rank / cume_dist per key —
+    one shuffle, one ordered Window pass."""
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        _r6(F.percent_rank().over(w)).alias("pct_rank"),
+        _r6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+SQL_WINDOW_DISTRIBUTION = """
+SELECT o_custkey, o_orderkey,
+  ROUND(PERCENT_RANK() OVER w, 6) + CAST(0 AS DOUBLE) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) + CAST(0 AS DOUBLE) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroid (class mean vector), flattened to
+    (label, pos, value) rows: posexplode → decimal-exact per-dimension
+    mean. The centroid primitive behind k-means init, IVF coarse
+    quantizers, and embedding-space class profiling; one shuffle on
+    (label, pos)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    )
+    return (
+        ex.groupBy(
+            "label", (F.col("pos0") + 1).cast("long").alias("pos")
+        )
+        .agg(
+            # No outer round: decimal_avg is already a deterministic
+            # double (exact decimal sum ÷ count); re-rounding the double
+            # can tie-break differently across engines (1-ULP at sf0.001).
+            (decimal_avg(F.col("val").cast("double"), scale=10) + F.lit(0.0)).alias(
+                "centroid_val"
+            )
+        )
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH ex AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+)
+SELECT label, pos,
+  CAST(ROUND(SUM(CAST(val AS DECIMAL(22,10))), 6) AS DOUBLE)
+        / CAST(COUNT(val) AS DOUBLE) + CAST(0 AS DOUBLE) AS centroid_val
+FROM ex
+GROUP BY 1, 2
 """
 
 
@@ -1957,6 +2065,9 @@ CATALOG: dict[str, Query] = {
     "array_hof": Query(q_array_hof, SQL_ARRAY_HOF),
     "pivot_events": Query(q_pivot_events, SQL_PIVOT_EVENTS),
     "cube_lineitem": Query(q_cube_lineitem, SQL_CUBE),
+    "grouping_sets": Query(q_grouping_sets, SQL_GROUPING_SETS),
+    "window_distribution": Query(q_window_distribution, SQL_WINDOW_DISTRIBUTION),
+    "embedding_centroids": Query(q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
     # temporal surface
     "asof_join_purchase": Query(q_asof_purchase, SQL_ASOF_PURCHASE, headline=True),
     "range_join_clicks": Query(q_range_join_clicks, SQL_RANGE_JOIN_CLICKS),
