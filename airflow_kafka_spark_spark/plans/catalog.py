@@ -2024,6 +2024,66 @@ GROUP BY 1, 2
 """
 
 
+def q_sliding_windows(spark, sf_dir):
+    """Sliding event-time windows (2 h window, 1 h slide): each event
+    lands in exactly two overlapping windows. Spark expands via the same
+    `F.window` operator streaming uses under a watermark; epoch-aligned
+    starts keep the oracle a simple trunc-minus-offset expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (decimal_sum("value") + F.lit(0.0)).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SLIDING_WINDOWS = f"""
+WITH ex AS (
+  SELECT date_trunc('hour', ts) - o.o * INTERVAL 1 HOUR AS window_start,
+         event_type, value
+  FROM events, (VALUES (0), (1)) o(o)
+)
+SELECT strftime(window_start, '{TS_FMT_DUCK}') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_value
+FROM ex
+GROUP BY 1, 2
+"""
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic ~10% corpus sample: md5(doc_id) → bucket 0-99,
+    keep bucket < 10. The reproducible, engine-portable way to sample a
+    training corpus — no RNG state, stable under re-runs, partitioning,
+    and cluster size, and any engine that can md5 draws the same docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return docs.filter(bucket < 10).select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+"""
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
@@ -2072,6 +2132,7 @@ CATALOG: dict[str, Query] = {
     "asof_join_purchase": Query(q_asof_purchase, SQL_ASOF_PURCHASE, headline=True),
     "range_join_clicks": Query(q_range_join_clicks, SQL_RANGE_JOIN_CLICKS),
     "tumbling_hourly": Query(q_tumbling_hourly, SQL_TUMBLING_HOURLY),
+    "sliding_windows": Query(q_sliding_windows, SQL_SLIDING_WINDOWS),
     "session_windows": Query(q_session_windows, SQL_SESSION_WINDOWS, headline=True),
     # extensions
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
@@ -2089,6 +2150,7 @@ CATALOG: dict[str, Query] = {
     "lang_profile": Query(q_lang_profile, SQL_LANG_PROFILE),
     "bpe_tokens": Query(q_bpe_tokens, SQL_BPE_TOKENS),
     "quality_filter": Query(q_quality_filter, SQL_QUALITY_FILTER),
+    "hash_sample": Query(q_hash_sample, SQL_HASH_SAMPLE),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
     "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
