@@ -69,3 +69,33 @@ def test_range_join_is_equi_join(spark):
 def test_knn_broadcasts_query_vector(spark):
     s = _explain(CATALOG["knn_cosine"].fn(spark, SF_DIR))
     assert "Broadcast" in s
+
+
+def test_q19_or_predicates_stays_hash_join(spark):
+    """The disjunctive brand/size/quantity filter shares one equi-key —
+    Catalyst must keep the hash join and apply the OR post-join, never
+    fall back to a nested loop."""
+    s = _explain(CATALOG["q19_or_predicates"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in s and "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s
+
+
+def test_q14_broadcasts_part_dim(spark):
+    s = _explain(CATALOG["q14_promo_revenue"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in s
+
+
+def test_q18_partial_aggregate_before_join(spark):
+    """The HAVING-filtered quantity aggregate must run partial+final
+    (map-side combine) before the joins — HashAggregate pairs present,
+    no aggregate pushed after the join."""
+    s = _explain(CATALOG["q18_large_volume"].fn(spark, SF_DIR), mode="formatted")
+    assert s.count("HashAggregate") >= 2, s
+
+
+def test_q22_anti_join_no_nested_loop(spark):
+    """Scalar-subquery compare + left-anti join must both stay hash
+    strategies."""
+    s = _explain(CATALOG["q22_idle_customers"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s
+    assert "LeftAnti" in s or "left_anti" in s.lower()
