@@ -2084,6 +2084,67 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
 """
 
 
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's market share inside a region by
+    year — conditional share (CASE inside both numerator and denominator
+    sums) over a 6-table join. All dims (nation×2, region, part) are
+    broadcast; only the order/lineitem/customer joins shuffle."""
+    target = "NATION_3"
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    n_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target_volume = F.when(F.col("supp_nation") == target, volume).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                decimal_sum(target_volume, scale=10, precision=28)
+                / decimal_sum(volume, scale=10, precision=28)
+                + F.lit(0.0)
+            ).alias("mkt_share"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_Q8 = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+  CAST(ROUND(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(28,10))), 6) AS DOUBLE)
+    / CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS mkt_share,
+  COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'LARGE' AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
@@ -2108,6 +2169,7 @@ CATALOG: dict[str, Query] = {
     "q18_large_volume": Query(q18_large_volume, SQL_Q18),
     "q19_or_predicates": Query(q19_or_predicates, SQL_Q19),
     "q7_volume_bilateral": Query(q7_volume_bilateral, SQL_Q7),
+    "q8_market_share": Query(q8_market_share, SQL_Q8),
     "q22_idle_customers": Query(q22_idle_customers, SQL_Q22),
     "q4_order_priority": Query(q4_order_priority, SQL_Q4),
     "scalar_subquery": Query(q_scalar_subquery, SQL_SCALAR_SUBQUERY),
