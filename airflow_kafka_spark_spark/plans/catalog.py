@@ -2145,6 +2145,32 @@ GROUP BY 1
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: an exact per-language quota (20
+    docs) drawn by ranking on md5(doc_id) — corpus rebalancing without
+    RNG state. One shuffle on the stratum key; the md5 order is uniform,
+    reproducible, and identical in any engine that can md5."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("lang", "doc_id", "rnk")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id,
+       ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+FROM documents
+QUALIFY rnk <= 20
+"""
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
@@ -2213,6 +2239,7 @@ CATALOG: dict[str, Query] = {
     "bpe_tokens": Query(q_bpe_tokens, SQL_BPE_TOKENS),
     "quality_filter": Query(q_quality_filter, SQL_QUALITY_FILTER),
     "hash_sample": Query(q_hash_sample, SQL_HASH_SAMPLE),
+    "stratified_sample": Query(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
     "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
