@@ -31,9 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
     (the dashboard's flagship question, reference streamlit/app.py:364-370).
     """
     from airflow_kafka_spark_spark.functions.windows import last_per_key
+    from airflow_kafka_spark_spark.session import ensure_engine_confs
     from airflow_kafka_spark_spark.sources.fixtures import build_history_messages
     from airflow_kafka_spark_spark.streaming.pipeline import analyze_history_batch
 
+    ensure_engine_confs(spark)
     messages = build_history_messages(spark, SMOKE_SF_DIR)
     processed = analyze_history_batch(messages)
     return last_per_key(processed, ["symbol"], [F.col("date_str")])

@@ -144,6 +144,21 @@ def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
     ]
 
 
+# persisted shingle frames created by minhash_lsh_pairs when the caller
+# didn't supply their own — release with release_minhash_caches()
+_OWNED_CACHES: list[DataFrame] = []
+
+
+def release_minhash_caches() -> None:
+    """Unpersist every shingle frame minhash_lsh_pairs cached internally.
+
+    Long-lived sessions deduping MANY corpora should call this between
+    corpora (or pass a pre-persisted ``shingles`` frame they own) —
+    otherwise cache entries accumulate until session end."""
+    while _OWNED_CACHES:
+        _OWNED_CACHES.pop().unpersist()
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -151,6 +166,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.4,
     n: int = 3,
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
@@ -159,17 +175,22 @@ def minhash_lsh_pairs(
     candidate pairs → exact Jaccard on the candidates only. At scale the
     candidate join replaces the all-pairs blowup; the verify join touches
     only candidate docs.
+
+    ``shingles``: optionally pass a pre-built (and pre-persisted)
+    ``_doc_shingles(docs, text_col, n)`` frame whose cache lifecycle the
+    CALLER owns. When omitted, the function persists one internally and
+    registers it for :func:`release_minhash_caches` — a lazily-returned
+    DataFrame gives this function no post-action hook to release it.
     """
     rows_per_band = num_hashes // bands
     # the shingle frame feeds the signature AND both sides of the verify
     # join — persist so one action computes it once (MEMORY_AND_DISK, so
-    # an oversized corpus spills instead of OOMing). The cache entry
-    # lives until the session ends or the caller unpersists: long-lived
-    # sessions running dedup over MANY corpora should call
-    # spark.catalog.clearCache() (or keep a handle via _doc_shingles and
-    # unpersist) between corpora — a lazily-returned DataFrame gives
-    # this function no post-action hook to release it itself.
-    sh = _doc_shingles(docs, text_col, n).persist()
+    # an oversized corpus spills instead of OOMing).
+    if shingles is None:
+        sh = _doc_shingles(docs, text_col, n).persist()
+        _OWNED_CACHES.append(sh)
+    else:
+        sh = shingles
     sig = sh.select(
         "doc_id", "shingles", *minhash_signature(F.col("shingles"), num_hashes)
     )

@@ -58,6 +58,7 @@ from ..operators.relational import (
 from ..operators.temporal import asof_join, bucketed_range_join, session_agg, tumbling_agg
 from ..operators.signals import DEFAULT_REASON, DEFAULT_SUGGESTION, REASONS, SUGGESTIONS, with_suggestion
 from ..schemas import EVENT_PROPS_SCHEMA
+from ..session import ensure_engine_confs
 from ..sources.files import load_table
 
 
@@ -2247,8 +2248,22 @@ CATALOG: dict[str, Query] = {
 }
 
 
+def _session_safe(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a catalog callable so result-critical confs (UTC tz, ANSI off,
+    nanosAsLong) are set even on a vanilla driver-harness session, and even
+    for queries that never go through sources.files.load_table."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_engine_confs(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "catalog_query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.fn for name, q in CATALOG.items()}
+    return {name: _session_safe(q.fn) for name, q in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -15,6 +15,43 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Confs that change query RESULTS (not just performance) and are
+# runtime-settable.  The driver harness — and any library caller — may hand
+# the engine a vanilla ``SparkSession.builder.getOrCreate()`` session that
+# never went through :func:`build_session`; every fixture-reading entry
+# point calls :func:`ensure_engine_confs` so results don't depend on who
+# built the session.
+#
+# - nanosAsLong: driver fixtures store events.ts as parquet
+#   TIMESTAMP(NANOS), which Spark refuses to read natively
+#   (PARQUET_TYPE_ILLEGAL); read as int64 nanos, converted in
+#   sources.files.load_table.
+# - timeZone UTC: date_format/to_timestamp outputs are tz-dependent;
+#   the DuckDB oracle runs in UTC (SURVEY §2.8 F3/F4).
+# - ansi off: reference ran Spark 3.5 (ANSI off); div-by-zero must yield
+#   NULL, not error, to match both the reference and the oracle.
+_RESULT_CRITICAL_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Set result-critical runtime confs on an arbitrary session.
+
+    Idempotent and cheap (conf.get is a local call); safe to call per
+    query. Only touches confs whose current value differs.
+    """
+    for key, want in _RESULT_CRITICAL_CONFS.items():
+        try:
+            current = spark.conf.get(key, None)
+        except Exception:
+            current = None
+        if current != want:
+            spark.conf.set(key, want)
+
+
 def build_session(
     app_name: str = "airflow_kafka_spark_spark",
     master: str | None = None,

@@ -18,6 +18,13 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The caller's session may be a vanilla getOrCreate() (e.g. the driver
+    # harness) — set the result-critical confs (nanosAsLong / UTC / ANSI)
+    # here so the fixture read and downstream semantics don't depend on
+    # who built the session.
+    from ..session import ensure_engine_confs
+
+    ensure_engine_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as
     # int64 nanos. Convert with *integer* division (ns epoch ≈ 1.7e18

@@ -41,8 +41,9 @@ def analyze_history_batch(raw: DataFrame, dedup_order_cols: list[str] | None = N
     Works identically on a batch DataFrame and a streaming micro-batch —
     this single function is the engine's core.
     """
-    messages = parse_history_messages(raw)
-    if dedup_order_cols:
+    if not dedup_order_cols:
+        messages = parse_history_messages(raw)
+    else:
         keyed = raw.select(
             raw["value"].cast("string").alias("json_data"), *dedup_order_cols
         )

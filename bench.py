@@ -36,18 +36,24 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name, fn in headline_queries().items():
         # best-of-2: one timing per query is ±25% machine-load noise;
-        # min of two runs reports the engine, not the neighbors.
+        # min of two runs reports the engine, not the neighbors. The raw
+        # first-run timing is recorded too ("queries_single_run") so
+        # round-over-round regressions aren't masked by min().
         # clearCache before EVERY run: queries that persist intermediates
         # (minhash_lsh) must not get a warm-cache second run, and cached
         # state must not occupy memory while later queries are timed.
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            if i == 0:
+                first_run[name] = round(elapsed, 3)
+            best = min(best, elapsed)
         timings[name] = round(best, 3)
     spark.catalog.clearCache()
 
@@ -59,6 +65,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_single_run": first_run,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -35,11 +35,15 @@ def main() -> None:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", F.col("value").alias("close")
     )
+    # shift replicas past the real key range — a hard-coded constant would
+    # silently merge keys across replicas if the fixture outgrew it,
+    # corrupting the scaling measurement
+    uid_shift = ev.agg(F.max("user_id")).first()[0] + 1
     results = {}
     for mult in (1, 4, 10):
         big = reduce(
             lambda a, b: a.unionByName(b),
-            [ev.withColumn("user_id", F.col("user_id") + 1000 * i) for i in range(mult)],
+            [ev.withColumn("user_id", F.col("user_id") + uid_shift * i) for i in range(mult)],
         )
         n = big.count()
         t0 = time.perf_counter()
@@ -59,11 +63,12 @@ def main() -> None:
     from airflow_kafka_spark_spark.ext.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
+    did_shift = docs.agg(F.max("doc_id")).first()[0] + 1
     dedup_results = {}
     for mult in (1, 4, 10):
         big = reduce(
             lambda a, b: a.unionByName(b),
-            [docs.withColumn("doc_id", F.col("doc_id") + 100_000 * i) for i in range(mult)],
+            [docs.withColumn("doc_id", F.col("doc_id") + did_shift * i) for i in range(mult)],
         )
         n = big.count()
         t0 = time.perf_counter()
