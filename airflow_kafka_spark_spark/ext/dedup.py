@@ -89,15 +89,33 @@ def jaccard_pairs(
     pairs under the deflated score). ``None`` (default) keeps exact
     semantics and oracle parity."""
     sh = _doc_shingles(docs, text_col, n)
-    sized = sh.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    # persist the sized shingle frame: the inverted index is consumed by
+    # BOTH sides of the self-join (and by the df-count when capped) —
+    # without a persist each consumer re-runs the split/shingle/distinct
+    # compute, the most expensive stage of the whole query. Registered
+    # for release_minhash_caches(), same lifecycle as the minhash cache.
+    sized = sh.select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    ).persist()
+    _OWNED_CACHES.append(sized)
     inv = sized.select(
         "doc_id", "n_sh", F.explode("shingles").alias("shingle")
     )
     if max_shingle_df is not None:
-        df_counts = inv.groupBy("shingle").agg(
-            F.count("*").alias("__df")
-        ).filter(F.col("__df") <= max_shingle_df)
-        inv = inv.join(df_counts.select("shingle"), "shingle")
+        # join back via the HOT list, not the kept list: shingles with
+        # df > cap are few by definition (that's why they're worth
+        # dropping), so they broadcast and the filter is a map-side anti
+        # join — no second shuffle of the full inverted index. The kept
+        # list is the same size as the index and would shuffle it twice.
+        # Caveat: an aggressively low cap on a huge corpus can make the
+        # hot list itself large — if it nears the broadcast limit, drop
+        # the hint and let AQE pick the join side.
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+        )
+        inv = inv.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

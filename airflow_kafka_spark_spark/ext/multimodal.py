@@ -45,14 +45,115 @@ def fake_image_meta(payload: bytes) -> tuple[int, int, int]:
     return width, height, channels
 
 
-def _real_decode(payload: bytes):
-    raise NotImplementedError(
-        "real image decoding requires an image library not present in this "
-        "environment; use DECODERS['fake'] or install a codec"
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample count per pixel (PNG spec §4.1.1 / RFC 2083)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_png_header(payload: bytes) -> tuple[int, int, int]:
+    """REAL PNG header parse — no image library needed: the IHDR chunk is
+    at a fixed offset (PNG spec: 8-byte signature, then length+\"IHDR\",
+    then width/height as big-endian u32 at bytes 16..24, bit depth at 24,
+    color type at 25). Returns (width, height, n_channels)."""
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    if payload[12:16] != b"IHDR":
+        raise ValueError("not a PNG: first chunk is not IHDR")
+    width = int.from_bytes(payload[16:20], "big")
+    height = int.from_bytes(payload[20:24], "big")
+    color_type = payload[25]
+    return width, height, _PNG_CHANNELS[color_type]
+
+
+def make_png(width: int, height: int, seed: int, color_type: int = 2) -> bytes:
+    """Build a fully VALID (decodable) PNG: signature + IHDR + one
+    zlib-compressed IDAT of filter-0 scanlines + IEND, with correct CRCs.
+    Pixel bytes are deterministic in (seed, position) so fixtures are
+    reproducible. Pure stdlib (zlib/struct) — the container ships no
+    image library, but a PNG is just bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    channels = _PNG_CHANNELS[color_type]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    row_px = (
+        (seed + np.arange(width * channels, dtype=np.int64)) % 256
+    ).astype(np.uint8).tobytes()
+    raw = b"".join(b"\x00" + row_px for _ in range(height))  # filter type 0
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
     )
 
 
-DECODERS = {"fake": fake_image_meta, "real": _real_decode}
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL RIFF/WAVE header parse: walk the chunk list (4-byte id +
+    little-endian u32 size, word-aligned), read PCM format fields from
+    ``fmt `` and the sample count from ``data``. Returns
+    (n_channels, sample_rate, bits_per_sample, n_samples)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            _, channels, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+            fmt = (channels, rate, bits, block_align)
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks are 2-byte aligned
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    channels, rate, bits, block_align = fmt
+    return channels, rate, bits, data_len // block_align
+
+
+def make_wav(
+    sample_rate: int, channels: int, n_samples: int, seed: int, bits: int = 16
+) -> bytes:
+    """Build a fully valid PCM WAV (RIFF + fmt + data) with deterministic
+    sample bytes. Pure stdlib."""
+    import struct
+
+    import numpy as np
+
+    block_align = channels * bits // 8
+    data = (
+        (seed + np.arange(n_samples * block_align, dtype=np.int64)) % 256
+    ).astype(np.uint8).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+DECODERS = {"fake": fake_image_meta, "png": parse_png_header}
 
 
 def binary_payloads(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -60,6 +161,104 @@ def binary_payloads(docs: DataFrame, text_col: str = "text") -> DataFrame:
     media payload column (the driver tables ship no real media)."""
     return docs.select(
         "doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload")
+    )
+
+
+def png_payloads(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: one VALID PNG per doc, dimensions/color type
+    deterministic in doc_id (width 16+id%97, height 16+id%53, RGB for
+    even ids / RGBA for odd). Generated per Arrow batch on executors —
+    the decode path then parses REAL IHDR bytes, and the oracle can
+    recompute the same dimensions arithmetically from doc_id."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        make_png(
+                            16 + int(i) % 97,
+                            16 + int(i) % 53,
+                            seed=int(i),
+                            color_type=2 if int(i) % 2 == 0 else 6,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
+
+
+WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def wav_payloads(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: one valid PCM WAV per doc — sample rate cycles
+    WAV_RATES by doc_id%4, 1-2 channels by parity, 100+id%400 samples."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        make_wav(
+                            WAV_RATES[int(i) % 4],
+                            1 + int(i) % 2,
+                            100 + int(i) % 400,
+                            seed=int(i),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(run, schema=schema)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def decode_audio_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed audio metadata from REAL WAV header bytes (parse_wav_header)
+    via mapInPandas; payloads are projected away in the same pass.
+    duration_s is derived JVM-side (SQL ROUND — Python's banker's
+    round() disagrees with it at half-way points, e.g. 105/16000)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_wav_header(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_channels": pd.Series([m[0] for m in metas], dtype="int32"),
+                    "sample_rate": pd.Series([m[1] for m in metas], dtype="int32"),
+                    "bits_per_sample": pd.Series([m[2] for m in metas], dtype="int32"),
+                    "n_samples": pd.Series([m[3] for m in metas], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_META_SCHEMA).withColumn(
+        "duration_s",
+        F.round(F.col("n_samples") / F.col("sample_rate"), 6) + F.lit(0.0),
     )
 
 

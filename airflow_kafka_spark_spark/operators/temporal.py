@@ -152,13 +152,20 @@ def tumbling_agg(
     duration: str,
     group_cols: list[str],
     aggs: list[Column],
+    slide: str | None = None,
 ) -> DataFrame:
     """Fixed tumbling event-time windows + group keys → aggregates, with
     the window emitted as ``window_start``/``window_end`` timestamps.
+    ``slide`` < ``duration`` makes the windows sliding/overlapping (each
+    row lands in duration/slide windows — Spark expands rows BEFORE the
+    aggregate, so partial aggregation still applies per window).
     Works on batch frames as-is; on streams add ``withWatermark`` first.
     """
+    window = (
+        F.window(ts_col, duration) if slide is None else F.window(ts_col, duration, slide)
+    )
     return (
-        df.groupBy(F.window(ts_col, duration).alias("__w"), *group_cols)
+        df.groupBy(window.alias("__w"), *group_cols)
         .agg(*aggs)
         .withColumn("window_start", F.col("__w.start"))
         .withColumn("window_end", F.col("__w.end"))

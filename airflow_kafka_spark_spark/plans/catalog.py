@@ -34,10 +34,13 @@ from ..ext.dedup import (
 )
 from ..ext.multimodal import (
     binary_payloads,
+    decode_audio_meta,
     decode_image_meta,
     extract_audio_features,
+    png_payloads,
     resize_image_meta,
     sample_frames,
+    wav_payloads,
 )
 from ..ext.similarity import (
     ann_topk_bucketed,
@@ -264,6 +267,47 @@ SELECT strftime((SELECT max(ts) FROM events), '{TS_FMT_DUCK}') AS snapshot_time,
        'U' || user_id AS symbol,
        ROUND(value, 6) + CAST(0 AS DOUBLE) AS price
 FROM latest
+"""
+
+
+def q_current_price_attach(spark, sf_dir):
+    """SURVEY §2.4 / P8-P9: the reference denormalizes current_price into
+    every history message (fetch_to_kafka_dag.py:95-99); the engine's
+    normalized equivalent is operators.parse.attach_current_prices — a
+    broadcast equi-join of the tiny per-symbol snapshot onto the bar rows
+    (one row per listed symbol ≪ bar count at any scale, so the broadcast
+    is always the right plan; pinned by tests/test_plans.py)."""
+    from ..operators.parse import attach_current_prices
+    from ..sources.fixtures import events_as_quote_bars
+
+    bars = events_as_quote_bars(spark, sf_dir).select("symbol", "rn", "close")
+    snapshot = last_per_key(bars, ["symbol"], [F.col("rn")]).select(
+        "symbol", F.col("close").alias("price")
+    )
+    out = attach_current_prices(bars, snapshot, how="inner")
+    return out.select(
+        "symbol",
+        "rn",
+        _r6(F.col("close")).alias("close"),
+        _r6(F.col("current_price")).alias("current_price"),
+    )
+
+
+SQL_CURRENT_PRICE_ATTACH = """
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS symbol,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         value AS close
+  FROM events
+),
+snap AS (
+  SELECT symbol, close AS price FROM bars
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY rn DESC) = 1
+)
+SELECT b.symbol, b.rn,
+       ROUND(b.close, 6) + CAST(0 AS DOUBLE) AS close,
+       ROUND(s.price, 6) + CAST(0 AS DOUBLE) AS current_price
+FROM bars b JOIN snap s USING (symbol)
 """
 
 
@@ -1253,6 +1297,35 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE), 6) + 
 """
 
 
+def q_jaccard_pairs_capped(spark, sf_dir):
+    """The skew knob in action: shingles appearing in more than
+    ``max_shingle_df`` docs are dropped from the inverted index (a
+    boilerplate shingle shared by d docs costs O(d²) candidates), making
+    reported jaccard a LOWER BOUND. The cap semantics are themselves
+    SQL-expressible — a global df filter on the index — so the capped
+    variant gets a full hash-match oracle, not rows-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.4, max_shingle_df=5)
+
+
+SQL_JACCARD_PAIRS_CAPPED = f"""
+WITH {_SHINGLES_SQL},
+inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+kept AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) <= 5),
+inv2 AS (SELECT inv.* FROM inv JOIN kept USING (shingle)),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.n_sh AS n1, b.n_sh AS n2,
+         COUNT(*) AS n_common
+  FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc1, doc2,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS jaccard
+FROM common
+WHERE ROUND(CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE), 6) + CAST(0 AS DOUBLE) >= 0.4
+"""
+
+
 def q_minhash_lsh(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.4)
@@ -1553,44 +1626,51 @@ FROM per_doc GROUP BY source
 
 
 def q_mm_image_meta(spark, sf_dir):
-    """Multimodal plumbing: binary payload column → mapInPandas decode →
-    typed metadata. The fake decoder is arithmetic on payload length, so
-    the whole Arrow round-trip is oracle-checkable."""
+    """Multimodal decode with a REAL codec: each doc becomes a valid PNG
+    (ext.multimodal.make_png — correct signature/IHDR/IDAT/CRCs), and the
+    decoder parses width/height/color-type out of the ACTUAL IHDR bytes
+    (parse_png_header). The oracle recomputes the same dimensions
+    arithmetically from doc_id, so a wrong byte-parse hash-mismatches.
+    n_bytes is dropped from the projection (zlib stream length is not
+    SQL-expressible)."""
     docs = load_table(spark, sf_dir, "documents")
-    return decode_image_meta(binary_payloads(docs), decoder="fake")
+    return decode_image_meta(png_payloads(docs), decoder="png").select(
+        "doc_id", "width", "height", "n_channels"
+    )
 
 
 SQL_MM_IMAGE_META = """
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(16 + (octet_length(encode(text)) % 640) AS INTEGER) AS width,
-       CAST(16 + ((octet_length(encode(text)) // 640) % 480) AS INTEGER) AS height,
-       CAST(1 + (octet_length(encode(text)) % 3) AS INTEGER) AS n_channels
+       CAST(16 + (doc_id % 97) AS INTEGER) AS width,
+       CAST(16 + (doc_id % 53) AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INTEGER) AS n_channels
 FROM documents
 """
 
 
 def q_mm_resize(spark, sf_dir):
-    """Resize planning on decoded image metadata: integer box math after
-    the mapInPandas decode — positive values, so Spark's truncating
-    double→int cast equals SQL floor()."""
+    """Resize planning over REAL PNG header decode: integer box math after
+    the IHDR parse — positive values, so Spark's truncating double→int
+    cast equals SQL floor(). max_side=64 so the fixtures (≤112 px wide)
+    actually downscale."""
     docs = load_table(spark, sf_dir, "documents")
-    return resize_image_meta(binary_payloads(docs), max_side=256)
+    return resize_image_meta(png_payloads(docs), max_side=64, decoder="png").drop(
+        "n_bytes"
+    )
 
 
 SQL_MM_RESIZE = """
 WITH meta AS (
   SELECT doc_id,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         CAST(16 + (octet_length(encode(text)) % 640) AS INTEGER) AS width,
-         CAST(16 + ((octet_length(encode(text)) // 640) % 480) AS INTEGER) AS height,
-         CAST(1 + (octet_length(encode(text)) % 3) AS INTEGER) AS n_channels
+         CAST(16 + (doc_id % 97) AS INTEGER) AS width,
+         CAST(16 + (doc_id % 53) AS INTEGER) AS height,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INTEGER) AS n_channels
   FROM documents
 )
 SELECT *,
-  CAST(floor(width * least(greatest(width, height), 256)
+  CAST(floor(width * least(greatest(width, height), 64)
              / CAST(greatest(width, height) AS DOUBLE)) AS INTEGER) AS target_width,
-  CAST(floor(height * least(greatest(width, height), 256)
+  CAST(floor(height * least(greatest(width, height), 64)
              / CAST(greatest(width, height) AS DOUBLE)) AS INTEGER) AS target_height
 FROM meta
 """
@@ -1620,11 +1700,35 @@ FROM (SELECT doc_id, unnest(range(0, n_frames, 4)) AS f FROM m)
 
 
 def q_mm_audio_features(spark, sf_dir):
-    """Audio feature-vector extraction plumbing (array<double> column) —
-    rows-only check (the driver's value hash does not cover nested
-    arrays); pinned by unit tests instead."""
+    """Audio feature-vector extraction plumbing (array<double> column)
+    over real WAV payloads — rows-only check (the driver's value hash
+    does not cover nested arrays); pinned by unit tests instead."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_audio_features(binary_payloads(docs), n_features=8)
+    return extract_audio_features(wav_payloads(docs), n_features=8)
+
+
+def q_mm_audio_meta(spark, sf_dir):
+    """Audio metadata with a REAL codec: each doc becomes a valid PCM WAV
+    (make_wav) and parse_wav_header walks the actual RIFF chunk list for
+    channels/rate/bits/sample-count; duration is derived. Oracle
+    recomputes everything arithmetically from doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_meta(wav_payloads(docs))
+
+
+SQL_MM_AUDIO_META = """
+SELECT doc_id,
+       CAST(1 + (doc_id % 2) AS INTEGER) AS n_channels,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+       CAST(16 AS INTEGER) AS bits_per_sample,
+       CAST(100 + (doc_id % 400) AS BIGINT) AS n_samples,
+       ROUND(CAST(100 + (doc_id % 400) AS DOUBLE)
+             / CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                               WHEN 2 THEN 22050 ELSE 44100 END, 6)
+         + CAST(0 AS DOUBLE) AS duration_s
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2172,11 +2276,428 @@ QUALIFY rnk <= 20
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H battery completion (shapes q2/q9/q11/q12/q15/q16/q17/q20/q21).
+# The driver fixtures ship no partsupp table and omit several TPC-H
+# columns (shipmode, commit/receipt dates, p_mfgr), so each query keeps
+# the ORIGINAL's operator shape — correlated mins, scalar-threshold
+# HAVING, NOT-IN exclusion, EXISTS/NOT-EXISTS same-table anti-semi —
+# re-targeted at the available columns (lineitem stands in for partsupp
+# as the part↔supplier bridge).
+# ---------------------------------------------------------------------------
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part correlated MIN over a region-restricted
+    supplier pool, then the (part, supplier) rows achieving it. The
+    equality join on unit_cost is safe double equality: both sides carry
+    the SAME min-of-division values (no re-computation). region/nation
+    broadcast; the offers agg and the min-per-part agg share the
+    l_partkey shuffle key so AQE plans one exchange for both."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    pa = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 10) & (F.col("p_size") <= 20) & (F.col("p_type") == "SMALL")
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eur = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eo = offers.join(eur, offers.l_suppkey == eur.s_suppkey)
+    min_part = eo.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("unit_cost").alias("__min_cost")
+    )
+    best = eo.join(
+        min_part,
+        (eo.l_partkey == min_part.__pk) & (eo.unit_cost == min_part.__min_cost),
+    ).join(pa, eo.l_partkey == pa.p_partkey)
+    out = best.select(
+        "s_acctbal", "s_name", "n_name", "p_partkey", _r6("unit_cost").alias("unit_cost")
+    )
+    return top_k(
+        out,
+        [F.col("s_acctbal").desc(), F.col("n_name"), F.col("s_name"), F.col("p_partkey")],
+        100,
+    )
+
+
+SQL_Q2 = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eur AS (
+  SELECT s_suppkey, s_acctbal, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+eo AS (SELECT * FROM offers JOIN eur ON l_suppkey = s_suppkey),
+mp AS (SELECT l_partkey AS pk, MIN(unit_cost) AS min_cost FROM eo GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       ROUND(unit_cost, 6) + CAST(0 AS DOUBLE) AS unit_cost
+FROM eo JOIN mp ON eo.l_partkey = mp.pk AND eo.unit_cost = mp.min_cost
+JOIN part ON eo.l_partkey = p_partkey
+WHERE p_size BETWEEN 10 AND 20 AND p_type = 'SMALL'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit per (nation, year) over a 4-table join
+    (p_retailprice stands in for ps_supplycost). nation broadcasts;
+    part/supplier joins shuffle on their keys and AQE sizes the
+    post-shuffle partitions. The row-level profit expression keeps one
+    fixed association so decimal-sum parity holds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg((decimal_sum(amount, scale=10, precision=28) + F.lit(0.0)).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+SQL_Q9 = """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity
+                      AS DECIMAL(28,10))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_values(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value for one nation's suppliers,
+    HAVING value > fraction × global total. Both the group sums and the
+    scalar threshold are decimal-exact over the SAME base rows, so the
+    > comparison is engine-stable; the scalar joins back as a broadcast
+    (one row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(
+            F.broadcast(na.filter(F.col("n_name") == "NATION_9")),
+            su.s_nationkey == na.n_nationkey,
+        )
+        .select("l_partkey", value.alias("__v"))
+    )
+    pv = base.groupBy("l_partkey").agg(
+        (decimal_sum(F.col("__v"), scale=10, precision=28) + F.lit(0.0)).alias("part_value")
+    )
+    tot = base.agg(
+        (decimal_sum(F.col("__v"), scale=10, precision=28) + F.lit(0.0)).alias("__total")
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("__total"))
+        .select("l_partkey", "part_value")
+    )
+
+
+SQL_Q11 = """
+WITH base AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_9'
+),
+pv AS (
+  SELECT l_partkey,
+    CAST(ROUND(SUM(CAST(v AS DECIMAL(28,10))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS part_value
+  FROM base GROUP BY 1
+),
+tot AS (
+  SELECT CAST(ROUND(SUM(CAST(v AS DECIMAL(28,10))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS total
+  FROM base
+)
+SELECT l_partkey, part_value FROM pv, tot WHERE part_value > 0.001 * total
+"""
+
+
+def q12_priority_class(spark, sf_dir):
+    """TPC-H Q12 shape: two conditional counts per line class after an
+    orders join (l_linestatus stands in for l_shipmode). The year filter
+    reaches the lineitem scan; counts are integer-exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    od = load_table(spark, sf_dir, "orders")
+    high = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).cast("long").alias("high_line_count"),
+            F.sum(1 - high).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_Q12 = """
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue view over a quarter → scalar MAX →
+    equality join back (the view + scalar-subquery pattern). Equality on
+    total_revenue is safe: both sides are the same decimal-exact rounded
+    doubles. The one-row max broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(
+        (decimal_sum(disc, scale=10, precision=28) + F.lit(0.0)).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__max"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__max"))
+        .join(su, rev.l_suppkey == su.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))), 6) AS DOUBLE)
+      + CAST(0 AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    triple, excluding a NOT-IN supplier set (negative-balance suppliers
+    stand in for complaint-comment ones). The exclusion is a broadcast
+    anti-join; countDistinct shuffles once on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: rows below a correlated per-part 0.2×avg(qty)
+    threshold, summed and divided by 7. The per-part average comes from
+    ONE shared aggregate over all lineitem (identical CTE on the oracle
+    side), decimal-exact, so the < comparison can't straddle engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    thr = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.2) * decimal_avg("l_quantity")).alias("__qty_thr")
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(thr, li.l_partkey == thr.__pk)
+        .filter(F.col("l_quantity") < F.col("__qty_thr"))
+        .agg(
+            _r6(
+                decimal_sum("l_extendedprice", scale=10, precision=28) / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_Q17 = """
+WITH thr AS (
+  SELECT l_partkey AS pk,
+    0.2 * (CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(22,6))), 6) AS DOUBLE)
+           / CAST(COUNT(l_quantity) AS DOUBLE)) AS qty_thr
+  FROM lineitem GROUP BY 1
+)
+SELECT
+  ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(28,10))), 6) AS DOUBLE) / 7.0, 6)
+    + CAST(0 AS DOUBLE) AS avg_yearly,
+  COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN thr ON l_partkey = pk
+WHERE p_brand = 'Brand#23' AND l_quantity < qty_thr
+"""
+
+
+def q20_excess_stock(spark, sf_dir):
+    """TPC-H Q20 shape: the nested-IN chain — suppliers whose shipped
+    quantity of name-matched parts in one year exceeds a scalar
+    threshold (half the mean per-supplier quantity, since the fixtures
+    carry no ps_availqty). Part filter broadcasts into the lineitem
+    scan; the threshold is a one-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    pa = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    su = load_table(spark, sf_dir, "supplier")
+    base = li.join(F.broadcast(pa.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    sq = base.groupBy("l_suppkey").agg(
+        (decimal_sum("l_quantity") + F.lit(0.0)).alias("total_qty")
+    )
+    thr = base.agg(
+        (
+            F.lit(0.5)
+            * (decimal_sum("l_quantity") + F.lit(0.0))
+            / F.countDistinct("l_suppkey").cast("double")
+        ).alias("__thr")
+    )
+    return (
+        sq.join(F.broadcast(thr))
+        .filter(F.col("total_qty") > F.col("__thr"))
+        .join(su, sq.l_suppkey == su.s_suppkey)
+        .select("s_suppkey", "s_name", "total_qty")
+    )
+
+
+SQL_Q20 = """
+WITH base AS (
+  SELECT l_suppkey, l_quantity
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+),
+sq AS (
+  SELECT l_suppkey,
+    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(22,6))), 6) AS DOUBLE)
+      + CAST(0 AS DOUBLE) AS total_qty
+  FROM base GROUP BY 1
+),
+thr AS (
+  SELECT 0.5 * (CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(22,6))), 6) AS DOUBLE)
+                + CAST(0 AS DOUBLE))
+         / CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) AS t
+  FROM base
+)
+SELECT s_suppkey, s_name, total_qty
+FROM sq, thr
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_qty > t
+"""
+
+
+def q21_waiting_orders(spark, sf_dir):
+    """TPC-H Q21 shape: EXISTS + NOT-EXISTS against the same table under
+    different aliases — one nation's suppliers whose returned (flag R)
+    lines sit in multi-supplier orders where NO other supplier returned.
+    Expressed as a semi-join then an anti-join, both shuffling on
+    l_orderkey so AQE reuses the exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    s9 = su.join(
+        F.broadcast(na.filter(F.col("n_name") == "NATION_9")),
+        su.s_nationkey == na.n_nationkey,
+    ).select("s_suppkey", "s_name")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(s9, li.l_suppkey == s9.s_suppkey)
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    others_r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_ok"), F.col("l_suppkey").alias("r_sk")
+    )
+    waited = l1.join(
+        others,
+        (l1.l_orderkey == others.o_ok) & (l1.l_suppkey != others.o_sk),
+        "left_semi",
+    ).join(
+        others_r,
+        (F.col("l_orderkey") == others_r.r_ok) & (F.col("l_suppkey") != others_r.r_sk),
+        "left_anti",
+    )
+    out = waited.groupBy("s_name").agg(F.count("*").cast("long").alias("numwait"))
+    return top_k(out, [F.col("numwait").desc(), F.col("s_name")], 100)
+
+
+SQL_Q21 = """
+WITH s9 AS (
+  SELECT s_suppkey, s_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_9'
+),
+l1 AS (
+  SELECT l_orderkey, l_suppkey, s_name
+  FROM lineitem JOIN s9 ON l_suppkey = s_suppkey
+  WHERE l_returnflag = 'R'
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM l1
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
     "explode_renest": Query(q_explode_renest, SQL_EXPLODE_RENEST),
     "snapshot_roundtrip": Query(q_snapshot_roundtrip, SQL_SNAPSHOT_ROUNDTRIP),
+    "current_price_attach": Query(q_current_price_attach, SQL_CURRENT_PRICE_ATTACH),
     "ma_windows": Query(q_ma_windows, SQL_MA_WINDOWS, headline=True),
     "rsi14": Query(q_rsi14, SQL_RSI14),
     "ema_macd": Query(q_ema_macd, SQL_EMA_MACD),
@@ -2199,6 +2720,15 @@ CATALOG: dict[str, Query] = {
     "q8_market_share": Query(q8_market_share, SQL_Q8),
     "q22_idle_customers": Query(q22_idle_customers, SQL_Q22),
     "q4_order_priority": Query(q4_order_priority, SQL_Q4),
+    "q2_min_cost_supplier": Query(q2_min_cost_supplier, SQL_Q2),
+    "q9_product_profit": Query(q9_product_profit, SQL_Q9, headline=True),
+    "q11_important_values": Query(q11_important_values, SQL_Q11),
+    "q12_priority_class": Query(q12_priority_class, SQL_Q12),
+    "q15_top_supplier": Query(q15_top_supplier, SQL_Q15),
+    "q16_supplier_cnt": Query(q16_supplier_cnt, SQL_Q16),
+    "q17_small_qty_revenue": Query(q17_small_qty_revenue, SQL_Q17),
+    "q20_excess_stock": Query(q20_excess_stock, SQL_Q20),
+    "q21_waiting_orders": Query(q21_waiting_orders, SQL_Q21),
     "scalar_subquery": Query(q_scalar_subquery, SQL_SCALAR_SUBQUERY),
     "range_frame": Query(q_range_frame, SQL_RANGE_FRAME),
     "agg_event_stats": Query(q_agg_event_stats, SQL_AGG_EVENT_STATS),
@@ -2225,7 +2755,10 @@ CATALOG: dict[str, Query] = {
     "session_windows": Query(q_session_windows, SQL_SESSION_WINDOWS, headline=True),
     # extensions
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT),
-    "jaccard_pairs": Query(q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "jaccard_pairs": Query(q_jaccard_pairs, SQL_JACCARD_PAIRS, headline=True),
+    "jaccard_pairs_capped": Query(
+        q_jaccard_pairs_capped, SQL_JACCARD_PAIRS_CAPPED, headline=True
+    ),
     "minhash_lsh": Query(q_minhash_lsh, SQL_MINHASH_LSH, headline=True),
     "simhash": Query(q_simhash, None),  # engine-specific hash → rows-only
     "simhash_md5": Query(q_simhash_md5, SQL_SIMHASH_MD5),
@@ -2245,6 +2778,7 @@ CATALOG: dict[str, Query] = {
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
     "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
     "mm_audio_features": Query(q_mm_audio_features, None),
+    "mm_audio_meta": Query(q_mm_audio_meta, SQL_MM_AUDIO_META),
 }
 
 

@@ -99,3 +99,45 @@ def test_q22_anti_join_no_nested_loop(spark):
     s = _explain(CATALOG["q22_idle_customers"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in s
     assert "LeftAnti" in s or "left_anti" in s.lower()
+
+
+def test_q2_correlated_min_no_cartesian(spark):
+    """The per-part min equality join must stay an equi-join; region/
+    nation dims broadcast."""
+    s = _explain(CATALOG["q2_min_cost_supplier"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in s and "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s
+
+
+def test_q9_broadcasts_nation_only_planned_joins(spark):
+    s = _explain(CATALOG["q9_product_profit"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s
+
+
+def test_q11_threshold_is_broadcast_scalar(spark):
+    """The one-row total joins as a broadcast nested loop (the correct
+    idiom for a scalar), never a shuffled cartesian."""
+    s = _explain(CATALOG["q11_important_values"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s
+    assert "Broadcast" in s
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    s = _explain(CATALOG["q16_supplier_cnt"].fn(spark, SF_DIR))
+    assert "LeftAnti" in s or "left_anti" in s.lower()
+    assert "Broadcast" in s
+
+
+def test_q21_semi_and_anti_share_orderkey_exchange(spark):
+    """EXISTS → left-semi, NOT EXISTS → left-anti; both join on
+    l_orderkey with the inequality as a residual — no nested loop."""
+    s = _explain(CATALOG["q21_waiting_orders"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in s and "CartesianProduct" not in s
+    assert ("LeftSemi" in s or "left_semi" in s.lower())
+    assert ("LeftAnti" in s or "left_anti" in s.lower())
+
+
+def test_current_price_attach_broadcasts_snapshot(spark):
+    s = _explain(CATALOG["current_price_attach"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in s

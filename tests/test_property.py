@@ -103,3 +103,38 @@ def test_engine_matches_reference_formulae(spark, data):
         assert set(got["suggestion"]) <= set(SUGGESTIONS) | {DEFAULT_SUGGESTION}
         warm = got[got["ma20"].isna()]
         assert (warm["suggestion"] == DEFAULT_SUGGESTION).all()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=300),
+    h=st.integers(min_value=1, max_value=120),
+    ct=st.sampled_from([0, 2, 3, 4, 6]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_header_roundtrip_property(w, h, ct, seed):
+    """Any (dims, color type, seed): make_png emits a parseable PNG and
+    parse_png_header reads the exact dims/channels back off the bytes."""
+    from airflow_kafka_spark_spark.ext.multimodal import (
+        _PNG_CHANNELS,
+        make_png,
+        parse_png_header,
+    )
+
+    png = make_png(w, h, seed=seed, color_type=ct)
+    assert parse_png_header(png) == (w, h, _PNG_CHANNELS[ct])
+
+
+@given(
+    rate=st.sampled_from([8000, 11025, 16000, 22050, 44100, 48000]),
+    ch=st.integers(min_value=1, max_value=8),
+    n=st.integers(min_value=1, max_value=5000),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_header_roundtrip_property(rate, ch, n, bits, seed):
+    from airflow_kafka_spark_spark.ext.multimodal import make_wav, parse_wav_header
+
+    wav = make_wav(rate, ch, n, seed=seed, bits=bits)
+    assert parse_wav_header(wav) == (ch, rate, bits, n)

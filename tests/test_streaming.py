@@ -118,6 +118,58 @@ def test_watermarked_tumbling_window(spark):
     assert len(got) == 3 and all(r["n_events"] == 3 for r in got)
 
 
+def test_watermarked_sliding_window(spark):
+    """Sliding event-time windows (2 h window / 1 h slide) on a stream
+    under a watermark: tumbling_agg's sliding variant — every event must
+    land in exactly two overlapping windows."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.operators.temporal import tumbling_agg
+
+    workdir = tempfile.mkdtemp()
+    src = os.path.join(workdir, "in")
+    rows = [
+        (f"2024-01-01 {h:02d}:{m:02d}:00", "click", 1.0)
+        for h in range(3)
+        for m in (5, 25, 45)
+    ]
+    batch = spark.createDataFrame(
+        rows, "ts_s string, event_type string, value double"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    batch.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(src)
+    windowed = tumbling_agg(
+        stream.withWatermark("ts", "1 hour"),
+        "ts",
+        "2 hours",
+        ["event_type"],
+        [F.count("*").alias("n_events")],
+        slide="1 hour",
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("slide_test")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT window_start, n_events FROM slide_test ORDER BY window_start"
+    ).collect()
+    # events in hour h fall in windows starting h-1 and h (epoch-aligned)
+    assert [r["n_events"] for r in got] == [3, 6, 6, 3]
+    assert sum(r["n_events"] for r in got) == 2 * len(rows)
+
+
 def test_streaming_dedup_within_watermark(spark):
     """Duplicate event ids across micro-batches are dropped while the
     watermark holds the dedup state."""
