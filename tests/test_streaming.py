@@ -170,6 +170,64 @@ def test_watermarked_sliding_window(spark):
     assert sum(r["n_events"] for r in got) == 2 * len(rows)
 
 
+def test_watermark_drops_late_rows_append_mode(spark):
+    """Append-mode windowed agg: a row arriving BEHIND the watermark is
+    dropped and its already-finalized window is never re-emitted — the
+    at-most-once-per-window contract replay/lag recovery relies on."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.operators.temporal import tumbling_agg
+
+    workdir = tempfile.mkdtemp()
+    src = os.path.join(workdir, "in")
+    os.makedirs(src)
+    schema = "ts timestamp, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "ts_s string, value double").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(workdir, name))
+        import glob
+        import shutil
+
+        for f in glob.glob(os.path.join(workdir, name, "part-*")):
+            shutil.move(f, os.path.join(src, f"{name}.parquet"))
+
+    write_batch("b1", [("2024-01-01 01:05:00", 1.0), ("2024-01-01 02:05:00", 1.0)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    windowed = tumbling_agg(
+        stream.withWatermark("ts", "0 seconds"),
+        "ts",
+        "1 hour",
+        [],
+        [F.count("*").alias("n")],
+    ).select("window_start", "n")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one late row (01:30 < watermark 02:05) + one fresh row
+        # that pushes the watermark past the 02:00 window
+        write_batch("b2", [("2024-01-01 01:30:00", 99.0), ("2024-01-01 03:05:00", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["window_start"].strftime("%H:%M"): r["n"]
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # the 01:00 window closed with n=1; the late 01:30 row neither
+    # re-opened it nor appeared anywhere
+    assert got == {"01:00": 1, "02:00": 1}, got
+
+
 def test_streaming_dedup_within_watermark(spark):
     """Duplicate event ids across micro-batches are dropped while the
     watermark holds the dedup state."""
