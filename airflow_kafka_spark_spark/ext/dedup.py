@@ -249,6 +249,76 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over near-dup
+    pairs via iterative min-label propagation — each node's label
+    converges to the minimum doc_id reachable from it, so ``label`` is a
+    deterministic cluster id AND the canonical keeper (keep the doc whose
+    id equals its label, drop the rest).
+
+    Per iteration: one join edges⋈labels + one min-aggregate — both
+    shuffle on the key, no driver-side graph. Converges in O(cluster
+    diameter) iterations; near-dup clusters are shallow (pair generation
+    links most members directly), so the default cap is generous. This is
+    the standard scalable CC shape (cf. Kiveris et al., "Connected
+    Components in MapReduce and Beyond" — the simpler neighbor-min
+    variant suffices at dup-cluster diameters). Each iteration's labels
+    are persisted and the previous generation unpersisted; the
+    convergence check is a limit(1).count() probe, not a collect.
+    """
+    e = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u")).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("u").alias("v"), "label"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    # the final label generation stays persisted (the caller's action
+    # reads it; an unpersist here would force a full lineage recompute) —
+    # released via release_minhash_caches(), same lifecycle as the
+    # shingle caches.
+    _OWNED_CACHES.append(labels)
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("component"),
+        (F.col("u") == F.col("label")).alias("is_keeper"),
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens: per token take 64 bits of
     xxhash64, sum ±1 per bit position weighted by term frequency, sign →

@@ -1374,6 +1374,67 @@ SELECT doc1, doc2, jaccard FROM verified WHERE jaccard >= 0.4
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster resolution: MinHash-LSH near-dup pairs →
+    connected components (iterative min-label propagation,
+    ext.dedup.connected_components) → one keeper per cluster. The oracle
+    replays the same pair generation and resolves components with a
+    recursive CTE (min reachable id) — an iterative Spark algorithm
+    checked value-for-value against declarative SQL recursion."""
+    from ..ext.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.4)
+    return connected_components(pairs)
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+sig AS (
+  SELECT doc_id, shingles, {', '.join(_mh_sql(i) for i in range(8))}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, shingles, unnest([
+    md5('0|' || mh0 || '|' || mh1),
+    md5('1|' || mh2 || '|' || mh3),
+    md5('2|' || mh4 || '|' || mh5),
+    md5('3|' || mh6 || '|' || mh7)
+  ]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc1, c.doc2,
+         ROUND(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+               / CAST(len(s1.shingles) + len(s2.shingles)
+                      - len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE), 6)
+           + CAST(0 AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN sh s1 ON c.doc1 = s1.doc_id
+  JOIN sh s2 ON c.doc2 = s2.doc_id
+),
+pairs AS (SELECT doc1, doc2 FROM verified WHERE jaccard >= 0.4),
+edges AS (
+  SELECT doc1 AS u, doc2 AS v FROM pairs
+  UNION ALL
+  SELECT doc2, doc1 FROM pairs
+),
+reach(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS doc_id, MIN(label) AS component, MIN(label) = u AS is_keeper
+FROM reach GROUP BY u
+"""
+
+
+
+
 def q_simhash(spark, sf_dir):
     """xxhash64-based SimHash — engine-specific hash, rows-only check
     (pinned by unit tests instead; SURVEY.md §5.2.1 fallback)."""
@@ -2716,6 +2777,7 @@ CATALOG: dict[str, Query] = {
         q_jaccard_pairs_capped, SQL_JACCARD_PAIRS_CAPPED, headline=True
     ),
     "minhash_lsh": Query(q_minhash_lsh, SQL_MINHASH_LSH, headline=True),
+    "dedup_components": Query(q_dedup_components, SQL_DEDUP_COMPONENTS),
     "simhash": Query(q_simhash, None),  # engine-specific hash → rows-only
     "simhash_md5": Query(q_simhash_md5, SQL_SIMHASH_MD5),
     "sql_api_q6": Query(q_sql_api_q6, SQL_Q6),

@@ -78,3 +78,24 @@ def test_ivf_ann_recall(spark):
             assert cos == exact[vid]
     recall = len(set(approx) & set(exact)) / len(exact)
     assert recall >= 0.5, (recall, approx, exact)
+
+
+def test_connected_components_chain_and_isolated_pair(spark):
+    """A 6-node path (needs multiple propagation rounds) plus a separate
+    pair: every node must land on its component's min id, keepers are
+    exactly the min-id nodes."""
+    from airflow_kafka_spark_spark.ext.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (50, 51)],
+        "doc1 long, doc2 long",
+    )
+    got = {
+        r["doc_id"]: (r["component"], r["is_keeper"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        10: (10, True), 11: (10, False), 12: (10, False),
+        13: (10, False), 14: (10, False), 15: (10, False),
+        50: (50, True), 51: (50, False),
+    }
