@@ -102,3 +102,82 @@ def language_profile(docs: DataFrame) -> DataFrame:
         ).alias("avg_chars"),
         F.sum("looks_en").cast("long").alias("n_looks_en"),
     )
+
+
+def pack_token_shards(
+    docs: DataFrame, budget: int = 2048, text_col: str = "text"
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget training
+    shards. Docs are ordered deterministically per language (md5 of
+    doc_id — reproducible under re-runs, partitioning, and cluster
+    size), then greedily packed: a doc's shard is the number of FULL
+    budgets consumed before it (running-sum prefix // budget).
+
+    One shuffle on the stratum key; the running sum is a Window prefix
+    sum — per-language sequential by construction (packing is an ordered
+    assignment), but languages pack in parallel and shard ids are stable.
+    """
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    t = docs.select(
+        "lang",
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        h.alias("__h"),
+    )
+    w = Window.partitionBy("lang").orderBy("__h", "doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")).cast("double") / F.lit(float(budget)))
+        .cast("long")
+        .alias("shard"),
+    )
+
+
+def contamination_scores(
+    docs: DataFrame, benchmark: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Benchmark decontamination: per-document n-gram overlap against the
+    distinct shingle set of a benchmark corpus — the standard check that
+    training data does not contain evaluation data.
+
+    The benchmark shingle set is small relative to the corpus (that's
+    the premise), so it broadcasts and the overlap count is a map-side
+    join + one aggregate on doc_id; corpus shingles are never collected
+    or shuffled whole. contamination = hits / doc shingles, in [0, 1].
+    """
+    from .dedup import word_shingles
+
+    d = docs.select(
+        "doc_id", word_shingles(F.col(text_col), n).alias("__sh")
+    ).select("doc_id", "__sh", F.size("__sh").cast("long").alias("n_sh"))
+    bench = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        ).distinct()
+    )
+    hits = (
+        d.select("doc_id", F.explode("__sh").alias("shingle"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (
+        d.select("doc_id", "n_sh")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            n_hits.alias("n_hits"),
+            (
+                F.round(n_hits.cast("double") / F.col("n_sh").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("contamination"),
+        )
+    )

@@ -1686,6 +1686,76 @@ FROM per_doc GROUP BY source
 """
 
 
+def q_token_shards(spark, sf_dir):
+    """Sequence packing into fixed token-budget shards
+    (ext.textstats.pack_token_shards): deterministic md5 order per
+    language, running token sum, shard = prefix // budget. The oracle is
+    the same window prefix-sum."""
+    from ..ext.textstats import pack_token_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_token_shards(docs, budget=2048)
+
+
+SQL_TOKEN_SHARDS = """
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+  FROM t
+)
+SELECT lang, doc_id, n_tokens,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS shard
+FROM c
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ext.textstats.contamination_scores):
+    the 2% md5-bucket of docs plays the held-out benchmark; every
+    corpus doc gets its 3-gram overlap ratio against the benchmark's
+    distinct shingles. Benchmark docs score 1.0 (self-overlap), clean
+    docs 0.0 — the oracle recomputes the identical sets."""
+    from ..ext.textstats import contamination_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return contamination_scores(docs, docs.filter(bucket < 2))
+
+
+SQL_DECONTAMINATE = f"""
+WITH {_SHINGLES_SQL},
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 2
+),
+hits AS (
+  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) s
+  JOIN bench USING (shingle)
+  GROUP BY 1
+)
+SELECT sh.doc_id,
+       CAST(len(sh.shingles) AS BIGINT) AS n_sh,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(len(sh.shingles) AS DOUBLE), 6)
+         + CAST(0 AS DOUBLE) AS contamination
+FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id
+"""
+
+
 def q_mm_image_meta(spark, sf_dir):
     """Multimodal decode with a REAL codec: each doc becomes a valid PNG
     (ext.multimodal.make_png — correct signature/IHDR/IDAT/CRCs), and the
@@ -2792,6 +2862,8 @@ CATALOG: dict[str, Query] = {
     "quality_filter": Query(q_quality_filter, SQL_QUALITY_FILTER),
     "hash_sample": Query(q_hash_sample, SQL_HASH_SAMPLE),
     "stratified_sample": Query(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "token_shards": Query(q_token_shards, SQL_TOKEN_SHARDS),
+    "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
     "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
