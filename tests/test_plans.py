@@ -141,3 +141,23 @@ def test_q21_semi_and_anti_share_orderkey_exchange(spark):
 def test_current_price_attach_broadcasts_snapshot(spark):
     s = _explain(CATALOG["current_price_attach"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in s
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The benchmark shingle set must broadcast — a shuffle join here
+    would move the whole corpus's exploded shingles."""
+    s = _explain(CATALOG["decontaminate"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_token_shards_single_window_exchange(spark):
+    """Packing is one hash partitioning on lang + one window prefix sum —
+    no extra shuffles."""
+    s = _explain(CATALOG["token_shards"].fn(spark, SF_DIR))
+    assert s.count("Exchange") == 1, s
+
+
+def test_dedup_components_no_cartesian(spark):
+    s = _explain(CATALOG["dedup_components"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s and "NestedLoop" not in s

@@ -228,6 +228,71 @@ def test_watermark_drops_late_rows_append_mode(spark):
     assert got == {"01:00": 1, "02:00": 1}, got
 
 
+def test_windowed_agg_restart_no_double_count(spark):
+    """T3/T12 for windowed aggregation: stop the query, add data,
+    restart from the SAME checkpoint — counts must reflect every row
+    exactly once (state restored, batch 1 not re-aggregated)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.operators.temporal import tumbling_agg
+
+    workdir = tempfile.mkdtemp()
+    src = os.path.join(workdir, "in")
+    os.makedirs(src)
+    ckpt = os.path.join(workdir, "ckpt")
+
+    def write_batch(name, rows):
+        import glob
+        import shutil
+
+        spark.createDataFrame(rows, "ts_s string, value double").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(workdir, name))
+        for f in glob.glob(os.path.join(workdir, name, "part-*")):
+            shutil.move(f, os.path.join(src, f"{name}.parquet"))
+
+    def run_until_drained(qname):
+        stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+        windowed = tumbling_agg(
+            stream.withWatermark("ts", "1 hour"),
+            "ts",
+            "1 hour",
+            [],
+            [F.count("*").alias("n")],
+        ).select("window_start", "n")
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_batch("b1", [("2024-01-01 01:05:00", 1.0), ("2024-01-01 01:25:00", 1.0)])
+    run_until_drained("restart_a")
+    got1 = {
+        r["window_start"].strftime("%H:%M"): r["n"]
+        for r in spark.sql("SELECT * FROM restart_a").collect()
+    }
+    assert got1 == {"01:00": 2}, got1
+
+    # second lifetime, same checkpoint: one more row in the same window
+    # plus a new window — the old window must show 3, NOT 5 (no replay)
+    write_batch("b2", [("2024-01-01 01:45:00", 1.0), ("2024-01-01 02:10:00", 1.0)])
+    run_until_drained("restart_b")
+    got2 = {
+        r["window_start"].strftime("%H:%M"): r["n"]
+        for r in spark.sql("SELECT * FROM restart_b").collect()
+    }
+    assert got2 == {"01:00": 3, "02:00": 1}, got2
+
+
 def test_streaming_dedup_within_watermark(spark):
     """Duplicate event ids across micro-batches are dropped while the
     watermark holds the dedup state."""
