@@ -1831,11 +1831,58 @@ FROM (SELECT doc_id, unnest(range(0, n_frames, 4)) AS f FROM m)
 
 
 def q_mm_audio_features(spark, sf_dir):
-    """Audio feature-vector extraction plumbing (array<double> column)
-    over real WAV payloads — rows-only check (the driver's value hash
-    does not cover nested arrays); pinned by unit tests instead."""
+    """Audio feature-vector extraction over real WAV payloads, exploded
+    to (doc_id, feat_idx, feat_value) rows so the driver's value hash
+    covers every element (the wide array<double> variant is the library
+    op — extract_audio_features — pinned by unit tests). The features
+    are per-chunk byte means with numpy array_split boundaries; the WAV
+    data bytes are (doc_id + i) % 256, so the oracle regenerates the
+    exact values from a lateral range — integer sums < 2^53 are exact in
+    float64 regardless of summation order, so the means are
+    bit-identical."""
     docs = load_table(spark, sf_dir, "documents")
-    return extract_audio_features(wav_payloads(docs), n_features=8)
+    # strip the fixed 44-byte RIFF/fmt/data container header: features
+    # are over the audio SAMPLES, not the file envelope (and make_wav's
+    # canonical layout puts data at offset 44)
+    samples = wav_payloads(docs).select(
+        "doc_id", F.expr("substring(payload, 45)").alias("payload")
+    )
+    wide = extract_audio_features(samples, n_features=8)
+    return wide.select(
+        "doc_id",
+        F.posexplode("features").alias("feat_idx", "__v"),
+    ).select(
+        "doc_id",
+        F.col("feat_idx").cast("int").alias("feat_idx"),
+        _r6(F.col("__v")).alias("feat_value"),
+    )
+
+
+# WAV layout (ext.multimodal.wav_payloads/make_wav): n_samples =
+# 100 + doc_id%400, block_align = 2 bytes/sample × (1 + doc_id%2)
+# channels, data byte i = (doc_id + i) % 256. array_split boundaries:
+# chunk j of 8 over m bytes = [j*(m//8) + least(j, m%8), same(j+1)).
+SQL_MM_AUDIO_FEATURES = """
+WITH m AS (
+  SELECT doc_id,
+         (100 + doc_id % 400) * (2 * (1 + doc_id % 2)) AS n_bytes
+  FROM documents
+),
+bounds AS (
+  SELECT doc_id, n_bytes, j.j AS feat_idx,
+         j.j * (n_bytes // 8) + least(j.j, n_bytes % 8) AS a,
+         (j.j + 1) * (n_bytes // 8) + least(j.j + 1, n_bytes % 8) AS b
+  FROM m, unnest(range(0, 8)) AS j(j)
+),
+vals AS (
+  SELECT doc_id, feat_idx, (doc_id + i.i) % 256 AS v
+  FROM bounds, unnest(range(a, b)) AS i(i)
+)
+SELECT doc_id, CAST(feat_idx AS INTEGER) AS feat_idx,
+       ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         + CAST(0 AS DOUBLE) AS feat_value
+FROM vals GROUP BY 1, 2
+"""
 
 
 def q_mm_audio_meta(spark, sf_dir):
@@ -2867,7 +2914,7 @@ CATALOG: dict[str, Query] = {
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
     "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
-    "mm_audio_features": Query(q_mm_audio_features, None),
+    "mm_audio_features": Query(q_mm_audio_features, SQL_MM_AUDIO_FEATURES),
     "mm_audio_meta": Query(q_mm_audio_meta, SQL_MM_AUDIO_META),
     # temporal surface
     "asof_join_purchase": Query(q_asof_purchase, SQL_ASOF_PURCHASE, headline=True),

