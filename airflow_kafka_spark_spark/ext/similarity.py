@@ -276,3 +276,37 @@ def ann_topk_bucketed(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the storage /
+    bandwidth step an ANN index build runs before sharding vectors
+    (scale = max|v|/127 per vector, q = round(v/scale)).
+
+    Map-only: per-vector scale is a JVM higher-order fold, values
+    posexplode to (vec_id, pos, qval) rows — no shuffle, no Python, so
+    it streams through a 100 TB corpus at scan speed. Rounding is
+    ``floor(x + 0.5)`` written out explicitly because engines disagree on
+    round-half-to-even; floor is exact in IEEE double everywhere.
+    """
+    maxabs = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = maxabs / F.lit(127.0)
+    pe = embeddings.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    qval = F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+        F.floor(F.col("v").cast("double") / F.col("scale") + F.lit(0.5))
+    )
+    return pe.select(
+        "vec_id",
+        # 1-based to match SQL generate_subscripts
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        qval.cast("long").alias("qval"),
+        (F.round(F.col("scale"), 6) + F.lit(0.0)).alias("scale_r"),
+    )

@@ -181,3 +181,163 @@ def contamination_scores(
             ).alias("contamination"),
         )
     )
+
+
+def bigrams(t: Column) -> Column:
+    """Adjacent token pairs as ``"a b"`` strings, JVM-side: two slices
+    zipped — no explode needed to *build* them (consumers explode when
+    they need per-bigram rows)."""
+    n = F.greatest(F.size(t) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(t, 1, n),
+        F.slice(t, 2, n),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, public):
+    per document, the fraction of tokens taken by the most frequent
+    unigram, by the most frequent bigram, and by bigrams occurring more
+    than once. High values flag boilerplate / degenerate text.
+
+    explode → two-level aggregate: per-(doc, gram) counts combine
+    map-side, then per-doc maxima — one shuffle keyed on (doc_id, gram),
+    no per-doc quadratic work, so arbitrarily large documents and corpora
+    partition cleanly.
+    """
+    t = tokens(F.col(text_col))
+    base = docs.select("doc_id", t.alias("t"), bigrams(t).alias("bg"))
+    uni = (
+        base.select("doc_id", F.explode("t").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_uni"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+    bi = (
+        base.select("doc_id", F.explode("bg").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bi"),
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_bi"),
+        )
+    )
+    frac = lambda a, b: F.round(a.cast("double") / b.cast("double"), 6)  # noqa: E731
+    zero = F.lit(0.0)
+    return (
+        uni.join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (frac(F.col("top_uni"), F.col("n_tokens")) + zero).alias(
+                "top_unigram_frac"
+            ),
+            (F.coalesce(frac(F.col("top_bi"), F.col("n_bigrams")), zero) + zero)
+            .alias("top_bigram_frac"),
+            (F.coalesce(frac(F.col("dup_bi"), F.col("n_bigrams")), zero) + zero)
+            .alias("dup_bigram_frac"),
+        )
+    )
+
+
+# PII patterns shared verbatim with the SQL oracle — kept to syntax that
+# means the same thing in Java regex (Spark) and RE2 (DuckDB).
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_LONGNUM = "\\b[0-9]{6,}\\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based PII scrub for training corpora: emails, IPv4 addresses,
+    long digit runs (account/phone-shaped) → typed placeholder tokens,
+    with per-document match counts for audit. Pure ``regexp_replace`` /
+    ``regexp_count`` — JVM-side, no Python, trivially parallel (no
+    shuffle at all: this is a map-only operator).
+
+    Order matters: IPv4 before LONGNUM so an address is not half-eaten
+    as a digit run; emails first so their domains don't match later
+    rules.
+    """
+    txt = F.col(text_col)
+    n_emails = F.regexp_count(txt, F.lit(PII_EMAIL))
+    n_ips = F.regexp_count(txt, F.lit(PII_IPV4))
+    step1 = F.regexp_replace(txt, PII_EMAIL, "<EMAIL>")
+    step2 = F.regexp_replace(step1, PII_IPV4, "<IP>")
+    n_longnums = F.regexp_count(step2, F.lit(PII_LONGNUM))
+    clean = F.regexp_replace(step2, PII_LONGNUM, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+        F.length(clean).cast("long").alias("clean_len"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_longnums.cast("long").alias("n_longnums"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Per-document top-k terms by tf-idf (smoothed idf
+    ``ln((N+1)/(df+1))``). The shape a keyword-extraction / corpus-search
+    feature pipeline needs.
+
+    Scale: term frequencies and document frequencies are two shuffles on
+    (doc_id, term) / term with map-side combine; N arrives as a 1-row
+    broadcast (no driver collect). Ranking windows over doc_id — the
+    same key the tf aggregate already hashed on, so AQE coalesces
+    without an extra exchange. Scores are rounded to 6dp BEFORE ranking
+    so Spark and the SQL oracle order identically (ties break on term).
+    """
+    from pyspark.sql import Window
+
+    t = tokens(F.col(text_col))
+    pairs = (
+        docs.select("doc_id", F.explode(t).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        pairs.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("n_docs") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "rnk", "term", (F.col("score") + F.lit(0.0)).alias("score"))
+    )
+
+
+def corpus_bigram_topk(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k bigrams — the n-gram census a tokenizer-training
+    or domain-mix analysis step runs. One explode + one hash aggregate
+    with map-side combine; the final top-k is a TakeOrdered over the
+    aggregated (small) gram table, never over raw rows."""
+    t = tokens(F.col(text_col))
+    return (
+        docs.select(F.explode(bigrams(t)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(k)
+    )

@@ -1756,6 +1756,167 @@ FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals
+    (ext.textstats.repetition_stats): top-unigram / top-bigram / dup-
+    bigram token fractions per document. explode + two-level hash
+    aggregate — one shuffle keyed on (doc_id, gram)."""
+    from ..ext.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+uni AS (
+  SELECT doc_id, u.g AS g, COUNT(*) AS c
+  FROM toks, UNNEST(t) AS u(g) GROUP BY doc_id, u.g
+),
+unis AS (
+  SELECT doc_id, MAX(c) AS top_uni, CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM uni GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+),
+bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+bgs AS (
+  SELECT doc_id, MAX(c) AS top_bi, SUM(c) AS n_bigrams,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bi
+  FROM bgc GROUP BY doc_id
+)
+SELECT u.doc_id, u.n_tokens,
+  ROUND(CAST(u.top_uni AS DOUBLE) / CAST(u.n_tokens AS DOUBLE), 6)
+    + CAST(0 AS DOUBLE) AS top_unigram_frac,
+  COALESCE(ROUND(CAST(b.top_bi AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE), 6), 0)
+    + CAST(0 AS DOUBLE) AS top_bigram_frac,
+  COALESCE(ROUND(CAST(b.dup_bi AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE), 6), 0)
+    + CAST(0 AS DOUBLE) AS dup_bigram_frac
+FROM unis u LEFT JOIN bgs b ON u.doc_id = b.doc_id
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """Rule-based PII scrub (ext.textstats.redact_pii): emails / IPv4 /
+    long digit runs → typed placeholders, with per-doc audit counts.
+    Map-only regexp_replace chain; the oracle re-runs the same patterns
+    under RE2, and the md5 of the cleaned text pins byte-for-byte
+    equality of the redaction."""
+    from ..ext.textstats import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return redact_pii(docs)
+
+
+SQL_PII_REDACT = """
+WITH s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
+    len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
+    regexp_replace(
+      regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS t2
+  FROM documents
+)
+SELECT doc_id,
+  md5(regexp_replace(t2, '\\b[0-9]{6,}\\b', '<NUM>', 'g')) AS clean_md5,
+  CAST(length(regexp_replace(t2, '\\b[0-9]{6,}\\b', '<NUM>', 'g')) AS BIGINT) AS clean_len,
+  CAST(n_emails AS BIGINT) AS n_emails,
+  CAST(n_ips AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(t2, '\\b[0-9]{6,}\\b')) AS BIGINT) AS n_longnums
+FROM s1
+"""
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 tf-idf terms (ext.textstats.tfidf_top_terms).
+    Two keyed aggregates + a broadcast 1-row corpus count; ranking on the
+    6dp-rounded score so Spark and DuckDB order identically."""
+    from ..ext.textstats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+SQL_TFIDF_TOPK = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+pairs AS (
+  SELECT doc_id, u.term AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks, UNNEST(t) AS u(term) GROUP BY doc_id, u.term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term,
+         ROUND(CAST(p.tf AS DOUBLE)
+               * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)), 6) AS score
+  FROM pairs p JOIN dfreq d ON p.term = d.term, n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, term, score + CAST(0 AS DOUBLE) AS score
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Corpus-wide top-20 bigram census (ext.textstats.corpus_bigram_topk):
+    one explode + one hash aggregate with map-side combine, TakeOrdered
+    over the aggregated gram table."""
+    from ..ext.textstats import corpus_bigram_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_bigram_topk(docs, k=20)
+
+
+SQL_NGRAM_TOPK = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bg AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization
+    (ext.similarity.quantize_embeddings): per-vector scale via a JVM
+    fold, values posexploded to scalar rows. Map-only — streams at scan
+    speed; floor(x+0.5) rounding is written out so both engines agree."""
+    from ..ext.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+         embedding
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, scale,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM s
+)
+SELECT vec_id, pos,
+  CAST(CASE WHEN scale = 0 THEN 0 ELSE floor(v / scale + 0.5) END AS BIGINT) AS qval,
+  ROUND(scale, 6) + CAST(0 AS DOUBLE) AS scale_r
+FROM ex
+"""
+
+
 def q_mm_image_meta(spark, sf_dir):
     """Multimodal decode with a REAL codec: each doc becomes a valid PNG
     (ext.multimodal.make_png — correct signature/IHDR/IDAT/CRCs), and the
@@ -2911,6 +3072,11 @@ CATALOG: dict[str, Query] = {
     "stratified_sample": Query(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_shards": Query(q_token_shards, SQL_TOKEN_SHARDS),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
+    "repetition_stats": Query(q_repetition_stats, SQL_REPETITION_STATS),
+    "pii_redact": Query(q_pii_redact, SQL_PII_REDACT),
+    "tfidf_topk": Query(q_tfidf_topk, SQL_TFIDF_TOPK),
+    "ngram_topk": Query(q_ngram_topk, SQL_NGRAM_TOPK),
+    "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
     "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
