@@ -161,3 +161,42 @@ def test_token_shards_single_window_exchange(spark):
 def test_dedup_components_no_cartesian(spark):
     s = _explain(CATALOG["dedup_components"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in s and "NestedLoop" not in s
+
+
+def test_pii_redact_map_only(spark):
+    """regexp scrub is a pure map — zero Exchange, one scan, and only
+    the two referenced columns read."""
+    s = _explain(CATALOG["pii_redact"].fn(spark, SF_DIR), mode="formatted")
+    assert "Exchange" not in s, s
+    read = s.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and read.count(":") <= 3, read
+
+
+def test_embedding_quantize_map_only(spark):
+    """posexplode quantization streams at scan speed — no Exchange."""
+    s = _explain(CATALOG["embedding_quantize"].fn(spark, SF_DIR))
+    assert "Exchange" not in s, s
+
+
+def test_tfidf_broadcasts_corpus_count(spark):
+    """The 1-row corpus count joins as a broadcast (no shuffle of the
+    pairs table against it), and the rank window reuses the doc_id
+    hash partitioning."""
+    s = _explain(CATALOG["tfidf_topk"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
+    assert "CartesianProduct" not in s
+
+
+def test_repetition_stats_partial_aggregates(spark):
+    """Both gram pipelines carry map-side partial aggregation before
+    their shuffle (HashAggregate appears above and below each
+    Exchange)."""
+    s = _explain(CATALOG["repetition_stats"].fn(spark, SF_DIR))
+    assert s.count("HashAggregate") >= 4, s
+
+
+def test_ngram_topk_take_ordered(spark):
+    """Top-k runs as TakeOrderedAndProject over the aggregated gram
+    table — never a global sort of raw rows."""
+    s = _explain(CATALOG["ngram_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in s, s
