@@ -379,3 +379,74 @@ def simhash_md5(docs: DataFrame, text_col: str = "text", n_bits: int = 32) -> Da
         term = F.shiftleft(bit, i)
         fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
     return bit_sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+def strip_duplicate_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 3,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Cross-document chunk-level dedup (the RefinedWeb/CCNet "remove
+    duplicated spans corpus-wide" pass): split each document into
+    non-overlapping ``chunk_words``-word chunks, count how many DISTINCT
+    documents each chunk appears in, and rebuild every document with the
+    chunks whose document frequency exceeds ``max_doc_freq`` removed.
+
+    Returns one row per input document:
+    ``(id_col, clean_text, kept_chunks, removed_chunks)`` — a document
+    whose every chunk is corpus-duplicated survives with an empty
+    ``clean_text`` (callers filter, this operator never drops rows).
+
+    Scale design (100 TB): chunking is a pure map (higher-order
+    ``transform``/``slice`` on the split array — no explode needed to
+    build chunks); the document-frequency count is ONE hash aggregate on
+    the chunk string with map-side combine; flagged chunks join back as a
+    left-anti equi-join on the chunk key; the rebuild is one hash
+    aggregate on the document id. Three shuffles total, all on keys, no
+    cartesian anywhere. Hot chunks (stop-phrase spans) concentrate on one
+    reducer only in the count stage, where partial aggregation already
+    bounds them. At Bloom-filter scale the flagged-chunk side is small
+    (dup density, not corpus size) — AQE turns the anti join into a
+    broadcast automatically.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(words, (i * chunk_words + 1).cast("int"), chunk_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    chunked = docs.select(id_col, F.posexplode(chunks).alias("cidx", "chunk"))
+    flagged = (
+        chunked.groupBy("chunk")
+        .agg(F.countDistinct(id_col).alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_doc_freq)
+        .select("chunk")
+    )
+    kept = chunked.join(flagged, "chunk", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cidx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("kept_chunks"),
+    )
+    totals = docs.select(id_col, n_chunks.cast("long").alias("total_chunks"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("kept_chunks", F.lit(0).cast("long")).alias("kept_chunks"),
+        (F.col("total_chunks") - F.coalesce("kept_chunks", F.lit(0).cast("long"))).alias(
+            "removed_chunks"
+        ),
+    )

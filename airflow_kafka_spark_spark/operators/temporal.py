@@ -191,3 +191,80 @@ def session_agg(
         .withColumn("session_end", F.col("__w.end"))
         .drop("__w")
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: for each key, stage k counts only if an
+    event of ``stages[k]`` happens STRICTLY AFTER the key's stage-k-1
+    time (first-touch semantics: each stage anchors at its earliest
+    qualifying event). Returns one row:
+    ``(keys_total, reached_<stage>...)`` — the classic conversion funnel.
+
+    Scale design: every stage is a conditional MIN window aggregate over
+    the SAME ``partitionBy(key)`` window — Catalyst plans one Exchange on
+    the key and chains the WindowExecs on the sorted partition, so a
+    5-stage funnel over 100 TB of events still shuffles once. The final
+    per-key collapse reuses that partitioning (groupBy on the same key)
+    and the global count is a single-row reduce.
+    """
+    w = Window.partitionBy(key_col)
+    df = events.select(key_col, type_col, ts_col)
+    prev: Column | None = None
+    stage_cols = []
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        col_name = f"t{i}"
+        df = df.withColumn(col_name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = F.col(col_name)
+        stage_cols.append(col_name)
+    per_key = df.groupBy(key_col).agg(
+        *[F.max(c).alias(c) for c in stage_cols]
+    )
+    return per_key.agg(
+        F.count("*").alias("keys_total"),
+        *[
+            F.count(c).alias(f"reached_{stage}")
+            for c, stage in zip(stage_cols, stages)
+        ],
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: cohort = ISO week (Monday-based,
+    matching ``date_trunc('week')`` in both Spark and DuckDB) of the
+    key's FIRST event; each (cohort_week, week_offset) cell counts the
+    distinct keys from that cohort active in that week. Output:
+    ``(cohort_week date-string, week_offset int, users long)``.
+
+    Scale design: first-seen is one MIN window over ``partitionBy(key)``
+    (single shuffle on the key); the matrix is one hash aggregate with
+    map-side combine on (cohort, offset) — a few thousand cells no matter
+    the corpus size, so the second shuffle is tiny. No self-join: the
+    naive cohort formulation (events ⨝ first_seen per user) is the same
+    shuffle anyway, but the window form keeps one scan of the fact table.
+    """
+    w = Window.partitionBy(key_col)
+    cohort = F.date_trunc("week", F.min(ts_col).over(w))
+    week = F.date_trunc("week", F.col(ts_col))
+    enriched = events.select(
+        F.col(key_col),
+        F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff(F.to_date(week), F.to_date(cohort)) / 7)
+        .cast("int")
+        .alias("week_offset"),
+    )
+    return enriched.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct(key_col).alias("users")
+    )

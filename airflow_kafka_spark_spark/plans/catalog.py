@@ -3031,6 +3031,95 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
 """
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Cross-document chunk dedup (RefinedWeb/CCNet duplicated-span
+    removal): 3-word non-overlapping chunks, any chunk in >1 distinct
+    documents is stripped corpus-wide, documents rebuilt in order."""
+    from ..ext.dedup import strip_duplicate_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return strip_duplicate_chunks(docs, chunk_words=3, max_doc_freq=1)
+
+
+SQL_CHUNK_DEDUP = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+e AS (SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM w),
+c AS (SELECT doc_id, (pos - 1) // 3 AS cidx,
+             string_agg(word, ' ' ORDER BY pos) AS chunk
+      FROM e GROUP BY 1, 2),
+f AS (SELECT chunk FROM c GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 1),
+k AS (SELECT c.doc_id, c.cidx, c.chunk FROM c
+      LEFT JOIN f ON c.chunk = f.chunk WHERE f.chunk IS NULL),
+r AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS clean_text,
+             COUNT(*) AS kept_chunks
+      FROM k GROUP BY doc_id),
+t AS (SELECT doc_id, COUNT(*) AS total_chunks FROM c GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(r.kept_chunks, 0) AS kept_chunks,
+       t.total_chunks - COALESCE(r.kept_chunks, 0) AS removed_chunks
+FROM t LEFT JOIN r ON t.doc_id = r.doc_id
+"""
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel over events: view → click → purchase,
+    first-touch anchoring, strictly-after stage ordering. One shuffle:
+    every stage is a conditional-MIN window on the same user partition."""
+    from ..operators.temporal import funnel_stages
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+SQL_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0
+  FROM events GROUP BY user_id
+),
+s1 AS (
+  SELECT s0.user_id, s0.t0,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > s0.t0 THEN e.ts END) AS t1
+  FROM s0 JOIN events e ON s0.user_id = e.user_id
+  GROUP BY s0.user_id, s0.t0
+),
+s2 AS (
+  SELECT s1.user_id, s1.t0, s1.t1,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s1.t1 THEN e.ts END) AS t2
+  FROM s1 JOIN events e ON s1.user_id = e.user_id
+  GROUP BY s1.user_id, s1.t0, s1.t1
+)
+SELECT COUNT(*) AS keys_total,
+       COUNT(t0) AS reached_view,
+       COUNT(t1) AS reached_click,
+       COUNT(t2) AS reached_purchase
+FROM s2
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix: cohort = Monday-truncated week of
+    each user's first event; cells count distinct active users."""
+    from ..operators.temporal import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (
+  SELECT user_id, ts, MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+)
+SELECT strftime(date_trunc('week', first_ts), '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', date_trunc('week', first_ts),
+                      date_trunc('week', ts)) / 7 AS INTEGER) AS week_offset,
+       COUNT(DISTINCT user_id) AS users
+FROM f
+GROUP BY 1, 2
+"""
+
+
 # Dict order = the order the driver measures entries in. If its budget
 # truncates the run (r1 stopped at 50), the tail goes unmeasured — so the
 # highest-stakes groups come first: reference parity, then the
@@ -3077,6 +3166,7 @@ CATALOG: dict[str, Query] = {
     "tfidf_topk": Query(q_tfidf_topk, SQL_TFIDF_TOPK),
     "ngram_topk": Query(q_ngram_topk, SQL_NGRAM_TOPK),
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "chunk_dedup": Query(q_chunk_dedup, SQL_CHUNK_DEDUP),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
     "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
@@ -3088,6 +3178,8 @@ CATALOG: dict[str, Query] = {
     "tumbling_hourly": Query(q_tumbling_hourly, SQL_TUMBLING_HOURLY),
     "sliding_windows": Query(q_sliding_windows, SQL_SLIDING_WINDOWS),
     "session_windows": Query(q_session_windows, SQL_SESSION_WINDOWS, headline=True),
+    "funnel_conversion": Query(q_funnel, SQL_FUNNEL),
+    "cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION),
     # relational surface (full 22-shape TPC-H battery + window/agg/scalar)
     "q1_pricing_summary": Query(q1_pricing_summary, SQL_Q1, headline=True),
     "q6_revenue": Query(q6_revenue, SQL_Q6, headline=True),

@@ -99,3 +99,55 @@ def test_connected_components_chain_and_isolated_pair(spark):
         13: (10, False), 14: (10, False), 15: (10, False),
         50: (50, True), 51: (50, False),
     }
+
+
+def test_strip_duplicate_chunks_semantics(spark):
+    """A chunk shared by two docs is stripped from BOTH; a doc whose
+    every chunk is corpus-duplicated survives with empty clean_text
+    (never dropped); unique chunks keep their original order."""
+    from airflow_kafka_spark_spark.ext.dedup import strip_duplicate_chunks
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c x y z"),       # chunk "a b c" shared with doc 1
+            (1, "a b c"),             # fully duplicated → empty survivor
+            (2, "p q r s t u"),       # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_duplicate_chunks(docs, chunk_words=3).collect()
+    }
+    assert len(out) == 3
+    assert out[0]["clean_text"] == "x y z"
+    assert (out[0]["kept_chunks"], out[0]["removed_chunks"]) == (1, 1)
+    assert out[1]["clean_text"] == "" and out[1]["kept_chunks"] == 0
+    assert out[2]["clean_text"] == "p q r s t u"
+    assert out[2]["removed_chunks"] == 0
+
+
+def test_funnel_stage_ordering(spark):
+    """A purchase BEFORE the first view must not count: the funnel is
+    strictly ordered per key, first-touch anchored."""
+    from airflow_kafka_spark_spark.operators.temporal import funnel_stages
+
+    rows = [
+        # user 1: purchase precedes view → reaches view only
+        (1, "purchase", "2024-01-01 00:00:00"),
+        (1, "view", "2024-01-02 00:00:00"),
+        # user 2: full ordered path
+        (2, "view", "2024-01-01 00:00:00"),
+        (2, "click", "2024-01-02 00:00:00"),
+        (2, "purchase", "2024-01-03 00:00:00"),
+        # user 3: click at the SAME instant as view → strictly-after fails
+        (3, "view", "2024-01-01 00:00:00"),
+        (3, "click", "2024-01-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_s string")
+    ev = ev.selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts")
+    row = funnel_stages(ev, ["view", "click", "purchase"]).collect()[0]
+    assert row["keys_total"] == 3
+    assert row["reached_view"] == 3
+    assert row["reached_click"] == 1
+    assert row["reached_purchase"] == 1

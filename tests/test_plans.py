@@ -200,3 +200,27 @@ def test_ngram_topk_take_ordered(spark):
     table — never a global sort of raw rows."""
     s = _explain(CATALOG["ngram_topk"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in s, s
+
+
+def test_funnel_single_key_exchange(spark):
+    """All three conditional-MIN stage windows and the per-key collapse
+    share ONE hash partitioning on user_id; the only other Exchange is
+    the final single-row reduce."""
+    s = _explain(CATALOG["funnel_conversion"].fn(spark, SF_DIR))
+    assert s.count("hashpartitioning(user_id") == 1, s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s
+
+
+def test_cohort_retention_two_shuffles(spark):
+    """First-seen window shuffles on user_id once; the matrix agg (with
+    its distinct expand) adds at most two more key exchanges — no joins,
+    no cartesian."""
+    s = _explain(CATALOG["cohort_retention"].fn(spark, SF_DIR))
+    assert s.count("hashpartitioning(user_id") == 1, s
+    assert "Join" not in s, s
+
+
+def test_chunk_dedup_no_cartesian(spark):
+    """Chunk-frequency count + anti join + rebuild: all equi-key ops."""
+    s = _explain(CATALOG["chunk_dedup"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s and "NestedLoop" not in s, s
