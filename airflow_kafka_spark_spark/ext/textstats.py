@@ -341,3 +341,39 @@ def corpus_bigram_topk(docs: DataFrame, k: int = 20, text_col: str = "text") -> 
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(k)
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates_pct: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic source-weighted corpus mixing: keep each row with
+    its source's probability, decided by md5(id) bucket 0-99 — the
+    training-mixture knob (upweight wiki, downsample crawl) with zero RNG
+    state. The same row set is drawn under any partitioning, cluster
+    size, or re-run, and any engine that can md5 draws it identically.
+
+    ``rates_pct`` maps source → integer percent (0-100). Rows whose
+    source is absent from the map are dropped (explicit mixture, no
+    silent default). Scale design: the weights table is a broadcast join
+    (a few hundred sources at most); the bucket filter is a pure map —
+    no shuffle anywhere.
+    """
+    spark = docs.sparkSession
+    rates = spark.createDataFrame(
+        [(s, int(p)) for s, p in rates_pct.items()],
+        f"{source_col} string, rate_pct int",
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return docs.join(F.broadcast(rates), source_col, "inner").filter(
+        bucket < F.col("rate_pct")
+    )

@@ -106,3 +106,53 @@ def top_k_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )
+
+
+def partial_rollup(
+    events: DataFrame,
+    ts_col: str,
+    grain: str,
+    keys: list[str],
+    value_col: str,
+    scale: int = 6,
+    precision: int = 22,
+) -> DataFrame:
+    """Mergeable partial aggregate at a time grain: per (window, keys)
+    COUNT plus an EXACT decimal SUM. Counts and decimal sums form a
+    commutative monoid — merging two partials is just re-summing — which
+    is what makes incremental aggregate maintenance (the
+    continuous-aggregate / hypertable-rollup pattern) correct: late or
+    new rows aggregate on their own and fold into the stored rollup
+    without rescanning history. Keeping the sum in DECIMAL until
+    :func:`finalize_rollup` is what preserves exactness across the merge
+    (a rounded double partial would drift under re-aggregation)."""
+    return (
+        events.select(
+            F.date_trunc(grain, F.col(ts_col)).alias("window_start"),
+            *keys,
+            F.col(value_col).cast(f"decimal({precision},{scale})").alias("_v"),
+        )
+        .groupBy("window_start", *keys)
+        .agg(F.count("*").alias("n_events"), F.sum("_v").alias("_sum_v"))
+    )
+
+
+def merge_rollups(*parts: DataFrame) -> DataFrame:
+    """Fold any number of partial rollups (same schema) into one: union +
+    re-sum. ONE shuffle on the rollup key regardless of how many partials
+    are merged; partial aggregation runs map-side on each input."""
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    keys = [c for c in merged.columns if c not in ("n_events", "_sum_v")]
+    return merged.groupBy(*keys).agg(
+        F.sum("n_events").alias("n_events"), F.sum("_sum_v").alias("_sum_v")
+    )
+
+
+def finalize_rollup(rollup: DataFrame, out_col: str = "sum_value") -> DataFrame:
+    """Decimal partial → presentation double (round-then-cast, the same
+    single-rounding contract as :func:`decimal_sum`)."""
+    return rollup.withColumn(
+        out_col, (F.round(F.col("_sum_v"), 6).cast("double") + F.lit(0.0))
+    ).drop("_sum_v")

@@ -3062,6 +3062,64 @@ FROM t LEFT JOIN r ON t.doc_id = r.doc_id
 """
 
 
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental aggregate maintenance (continuous-aggregate /
+    hypertable-rollup pattern): the stored rollup and a late-arrival
+    delta are aggregated separately as mergeable partials (COUNT + exact
+    decimal SUM form a commutative monoid), merged with one re-sum, and
+    finalized — provably equal to rescanning all of history, which is
+    exactly what the direct-aggregation oracle checks."""
+    from ..operators.relational import finalize_rollup, merge_rollups, partial_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    stored = partial_rollup(
+        ev.filter(F.col("event_id") % 10 != 0), "ts", "day", ["event_type"], "value"
+    )
+    late = partial_rollup(
+        ev.filter(F.col("event_id") % 10 == 0), "ts", "day", ["event_type"], "value"
+    )
+    out = finalize_rollup(merge_rollups(stored, late))
+    return out.select(
+        F.date_format("window_start", TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_INCREMENTAL_ROLLUP = f"""
+SELECT strftime(date_trunc('day', ts), '{TS_FMT_DUCK}') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+_MIXTURE_RATES = {f"src{i}": 5 * (i + 1) for i in range(20)}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic source-weighted training-mixture sampling: each
+    source keeps rows at its own md5-bucket rate (src0 5% … src19 100%)
+    via a broadcast weights join + map-side filter — no shuffle until the
+    per-source accounting aggregate."""
+    from ..ext.textstats import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(docs, _MIXTURE_RATES)
+    return out.groupBy("source", "rate_pct").agg(F.count("*").alias("n_kept"))
+
+
+_MIXTURE_VALUES = ", ".join(f"('{s}', {p})" for s, p in _MIXTURE_RATES.items())
+SQL_MIXTURE_SAMPLE = f"""
+WITH rates(source, rate_pct) AS (VALUES {_MIXTURE_VALUES})
+SELECT d.source, r.rate_pct, COUNT(*) AS n_kept
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < r.rate_pct
+GROUP BY 1, 2
+"""
+
+
 def q_funnel(spark, sf_dir):
     """Ordered conversion funnel over events: view → click → purchase,
     first-touch anchoring, strictly-after stage ordering. One shuffle:
@@ -3167,6 +3225,7 @@ CATALOG: dict[str, Query] = {
     "ngram_topk": Query(q_ngram_topk, SQL_NGRAM_TOPK),
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "chunk_dedup": Query(q_chunk_dedup, SQL_CHUNK_DEDUP),
+    "mixture_sample": Query(q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
     "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),
@@ -3179,6 +3238,7 @@ CATALOG: dict[str, Query] = {
     "sliding_windows": Query(q_sliding_windows, SQL_SLIDING_WINDOWS),
     "session_windows": Query(q_session_windows, SQL_SESSION_WINDOWS, headline=True),
     "funnel_conversion": Query(q_funnel, SQL_FUNNEL),
+    "incremental_rollup": Query(q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION),
     # relational surface (full 22-shape TPC-H battery + window/agg/scalar)
     "q1_pricing_summary": Query(q1_pricing_summary, SQL_Q1, headline=True),

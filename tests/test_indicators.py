@@ -165,3 +165,35 @@ def test_salted_sum_partitioning_invariant(spark):
             ).collect()
         }
         assert got == want, (nparts, got, want)
+
+
+def test_rollup_merge_equals_direct(spark):
+    """Three-way partial-rollup merge is exactly the direct aggregate —
+    the monoid property incremental maintenance relies on (decimal
+    partials make it exact, not approximately-true)."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.operators.relational import (
+        decimal_sum,
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    rows = [
+        (i, f"2024-01-{1 + i % 3:02d} 0{i % 9}:00:00", "t" + str(i % 2), 0.1 + i * 1e-6)
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts_s string, event_type string, value double")
+    ev = ev.selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type", "value")
+    parts = [
+        partial_rollup(ev.filter(F.col("event_id") % 3 == k), "ts", "day", ["event_type"], "value")
+        for k in range(3)
+    ]
+    merged = finalize_rollup(merge_rollups(*parts)).orderBy("window_start", "event_type")
+    direct = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"), (decimal_sum("value") + F.lit(0.0)).alias("sum_value"))
+        .orderBy("window_start", "event_type")
+    )
+    assert merged.select("window_start", "event_type", "n_events", "sum_value").collect() == direct.collect()

@@ -224,3 +224,19 @@ def test_chunk_dedup_no_cartesian(spark):
     """Chunk-frequency count + anti join + rebuild: all equi-key ops."""
     s = _explain(CATALOG["chunk_dedup"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in s and "NestedLoop" not in s, s
+
+
+def test_mixture_sample_broadcast_weights(spark):
+    """The weights table joins as a broadcast; the only hash shuffle is
+    the per-source accounting aggregate."""
+    s = _explain(CATALOG["mixture_sample"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in s, s
+    assert s.count("hashpartitioning") == 1, s
+
+
+def test_incremental_rollup_merges_without_join(spark):
+    """Partial rollups merge by union + re-sum: no join anywhere, and
+    partial aggregation runs below each shuffle."""
+    s = _explain(CATALOG["incremental_rollup"].fn(spark, SF_DIR))
+    assert "Join" not in s, s
+    assert s.count("HashAggregate") >= 4, s
