@@ -3224,7 +3224,7 @@ CATALOG: dict[str, Query] = {
     "tfidf_topk": Query(q_tfidf_topk, SQL_TFIDF_TOPK),
     "ngram_topk": Query(q_ngram_topk, SQL_NGRAM_TOPK),
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
-    "chunk_dedup": Query(q_chunk_dedup, SQL_CHUNK_DEDUP),
+    "chunk_dedup": Query(q_chunk_dedup, SQL_CHUNK_DEDUP, headline=True),
     "mixture_sample": Query(q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
@@ -3237,7 +3237,7 @@ CATALOG: dict[str, Query] = {
     "tumbling_hourly": Query(q_tumbling_hourly, SQL_TUMBLING_HOURLY),
     "sliding_windows": Query(q_sliding_windows, SQL_SLIDING_WINDOWS),
     "session_windows": Query(q_session_windows, SQL_SESSION_WINDOWS, headline=True),
-    "funnel_conversion": Query(q_funnel, SQL_FUNNEL),
+    "funnel_conversion": Query(q_funnel, SQL_FUNNEL, headline=True),
     "incremental_rollup": Query(q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION),
     # relational surface (full 22-shape TPC-H battery + window/agg/scalar)

@@ -1,0 +1,125 @@
+"""Streaming continuous aggregate (hypertable-rollup pattern, stream side).
+
+Batch-side, ``operators.relational.partial_rollup`` proves that COUNT +
+exact decimal SUM partials merge losslessly. This module rides that monoid
+in a stream: every micro-batch aggregates ONLY its own rows (bounded work
+per trigger, no unbounded streaming state) and folds the result into a
+stored parquet rollup with one union + re-sum. The stored table stays
+queryable at full precision at any moment, and the cost per trigger is
+O(batch + rollup-cardinality) — never O(history).
+
+Why not a windowed streaming aggregation? ``groupBy(window(...))`` keeps
+its state in the state store and emits on watermark close — correct, but
+the rollup is then only complete after the watermark, and reprocessing
+all-time aggregates means replaying the whole stream. The merge-into-table
+formulation keeps ALL-TIME aggregates current after every trigger and
+bounds state at zero.
+
+Exactly-once: ``foreachBatch`` replays a batch after a crash-restart
+(at-least-once sink invocation). The stored table carries the last merged
+``batch_id`` in a ``_rollup_meta.json`` sidecar INSIDE the table directory
+(underscore-prefixed → invisible to the parquet reader) that swaps
+atomically WITH the data — a replayed batch id is detected and skipped, so
+the merge is idempotent end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.relational import merge_rollups, partial_rollup
+from ..sources.sinks import _recover_and_clean, _swap
+
+_META = "_rollup_meta.json"
+
+
+def merge_batch_into_rollup(
+    rollup_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+    grain: str = "hour",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> bool:
+    """Fold one micro-batch into the stored rollup. Returns False (no-op)
+    when ``batch_id`` was already merged — the replay fence that makes
+    at-least-once ``foreachBatch`` delivery effectively exactly-once.
+
+    The merged table is written to a staging dir and swapped atomically
+    with its meta sidecar (same crash-recovery protocol as
+    ``sources.sinks.upsert_partitioned``), so a crash between write and
+    swap never leaves a half-merged table.
+    """
+    keys = keys if keys is not None else ["event_type"]
+    spark = batch_df.sparkSession
+    staging = rollup_path.rstrip("/") + "__staging"
+    backup = rollup_path.rstrip("/") + "__backup"
+    # heal a crashed prior swap BEFORE consulting the meta fence — a
+    # mid-swap crash leaves the table only in the backup dir, and reading
+    # the fence first would silently restart the rollup from empty
+    _recover_and_clean(rollup_path, staging, backup)
+    meta_path = os.path.join(rollup_path, _META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if batch_id <= json.load(f)["last_batch_id"]:
+                return False
+
+    delta = partial_rollup(batch_df, ts_col, grain, keys, value_col)
+    if os.path.exists(rollup_path):
+        merged = merge_rollups(spark.read.parquet(rollup_path), delta)
+    else:
+        merged = delta
+    # pin the widening decimal sum to its fixed point so the stored
+    # schema is identical from the first batch on (exact: cast only widens)
+    merged = merged.withColumn("_sum_v", F.col("_sum_v").cast("decimal(38,6)"))
+
+    merged.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, _META), "w") as f:
+        json.dump({"last_batch_id": batch_id}, f)
+    if os.path.exists(rollup_path):
+        _swap(rollup_path, staging, backup)
+        import shutil
+
+        shutil.rmtree(backup, ignore_errors=True)
+    else:
+        os.rename(staging, rollup_path)
+    return True
+
+
+def start_rollup_pipeline(
+    source: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    grain: str = "hour",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+    trigger: str | None = None,
+    on_batch: Callable[[int, bool], None] | None = None,
+) -> StreamingQuery:
+    """Attach the continuous-aggregate sink to a streaming DataFrame.
+    ``on_batch(batch_id, merged)`` is an observability hook (tests use it
+    to count replays)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merged = merge_batch_into_rollup(
+            rollup_path, batch_df, batch_id, ts_col, grain, keys, value_col
+        )
+        if on_batch is not None:
+            on_batch(batch_id, merged)
+
+    writer = source.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger is not None:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()

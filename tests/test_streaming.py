@@ -421,3 +421,84 @@ def test_stream_stream_join(spark):
         for r in spark.sql("SELECT * FROM ssj_test").collect()
     )
     assert got == [("c1", "p1"), ("c3", "p2")]
+
+
+def test_continuous_rollup_incremental_and_exact(spark):
+    """Streaming continuous aggregate: two micro-batches fold into the
+    stored rollup one at a time, and the final table equals the direct
+    batch aggregate over all rows — the monoid merge, live."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.operators.relational import decimal_sum
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from airflow_kafka_spark_spark.streaming.rollup import start_rollup_pipeline
+
+    workdir = tempfile.mkdtemp()
+    src = os.path.join(workdir, "in")
+    rollup = os.path.join(workdir, "rollup")
+    ev = load_table(spark, SF_DIR, "events").select("ts", "event_type", "value")
+    half1 = ev.filter(F.col("event_type") <= "error")
+    half2 = ev.filter(F.col("event_type") > "error")
+    os.makedirs(src)
+    half1.write.mode("overwrite").parquet(os.path.join(src, "f1"))
+
+    merges: list[tuple[int, bool]] = []
+    source = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(os.path.join(src, "*"))
+    q = start_rollup_pipeline(
+        source,
+        rollup,
+        os.path.join(workdir, "ckpt"),
+        grain="hour",
+        keys=["event_type"],
+        on_batch=lambda bid, merged: merges.append((bid, merged)),
+    )
+    try:
+        q.processAllAvailable()
+        half2.write.mode("overwrite").parquet(os.path.join(src, "f2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert [m for _, m in merges] == [True, True], merges
+
+    from airflow_kafka_spark_spark.operators.relational import finalize_rollup
+
+    stored = finalize_rollup(spark.read.parquet(rollup)).orderBy(
+        "window_start", "event_type"
+    )
+    direct = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (decimal_sum("value") + F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+    assert (
+        stored.select("window_start", "event_type", "n_events", "sum_value").collect()
+        == direct.collect()
+    )
+
+
+def test_continuous_rollup_replay_fence(spark):
+    """A replayed batch id (at-least-once foreachBatch after a crash)
+    must be a no-op: the meta fence travels atomically with the data."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from airflow_kafka_spark_spark.streaming.rollup import merge_batch_into_rollup
+
+    workdir = tempfile.mkdtemp()
+    rollup = os.path.join(workdir, "rollup")
+    ev = load_table(spark, SF_DIR, "events").select("ts", "event_type", "value")
+
+    assert merge_batch_into_rollup(rollup, ev, 0, grain="hour") is True
+    once = spark.read.parquet(rollup).agg(F.sum("n_events")).first()[0]
+    # replay of batch 0 and an older id: both fenced
+    assert merge_batch_into_rollup(rollup, ev, 0, grain="hour") is False
+    assert spark.read.parquet(rollup).agg(F.sum("n_events")).first()[0] == once
+    # a NEW batch id merges (doubles the counts — same rows again)
+    assert merge_batch_into_rollup(rollup, ev, 1, grain="hour") is True
+    assert spark.read.parquet(rollup).agg(F.sum("n_events")).first()[0] == 2 * once
