@@ -3062,6 +3062,70 @@ FROM t LEFT JOIN r ON t.doc_id = r.doc_id
 """
 
 
+def q_unpivot_melt(spark, sf_dir):
+    """Wide→long melt via DataFrame.unpivot: ONE scan with a generator
+    expand (each row fans out to 4 measure rows map-side), then a hash
+    aggregate. The relational-SQL equivalent is 4 UNION ALL scans of the
+    fact table — at 100 TB the unpivot plan reads the data once instead
+    of four times, and only the melted (l_returnflag, measure, val)
+    triple ever shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n_rows"),
+        (decimal_sum("val") + F.lit(0.0)).alias("sum_val"),
+    )
+
+
+SQL_UNPIVOT_MELT = """
+SELECT l_returnflag, measure, COUNT(*) AS n_rows,
+       CAST(ROUND(SUM(CAST(val AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_val
+FROM (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+) GROUP BY 1, 2
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    """Equal-width histogram with data-derived bounds: one aggregate for
+    min/max, broadcast back as a 1-row scalar join (the idiomatic
+    two-pass plan — no driver round-trip, no collect), then a map-side
+    bucket expression and one small hash aggregate. The bucket arithmetic
+    is written identically on both engines (IEEE double ops in the same
+    order are deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10).cast("int"),
+        F.lit(9),
+    )
+    return (
+        ev.join(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+SELECT LEAST(CAST(FLOOR((value - lo) / (hi - lo) * 10) AS INTEGER), 9) AS bucket,
+       COUNT(*) AS n_events
+FROM events, b
+GROUP BY 1
+"""
+
+
 def q_incremental_rollup(spark, sf_dir):
     """Incremental aggregate maintenance (continuous-aggregate /
     hypertable-rollup pattern): the stored rollup and a late-arrival
@@ -3282,6 +3346,8 @@ CATALOG: dict[str, Query] = {
     "cube_lineitem": Query(q_cube_lineitem, SQL_CUBE),
     "grouping_sets": Query(q_grouping_sets, SQL_GROUPING_SETS),
     "window_distribution": Query(q_window_distribution, SQL_WINDOW_DISTRIBUTION),
+    "unpivot_melt": Query(q_unpivot_melt, SQL_UNPIVOT_MELT),
+    "value_histogram": Query(q_value_histogram, SQL_VALUE_HISTOGRAM),
     "embedding_centroids": Query(q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
 }
 

@@ -7,8 +7,9 @@ operators a 100 TB pretraining-corpus build actually chains, in order.
       → exact dedup            (md5 fingerprint, keep min doc_id)
       → near-dup resolution    (MinHash-LSH pairs → connected components
                                 → drop non-keepers)
+      → chunk-level dedup      (corpus-wide duplicated-span removal)
       → decontamination        (3-gram overlap vs benchmark shingles)
-      → stratified sampling    (per-language md5 ranking)
+      → mixture sampling       (per-source md5-bucket keep rates)
       → sequence packing       (token-budget shards)
       → partitioned parquet    (lang-partitioned, shard-sorted)
 
@@ -67,7 +68,27 @@ def main() -> None:
     docs = docs.join(drop, "doc_id", "left_anti")
     n3 = docs.count()
 
-    # 4. decontaminate against a held-out benchmark (2% md5 bucket here)
+    # 4. strip corpus-duplicated spans (boilerplate) inside survivors
+    from airflow_kafka_spark_spark.ext.dedup import strip_duplicate_chunks
+
+    cleaned = strip_duplicate_chunks(docs, chunk_words=3).filter(
+        F.col("kept_chunks") > 0
+    )
+    docs = (
+        docs.join(cleaned.select("doc_id", "clean_text"), "doc_id")
+        .drop("text")
+        .withColumnRenamed("clean_text", "text")
+    )
+    # materialize the stage boundary: every stage above references `docs`
+    # twice (self-join shapes), so the logical plan doubles per stage —
+    # long pipelines cut lineage by writing the stage output and reading
+    # it back (the same move a 100 TB pipeline makes for restartability)
+    stage_dir = tempfile.mkdtemp(prefix="training_stage_")
+    docs.write.mode("overwrite").parquet(stage_dir)
+    docs = spark.read.parquet(stage_dir)
+    n3b = docs.count()
+
+    # 5. decontaminate against a held-out benchmark (2% md5 bucket here)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
         .cast("long") % 100
@@ -79,7 +100,14 @@ def main() -> None:
     docs = docs.join(clean_ids, "doc_id", "left_semi")
     n4 = docs.count()
 
-    # 5. pack into token-budget shards and write lang-partitioned parquet
+    # 6. source-weighted mixture (deterministic md5-bucket keep rates)
+    from airflow_kafka_spark_spark.ext.textstats import mixture_sample
+
+    rates = {f"src{i}": 50 + 50 * (i % 2) for i in range(20)}  # 50%/100%
+    docs = mixture_sample(docs, rates).drop("rate_pct")
+    n4b = docs.count()
+
+    # 7. pack into token-budget shards and write lang-partitioned parquet
     shards = pack_token_shards(docs, budget=2048)
     out = tempfile.mkdtemp(prefix="training_shards_")
     (
@@ -96,7 +124,8 @@ def main() -> None:
     release_minhash_caches()
     print(
         f"raw={n0} quality={n1} exact_dedup={n2} near_dup={n3} "
-        f"decontaminated={n4} written={n5} shards={n_shards} out={out}"
+        f"chunk_dedup={n3b} decontaminated={n4} mixture={n4b} "
+        f"written={n5} shards={n_shards} out={out}"
     )
     spark.stop()
 

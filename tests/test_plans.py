@@ -240,3 +240,20 @@ def test_incremental_rollup_merges_without_join(spark):
     s = _explain(CATALOG["incremental_rollup"].fn(spark, SF_DIR))
     assert "Join" not in s, s
     assert s.count("HashAggregate") >= 4, s
+
+
+def test_unpivot_single_scan(spark):
+    """DataFrame.unpivot melts with ONE scan + generator expand — never
+    the SQL-equivalent 4 UNION ALL scans of the fact table."""
+    s = _explain(CATALOG["unpivot_melt"].fn(spark, SF_DIR), mode="formatted")
+    # formatted mode prints each node twice (tree + detail section)
+    assert s.count("Location: InMemoryFileIndex") == 1, s
+    assert "Expand" in s or "Generate" in s, s
+
+
+def test_value_histogram_broadcast_bounds(spark):
+    """The min/max bounds attach as a 1-row broadcast (scalar-join
+    idiom); the bucket expression stays map-side."""
+    s = _explain(CATALOG["value_histogram"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
+    assert s.count("hashpartitioning") == 1, s
