@@ -156,3 +156,38 @@ def finalize_rollup(rollup: DataFrame, out_col: str = "sum_value") -> DataFrame:
     return rollup.withColumn(
         out_col, (F.round(F.col("_sum_v"), 6).cast("double") + F.lit(0.0))
     ).drop("_sum_v")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle join: salt the (large, skewed) left side with a
+    random shard id and replicate each right-side row across all
+    ``n_salts`` shards, turning one hot key's single overloaded reducer
+    into ``n_salts`` parallel ones. Row-for-row identical to the plain
+    join — salting only re-partitions the work.
+
+    AQE's skew-join handles the common case automatically at runtime;
+    the explicit form matters when the skew is known ahead of time, when
+    the join sits under an operator AQE won't split (e.g. a following
+    window on the same key), or on engines/configs without AQE. Costs:
+    the right side shuffles ``n_salts``× its size — use it when the right
+    side is far smaller than the hot key's row count but too big to
+    broadcast. ``how`` supports inner/left_semi-style joins where
+    replication cannot duplicate unmatched-left semantics; outer joins
+    would need a different construction (unmatched rows appear once per
+    salt) and are rejected.
+    """
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError(f"salted_join supports inner/semi joins, got {how!r}")
+    salt = (F.rand(seed=42) * n_salts).cast("int")
+    salted_left = left.withColumn("__salt", salt)
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    out = salted_left.join(salted_right, [*key_cols, "__salt"], how)
+    return out.drop("__salt")

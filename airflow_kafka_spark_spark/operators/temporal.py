@@ -34,23 +34,32 @@ def asof_join(
     right_ts: str,
     right_value_cols: list[str],
     inclusive: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the right row with
-    the greatest ``right_ts`` ≤ ``left_ts`` (strictly < when
-    ``inclusive=False``) within the same key; NULLs when no such row.
+    """As-of join: for every left row, attach the nearest right row
+    within the same key — ``direction="backward"`` (default) picks the
+    greatest ``right_ts`` ≤ ``left_ts``, ``direction="forward"`` the
+    smallest ``right_ts`` ≥ ``left_ts`` (strict inequalities when
+    ``inclusive=False``); NULLs when no such row.
 
     Union-merge plan: tag sides, union, one window ordered by
-    ``(ts, side)`` per key, carry the right payload forward with
-    ``last(ignorenulls)``, keep left rows. Right rows sort before left
-    rows at equal ts when inclusive (so an exact-ts match is visible),
-    after them when not.
+    ``(ts, side)`` per key, carry the right payload across with
+    ``last(ignorenulls)`` over the preceding frame (backward) or
+    ``first(ignorenulls)`` over the following frame (forward), keep left
+    rows. The side tag orders right rows so an equal-ts match is visible
+    exactly when ``inclusive``.
 
     ``right_value_cols`` must not collide with left column names.
     ``right`` must be unique per (key, ts) for deterministic results —
     pre-aggregate it if not.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_payload = [c for c in left.columns if c not in key_cols]
-    l_side, r_side = (1, 0) if inclusive else (0, 1)
+    if direction == "backward":
+        l_side, r_side = (1, 0) if inclusive else (0, 1)
+    else:
+        l_side, r_side = (0, 1) if inclusive else (1, 0)
     # the right payload travels as ONE struct: last(ignorenulls) then
     # skips left rows (struct NULL) but never skips a right row whose
     # *fields* are NULL — per-column carry would mix fields from
@@ -78,14 +87,14 @@ def asof_join(
         ],
         r_struct.alias("__r"),
     )
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    merged = l.unionByName(r).withColumn(
-        "__r", F.last("__r", ignorenulls=True).over(w)
-    )
+    w = Window.partitionBy(*key_cols).orderBy("__ts", "__side")
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, 0)
+        carry = F.last("__r", ignorenulls=True).over(w)
+    else:
+        w = w.rowsBetween(0, Window.unboundedFollowing)
+        carry = F.first("__r", ignorenulls=True).over(w)
+    merged = l.unionByName(r).withColumn("__r", carry)
     return (
         merged.filter(F.col("__is_left"))
         .select(

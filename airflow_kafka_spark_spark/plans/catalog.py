@@ -1109,6 +1109,53 @@ FROM events e ASOF LEFT JOIN purchases p
 """
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join: every event picks up the user's NEXT purchase
+    at-or-after its own timestamp — same union-merge single-shuffle plan
+    as the backward variant, mirrored frame."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(
+            F.max("event_id").alias("next_purchase_event_id"),
+            F.max("value").alias("next_purchase_value"),
+        )
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="pts",
+        right_value_cols=["next_purchase_event_id", "next_purchase_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        "event_type",
+        "next_purchase_event_id",
+        _r6("next_purchase_value").alias("next_purchase_value"),
+    )
+
+
+SQL_ASOF_FORWARD = f"""
+WITH purchases AS (
+  SELECT user_id, ts AS pts,
+         MAX(event_id) AS next_purchase_event_id,
+         MAX(value) AS pv
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, strftime(e.ts, '{TS_FMT_DUCK}') AS ts_str,
+       e.event_type, p.next_purchase_event_id,
+       ROUND(p.pv, 6) + CAST(0 AS DOUBLE) AS next_purchase_value
+FROM events e ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts <= p.pts
+"""
+
+
 def q_range_join_clicks(spark, sf_dir):
     """Bounded range join: clicks within the 10 minutes preceding each
     purchase, per user — equi-join on a coarse time bucket + residual
@@ -3062,6 +3109,35 @@ FROM t LEFT JOIN r ON t.doc_id = r.doc_id
 """
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join (lineitem ⨝ orders on the order key,
+    salt fanned 8×): row-identical to the plain join — which is exactly
+    what the oracle checks — while splitting any hot key across 8
+    reducers. See operators.relational.salted_join for when to prefer
+    this over AQE's automatic skew handling."""
+    from ..operators.relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, ["l_orderkey"], n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        (decimal_sum("l_extendedprice") + F.lit(0.0)).alias("sum_price"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT o.o_orderpriority, COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
 def q_unpivot_melt(spark, sf_dir):
     """Wide→long melt via DataFrame.unpivot: ONE scan with a generator
     expand (each row fans out to 4 measure rows map-side), then a hash
@@ -3297,6 +3373,7 @@ CATALOG: dict[str, Query] = {
     "mm_audio_meta": Query(q_mm_audio_meta, SQL_MM_AUDIO_META),
     # temporal surface
     "asof_join_purchase": Query(q_asof_purchase, SQL_ASOF_PURCHASE, headline=True),
+    "asof_forward": Query(q_asof_forward, SQL_ASOF_FORWARD),
     "range_join_clicks": Query(q_range_join_clicks, SQL_RANGE_JOIN_CLICKS),
     "tumbling_hourly": Query(q_tumbling_hourly, SQL_TUMBLING_HOURLY),
     "sliding_windows": Query(q_sliding_windows, SQL_SLIDING_WINDOWS),
@@ -3338,6 +3415,7 @@ CATALOG: dict[str, Query] = {
     "set_ops": Query(q_set_ops, SQL_SET_OPS),
     "rollup_lineitem": Query(q_rollup_lineitem, SQL_ROLLUP),
     "salted_sum": Query(q_salted_sum, SQL_SALTED_SUM),
+    "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
     "window_rank": Query(q_window_rank, SQL_WINDOW_RANK),
     "window_analytics": Query(q_window_analytics, SQL_WINDOW_ANALYTICS),
     "scalar_functions": Query(q_scalar_functions, SQL_SCALAR_FUNCTIONS),

@@ -73,6 +73,14 @@ def build_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs everything in the driver JVM; the 1g default
+        # heap OOMs broadcast builds at the 10x scale probes while the
+        # box idles. Applied only when this builder creates the JVM —
+        # catalog queries never rely on it (they run green on a vanilla
+        # 1g session, which is what the driver harness uses).
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -80,12 +80,35 @@ def main() -> None:
             "pairs": pairs,
             "docs_per_sec": round(n / dt),
         }
+    # chunk-level dedup: duplicated-span density grows with replication
+    # (every replica duplicates every chunk), so the flagged set and the
+    # anti-join both grow — wall time must stay near-linear in docs
+    from airflow_kafka_spark_spark.ext.dedup import strip_duplicate_chunks
+
+    chunk_results = {}
+    for mult in (1, 4, 10):
+        big = reduce(
+            lambda a, b: a.unionByName(b),
+            [docs.withColumn("doc_id", F.col("doc_id") + did_shift * i) for i in range(mult)],
+        )
+        n = big.count()
+        t0 = time.perf_counter()
+        strip_duplicate_chunks(big, chunk_words=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        chunk_results[f"{mult}x"] = {
+            "docs": n,
+            "sec": round(dt, 3),
+            "docs_per_sec": round(n / dt),
+        }
     print(
         json.dumps(
             {
                 "metric": "cascade_scaling",
                 "results": results,
                 "minhash_scaling": dedup_results,
+                "chunk_dedup_scaling": chunk_results,
             }
         )
     )

@@ -197,3 +197,34 @@ def test_rollup_merge_equals_direct(spark):
         .orderBy("window_start", "event_type")
     )
     assert merged.select("window_start", "event_type", "n_events", "sum_value").collect() == direct.collect()
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be a pure re-partitioning: inner and semi results
+    row-identical to the unsalted join, including duplicate keys on
+    both sides."""
+    from airflow_kafka_spark_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (4, "w")], "k long, rv string"
+    )
+    got = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in salted_join(left, right, ["k"], n_salts=4).collect()
+    )
+    want = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect()
+    )
+    assert got == want and len(got) == 5
+    semi = sorted(
+        (r["k"], r["lv"])
+        for r in salted_join(left, right, ["k"], n_salts=4, how="left_semi").collect()
+    )
+    assert semi == sorted((r["k"], r["lv"]) for r in left.join(right, "k", "left_semi").collect())
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="left_outer")

@@ -257,3 +257,19 @@ def test_value_histogram_broadcast_bounds(spark):
     s = _explain(CATALOG["value_histogram"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
     assert s.count("hashpartitioning") == 1, s
+
+
+def test_salted_join_carries_salt_key(spark):
+    """The join condition includes the salt shard id (that's the whole
+    mechanism) and the plan stays an equi-join — no nested loop."""
+    s = _explain(CATALOG["salted_join"].fn(spark, SF_DIR))
+    assert "__salt" in s, s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s, s
+
+
+def test_asof_forward_single_shuffle(spark):
+    """Forward as-of mirrors the backward union-merge plan: no range
+    join, bounded Exchange count."""
+    s = _explain(CATALOG["asof_forward"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in s and "CartesianProduct" not in s
+    assert s.count("Exchange") <= 3, s

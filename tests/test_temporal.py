@@ -120,3 +120,49 @@ def test_range_join_rejects_outer(spark):
     probe = _ts(spark, [(1, "2024-01-01 10:00:00", "p")], "k int, pts string, tag string")
     with pytest.raises(ValueError, match="inner"):
         bucketed_range_join(probe, probe, ["k"], "pts", "pts", "10 minutes", how="left")
+
+
+def test_asof_forward_inclusive(spark):
+    left = _ts(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "a"),  # next right at 10:05
+            (1, "2024-01-01 10:05:00", "b"),  # exact-ts match visible
+            (1, "2024-01-01 11:00:00", "c"),  # after every right row
+            (2, "2024-01-01 12:00:00", "d"),  # key with no right rows
+        ],
+        "k int, ts string, tag string",
+    )
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 09:30:00", 1.0), (1, "2024-01-01 10:05:00", 2.0)],
+        "k int, rts string, rv double",
+    )
+    out = asof_join(left, right, ["k"], "ts", "rts", ["rv"], direction="forward")
+    got = {r["tag"]: r["rv"] for r in out.collect()}
+    assert got == {"a": 2.0, "b": 2.0, "c": None, "d": None}
+
+
+def test_asof_forward_exclusive(spark):
+    left = _ts(
+        spark,
+        [(1, "2024-01-01 09:30:00", "b")],
+        "k int, ts string, tag string",
+    )
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 09:30:00", 1.0), (1, "2024-01-01 10:05:00", 2.0)],
+        "k int, rts string, rv double",
+    )
+    out = asof_join(
+        left, right, ["k"], "ts", "rts", ["rv"], inclusive=False, direction="forward"
+    )
+    assert out.collect()[0]["rv"] == 2.0  # strictly-after row wins
+
+
+def test_asof_bad_direction_rejected(spark):
+    import pytest
+
+    left = _ts(spark, [(1, "2024-01-01 09:30:00", "x")], "k int, ts string, tag string")
+    with pytest.raises(ValueError):
+        asof_join(left, left, ["k"], "ts", "ts", ["tag"], direction="nearest")
