@@ -3295,6 +3295,49 @@ FROM s2
 """
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order event-transition matrix (user-path / Markov-chain
+    counts): each user's events ordered by (ts, event_id), one LEAD
+    window per user partition — a single shuffle — then a tiny hash
+    aggregate over (event, next_event) cells, with the per-source
+    transition probability derived from a window sum over the cells
+    (25 rows; negligible)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_event")
+    ).filter(F.col("next_event").isNotNull())
+    cells = steps.groupBy("event_type", "next_event").agg(
+        F.count("*").alias("n_steps")
+    )
+    total = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        "next_event",
+        "n_steps",
+        _r6(F.col("n_steps") / F.sum("n_steps").over(total)).alias("p_next"),
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH steps AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event
+  FROM events
+),
+cells AS (
+  SELECT event_type, next_event, COUNT(*) AS n_steps
+  FROM steps WHERE next_event IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, next_event, n_steps,
+       ROUND(n_steps / SUM(n_steps) OVER (PARTITION BY event_type), 6) + CAST(0 AS DOUBLE) AS p_next
+FROM cells
+"""
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort-retention matrix: cohort = Monday-truncated week of
     each user's first event; cells count distinct active users."""
@@ -3381,6 +3424,7 @@ CATALOG: dict[str, Query] = {
     "funnel_conversion": Query(q_funnel, SQL_FUNNEL, headline=True),
     "incremental_rollup": Query(q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION),
+    "event_transitions": Query(q_event_transitions, SQL_EVENT_TRANSITIONS),
     # relational surface (full 22-shape TPC-H battery + window/agg/scalar)
     "q1_pricing_summary": Query(q1_pricing_summary, SQL_Q1, headline=True),
     "q6_revenue": Query(q6_revenue, SQL_Q6, headline=True),

@@ -75,11 +75,13 @@ def build_session(
         .master(master)
         # local mode runs everything in the driver JVM; the 1g default
         # heap OOMs broadcast builds at the 10x scale probes while the
-        # box idles. Applied only when this builder creates the JVM —
-        # catalog queries never rely on it (they run green on a vanilla
-        # 1g session, which is what the driver harness uses).
+        # box idles. 4g measured best (A/B at sf0.1: 16g ran ~35% slower
+        # than 2-4g — oversized heaps hurt locality/GC here). Applied
+        # only when this builder creates the JVM — catalog queries never
+        # rely on it (they run green on a vanilla 1g session, which is
+        # what the driver harness uses).
         .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
