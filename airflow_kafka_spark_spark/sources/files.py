@@ -84,3 +84,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for ``spark.sql``."""
     for name, df in load_all(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def write_orc_table(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+    """ORC sink (the other columnar lake format; Avro's module is not
+    bundled in this distro — gate on spark.read.format("avro") if
+    needed). Same pushdown/pruning properties as parquet: predicates and
+    column projection reach the ORC scan."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -138,3 +138,42 @@ def test_wav_header_roundtrip_property(rate, ch, n, bits, seed):
 
     wav = make_wav(rate, ch, n, seed=seed, bits=bits)
     assert parse_wav_header(wav) == (ch, rate, bits, n)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_chunk_dedup_invariants(spark, texts):
+    """For ANY corpus: every doc survives, kept+removed == total chunks,
+    and a chunk kept in one doc is kept in all docs that contain it
+    (removal is corpus-global, by chunk identity)."""
+    from airflow_kafka_spark_spark.ext.dedup import strip_duplicate_chunks
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = strip_duplicate_chunks(docs, chunk_words=2).collect()
+    assert len(out) == len(texts)
+
+    # pure-Python mini-oracle of the spec
+    def chunks_of(t):
+        ws = t.split(" ")
+        return [" ".join(ws[i : i + 2]) for i in range(0, len(ws), 2)]
+
+    doc_freq: dict[str, set[int]] = {}
+    for i, t in enumerate(texts):
+        for c in set(chunks_of(t)):
+            doc_freq.setdefault(c, set()).add(i)
+    for r in out:
+        orig = chunks_of(texts[r["doc_id"]])
+        expect_kept = [c for c in orig if len(doc_freq[c]) <= 1]
+        assert r["clean_text"] == " ".join(expect_kept)
+        assert r["kept_chunks"] == len(expect_kept)
+        assert r["kept_chunks"] + r["removed_chunks"] == len(orig)

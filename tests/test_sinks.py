@@ -209,3 +209,29 @@ def test_compact_recovers_from_crashed_swap(spark):
     compact_partitioned(spark, path, ["event_type"])
     assert spark.read.parquet(path).count() == n
     assert not os.path.exists(path + "__precompact")
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC round-trips the fixture exactly and pushes filters into the
+    scan, same as parquet."""
+    import contextlib
+    import io
+
+    from airflow_kafka_spark_spark.sources.files import (
+        load_table,
+        read_orc_table,
+        write_orc_table,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    path = str(tmp_path / "li_orc")
+    write_orc_table(li, path)
+    back = read_orc_table(spark, path)
+    assert back.count() == li.count()
+    assert back.schema == li.schema
+    q = back.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(mode="formatted")
+    s = buf.getvalue()
+    assert "PushedFilters" in s and "l_quantity" in s.split("PushedFilters:")[1].splitlines()[0], s
