@@ -138,12 +138,23 @@ def bucketed_range_join(
         )
     # timestamp_micros(0) is the epoch INSTANT — unlike a string-literal
     # cast, which parses in the session timezone and silently corrupts
-    # the span (even negative) off UTC
+    # the span (even negative) off UTC. Explicit TimestampType casts keep
+    # unix_micros legal when the session (or the input column) prefers
+    # TIMESTAMP_NTZ — under spark.sql.timestampType=TIMESTAMP_NTZ even
+    # timestamp_micros returns NTZ.
+    from pyspark.sql import types as T
+
     span_us = F.unix_micros(
-        F.timestamp_micros(F.lit(0)) + F.expr(f"INTERVAL {lookback}")
+        (F.timestamp_micros(F.lit(0)) + F.expr(f"INTERVAL {lookback}")).cast(
+            T.TimestampType()
+        )
     )
-    p_bucket = F.floor(F.unix_micros(F.col(probe_ts)) / span_us)
-    b_bucket = F.floor(F.unix_micros(F.col(build_ts)) / span_us)
+    p_bucket = F.floor(
+        F.unix_micros(F.col(probe_ts).cast(T.TimestampType())) / span_us
+    )
+    b_bucket = F.floor(
+        F.unix_micros(F.col(build_ts).cast(T.TimestampType())) / span_us
+    )
     p = probe.withColumn(
         "__bucket", F.explode(F.array(p_bucket - 1, p_bucket))
     )

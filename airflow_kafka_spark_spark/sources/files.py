@@ -29,14 +29,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as
     # int64 nanos. Convert with *integer* division (ns epoch ≈ 1.7e18
     # overflows double precision) — truncation matches DuckDB's ns→µs read.
+    # Normalize to an EXPLICIT TimestampType (LTZ): under
+    # spark.sql.timestampType=TIMESTAMP_NTZ (the driver harness sets it)
+    # timestamp_micros and the name "timestamp" both resolve to NTZ, which
+    # unix_micros & friends reject — r02 range_join_clicks regression. With
+    # the session tz pinned to UTC the NTZ→LTZ cast preserves wall-clock.
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast(T.TimestampType()),
             )
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

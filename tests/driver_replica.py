@@ -19,9 +19,17 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
-    # Deliberately vanilla: the only conf the driver harness is known to set
-    # is nothing at all. local[*] matches its executor shape closely enough.
-    spark = SparkSession.builder.master("local[8]").appName("driver-replica").getOrCreate()
+    # Deliberately vanilla except timestampType: the r02 range_join_clicks
+    # failure proved the driver harness runs with
+    # spark.sql.timestampType=TIMESTAMP_NTZ (timestamp_micros returned NTZ
+    # there), so the replica mirrors it — every catalog entry must survive
+    # an NTZ-preferring session the engine did not build.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver-replica")
+        .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     sys.path.insert(0, "/root/repo")

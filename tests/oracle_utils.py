@@ -44,6 +44,16 @@ def compare(spark_df, oracle_pdf: pd.DataFrame) -> list[str]:
     for col in a.columns:
         av, bv = a[col], b[col]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            # int-on-one-side / float-on-the-other renders differently
+            # ("1540" vs "1540.0") — a value-hash mismatch for the driver
+            # even when numerically equal. DuckDB returns HUGEINT sums as
+            # float64; require explicit CASTs in the oracle instead.
+            kinds = {av.dtype.kind, bv.dtype.kind}
+            if kinds & {"i", "u"} and not (av.isna().any() or bv.isna().any()):
+                problems.append(
+                    f"col {col}: dtype kind mismatch spark={a[col].dtype} "
+                    f"oracle={b[col].dtype} (int vs float renders differently)"
+                )
             av = av.astype("float64")
             bv = bv.astype("float64")
             both_nan = av.isna() & bv.isna()
