@@ -138,6 +138,50 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT — the measure that
+    catches subset/superset duplication Jaccard dilutes: a snippet quoted
+    whole inside a much larger page has C(snippet→page) ≈ 1 but tiny
+    Jaccard. Standard companion to Jaccard dedup (Broder's containment).
+
+    Same inverted-index join as :func:`jaccard_pairs` (only docs sharing
+    ≥1 shingle ever pair — candidate count scales with shared-shingle
+    density, not n²); emits each unordered pair once with BOTH directed
+    containments ``c1_in_2 = |∩|/|A|`` and ``c2_in_1 = |∩|/|B|``, kept
+    when either direction reaches ``threshold``.
+    """
+    sh = _doc_shingles(docs, text_col, n)
+    sized = sh.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    inv = sized.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    c12 = F.round(F.col("n_common").cast("double") / F.col("n1").cast("double"), 6)
+    c21 = F.round(F.col("n_common").cast("double") / F.col("n2").cast("double"), 6)
+    return (
+        common.withColumn("c1_in_2", c12 + F.lit(0.0))
+        .withColumn("c2_in_1", c21 + F.lit(0.0))
+        .filter(F.greatest("c1_in_2", "c2_in_1") >= threshold)
+        .select("doc1", "doc2", "c1_in_2", "c2_in_1")
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 8) -> list[Column]:
     """MinHash signature: hash i takes the min over shingles of an
     8-hex-char (32-bit) slice of md5('<seed>|' || shingle), where four

@@ -328,6 +328,76 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed term query — the scoring
+    a corpus-search / hard-negative-mining stage runs (Robertson/Zaragoza
+    BM25, Lucene idf form ``ln((N − df + 0.5)/(df + 0.5) + 1)``).
+
+    Scale design: per-doc term frequencies and doc length are higher-order
+    array ops (pure map, no explode — the query has few terms, so one
+    ``size(filter(...))`` per term beats exploding the whole corpus);
+    corpus stats (N, Σdl, per-term df) are ONE single-row aggregate
+    broadcast back; the final top-k is a TakeOrdered on
+    ``(score desc, doc_id)`` — a total order, so the kept set is exact and
+    deterministic with no global sort or single-partition window.
+
+    Double-arithmetic order mirrors the SQL oracle expression-for-
+    expression (literals combined the same way), so scores are
+    bit-identical cross-engine before the 6dp round.
+    """
+    t = tokens(F.col(text_col))
+
+    # closure factory: a `lambda x, term=term:` two-arg signature would
+    # make F.filter pass (element, index) and bind the INDEX to term
+    def _tf(term: str) -> Column:
+        return F.size(F.filter(t, lambda x: x == F.lit(term))).cast("long")
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("dl"),
+        *[_tf(term).alias(f"tf{i}") for i, term in enumerate(query_terms)],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("long").alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    n_d = F.col("n_docs").cast("double")
+    avgdl = F.col("total_dl").cast("double") / n_d
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        dfq = F.col(f"df{i}").cast("double")
+        idf = F.log((n_d - dfq + F.lit(0.5)) / (dfq + F.lit(0.5)) + F.lit(1.0))
+        s = (
+            idf
+            * (tf * (F.lit(k1) + F.lit(1.0)))
+            / (
+                tf
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+            )
+        )
+        score = s if score is None else score + s
+    return (
+        j.select("doc_id", (F.round(score, 6) + F.lit(0.0)).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def corpus_bigram_topk(docs: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
     """Corpus-wide top-k bigrams — the n-gram census a tokenizer-training
     or domain-mix analysis step runs. One explode + one hash aggregate

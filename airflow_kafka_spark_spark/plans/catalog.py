@@ -3362,6 +3362,115 @@ GROUP BY 1, 2
 """
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 corpus retrieval (ext.textstats.bm25_topk): fixed 3-term
+    query, Lucene idf, one broadcast stats row, TakeOrdered top-10."""
+    from ..ext.textstats import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "join", "window"], k=10)
+
+
+SQL_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+per_doc AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0,
+         CAST(len(list_filter(t, x -> x = 'join')) AS BIGINT) AS tf1,
+         CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf2
+  FROM toks
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_dl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM per_doc
+),
+scored AS (
+  SELECT doc_id,
+    ROUND(
+      ln((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+        * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+        / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      + ln((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+        * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+        / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      + ln((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+        * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+        / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+    , 6) + CAST(0 AS DOUBLE) AS score
+  FROM per_doc, stats
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup (ext.dedup.containment_pairs):
+    catches subset/superset duplication Jaccard dilutes."""
+    from ..ext.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.5)
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH {_SHINGLES_SQL},
+inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.n_sh AS n1, b.n_sh AS n2,
+         COUNT(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc1, doc2,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(n1 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS c1_in_2,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(n2 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS c2_in_1
+FROM common
+WHERE GREATEST(
+    ROUND(CAST(n_common AS DOUBLE) / CAST(n1 AS DOUBLE), 6) + CAST(0 AS DOUBLE),
+    ROUND(CAST(n_common AS DOUBLE) / CAST(n2 AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+  ) >= 0.5
+"""
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """Per-event-type z-score outliers (ext.outliers.zscore_outliers):
+    decimal-exact moments, broadcast back, pure-map z."""
+    from ..ext.outliers import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_outliers(ev, threshold=3.0)
+
+
+SQL_ZSCORE_OUTLIERS = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(value) AS BIGINT) AS n,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(22,6))), 6) AS DOUBLE) AS s,
+         CAST(ROUND(SUM(CAST(value * value AS DECIMAL(38,12))), 6) AS DOUBLE) AS q
+  FROM events GROUP BY event_type
+),
+z AS (
+  SELECT e.event_id, e.event_type,
+         (e.value - g.s / CAST(g.n AS DOUBLE))
+           / sqrt(g.q / CAST(g.n AS DOUBLE)
+                  - (g.s / CAST(g.n AS DOUBLE)) * (g.s / CAST(g.n AS DOUBLE))) AS zraw
+  FROM events e JOIN g USING (event_type)
+  WHERE g.n >= 2
+    AND g.q / CAST(g.n AS DOUBLE)
+        - (g.s / CAST(g.n AS DOUBLE)) * (g.s / CAST(g.n AS DOUBLE)) > 0
+)
+SELECT event_id, event_type, ROUND(zraw, 6) + CAST(0 AS DOUBLE) AS z
+FROM z WHERE ABS(ROUND(zraw, 6)) >= 3.0
+"""
+
+
 # Dict order = the order the driver measures entries in. If its budget
 # truncates the run (r1 stopped at 50), the tail goes unmeasured — so the
 # highest-stakes groups come first: reference parity, then the
@@ -3410,6 +3519,9 @@ CATALOG: dict[str, Query] = {
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "chunk_dedup": Query(q_chunk_dedup, SQL_CHUNK_DEDUP, headline=True),
     "mixture_sample": Query(q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "bm25_topk": Query(q_bm25_topk, SQL_BM25_TOPK),
+    "containment_pairs": Query(q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    "zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
     "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),

@@ -267,6 +267,32 @@ def test_salted_join_carries_salt_key(spark):
     assert "CartesianProduct" not in s and "NestedLoop" not in s, s
 
 
+def test_bm25_broadcast_stats_no_explode(spark):
+    """Corpus stats join back as a 1-row broadcast; term frequencies are
+    array higher-order ops — no explode of the corpus, no cartesian, and
+    the top-k is a TakeOrdered, not a global sort."""
+    s = _explain(CATALOG["bm25_topk"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
+    assert "CartesianProduct" not in s, s
+    assert "TakeOrderedAndProject" in s, s
+    assert "Generate" not in s, s  # no explode in the scoring path
+
+
+def test_zscore_broadcasts_group_moments(spark):
+    """Group moments (5 rows) broadcast back to the fact table; the only
+    hash shuffle is the moments aggregate itself."""
+    s = _explain(CATALOG["zscore_outliers"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in s, s
+    assert s.count("hashpartitioning") == 1, s
+
+
+def test_containment_inverted_index_join(spark):
+    """Containment pairs join only on shared shingles (equi-join on the
+    shingle key) — never an all-pairs nested loop."""
+    s = _explain(CATALOG["containment_pairs"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s and "NestedLoop" not in s, s
+
+
 def test_asof_forward_single_shuffle(spark):
     """Forward as-of mirrors the backward union-merge plan: no range
     join, bounded Exchange count."""
