@@ -8,8 +8,8 @@ with JVM-side higher-order functions, banded, and only docs sharing a
 band bucket are joined — candidate count scales with true-duplicate
 density, not n². The exact-Jaccard verifier joins only on shared shingles
 (inverted-index join), which is the standard scalable verifier; hot
-shingles can be dropped by document frequency if a corpus makes them skew
-(TODO knob, not needed at fixture scale).
+shingles can be dropped by document frequency when a corpus makes them
+skew (the ``max_shingle_df`` knob on :func:`jaccard_pairs`).
 
 Hashing uses md5 (byte-identical in Spark and DuckDB) so every step is
 oracle-checkable across engines — murmur/xxhash would be engine-specific.

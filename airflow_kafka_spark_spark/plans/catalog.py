@@ -3519,9 +3519,9 @@ CATALOG: dict[str, Query] = {
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "chunk_dedup": Query(q_chunk_dedup, SQL_CHUNK_DEDUP, headline=True),
     "mixture_sample": Query(q_mixture_sample, SQL_MIXTURE_SAMPLE),
-    "bm25_topk": Query(q_bm25_topk, SQL_BM25_TOPK),
+    "bm25_topk": Query(q_bm25_topk, SQL_BM25_TOPK, headline=True),
     "containment_pairs": Query(q_containment_pairs, SQL_CONTAINMENT_PAIRS),
-    "zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS),
+    "zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS, headline=True),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
     "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),

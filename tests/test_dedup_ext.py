@@ -151,3 +151,56 @@ def test_funnel_stage_ordering(spark):
     assert row["reached_view"] == 3
     assert row["reached_click"] == 1
     assert row["reached_purchase"] == 1
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A snippet fully contained in a much larger doc: containment ≈ 1
+    in the snippet→page direction while Jaccard stays tiny — the exact
+    case the operator exists for."""
+    from airflow_kafka_spark_spark.ext.dedup import containment_pairs, jaccard_pairs
+
+    snippet = "alpha beta gamma delta epsilon zeta"
+    page = snippet + " " + " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, snippet), (2, page)], "doc_id long, text string"
+    )
+    cont = {
+        (r["doc1"], r["doc2"]): (r["c1_in_2"], r["c2_in_1"])
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont
+    c12, c21 = cont[(1, 2)]
+    assert c12 == 1.0          # every snippet shingle is in the page
+    assert c21 < 0.1           # the page is mostly NOT the snippet
+    # Jaccard at the same 0.9 bar finds nothing
+    assert jaccard_pairs(df, threshold=0.9).count() == 0
+
+
+def test_zscore_flags_planted_outlier(spark):
+    """A single extreme value among near-constant ones must be the only
+    flagged row, with a large positive z."""
+    from airflow_kafka_spark_spark.ext.outliers import zscore_outliers
+
+    rows = [(i, "a", 10.0 + (i % 3) * 0.01) for i in range(50)] + [(99, "a", 1000.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = zscore_outliers(df, threshold=3.0).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["z"] > 6
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    """A doc saturated with the query term outranks one that mentions it
+    once amid filler; docs without the term never appear."""
+    from airflow_kafka_spark_spark.ext.textstats import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark spark spark runs fast"),
+            (2, "spark " + " ".join(f"word{i}" for i in range(100))),
+            (3, "no relevant terms here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ["spark"], k=10).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["score"] > out[1]["score"]
