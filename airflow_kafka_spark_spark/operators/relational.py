@@ -191,3 +191,58 @@ def salted_join(
     )
     out = salted_left.join(salted_right, [*key_cols, "__salt"], how)
     return out.drop("__salt")
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """MERGE-INTO emulation on plain DataFrames: source rows REPLACE
+    matching target rows (whole-row update), unmatched source rows
+    INSERT, unmatched target rows survive — the upsert every
+    snapshot-maintenance pipeline needs without a table format.
+
+    Plan: ``source ∪ (target LEFT ANTI source on keys)`` — one anti
+    equi-join plus a union, no window, no full outer join. Both sides
+    shuffle on the key once; when the source is a small delta (the
+    common case) AQE broadcasts it and the target never shuffles at
+    all. At lake scale the same shape becomes a partition-overwrite:
+    restrict target to the partitions the source touches, merge, and
+    rewrite only those partitions.
+
+    ``source`` must be unique per key (pre-aggregate if not — with
+    duplicate keys every copy would insert). Column sets must match;
+    ``unionByName`` enforces it.
+    """
+    survivors = target.join(
+        source.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    return source.unionByName(survivors)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: each change event for a
+    key becomes a validity interval ``[valid_from, valid_to)`` where
+    ``valid_to`` is the key's NEXT change (NULL = current row) — the
+    standard warehouse pattern for as-of attribute lookup (pairs with
+    :func:`..operators.temporal.asof_join` on the read side).
+
+    One window per key ordered by the change timestamp (single shuffle);
+    ``is_current`` marks each key's open row. Ties on ``ts_col`` within
+    a key are ordered by the attribute columns to stay deterministic —
+    callers with true duplicate change-times should pre-dedup.
+    """
+    w = Window.partitionBy(*key_cols).orderBy("valid_from", *attr_cols)
+    return df.select(
+        *key_cols,
+        F.col(ts_col).alias("valid_from"),
+        *attr_cols,
+    ).withColumn("valid_to", F.lead("valid_from").over(w)).withColumn(
+        "is_current", F.col("valid_to").isNull()
+    )

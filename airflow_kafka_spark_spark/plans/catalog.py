@@ -3471,6 +3471,84 @@ FROM z WHERE ABS(ROUND(zraw, 6)) >= 3.0
 """
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE-INTO emulation (operators.relational.merge_upsert): a
+    deterministic correction delta (keys ≡ 0 mod 7, price doubled,
+    status 'R') replaces matching orders rows; everything else
+    survives. Anti-join + union — no full outer join."""
+    from ..operators.relational import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    src = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("R").alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(2.0)).alias("o_totalprice"),
+    )
+    merged = merge_upsert(orders, src, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        _r6("o_totalprice").alias("total"),
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+         o_totalprice * 2.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+merged AS (
+  SELECT * FROM src
+  UNION ALL
+  SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice
+  FROM orders t
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+)
+SELECT o_orderkey, o_orderstatus,
+       ROUND(o_totalprice, 6) + CAST(0 AS DOUBLE) AS total
+FROM merged
+"""
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """SCD type-2 history (operators.relational.scd2_intervals): each
+    user's events become validity intervals via one lead() window;
+    open rows flagged current."""
+    from ..operators.relational import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    out = scd2_intervals(ev, ["user_id"], "ts", ["event_type", "value"])
+    return out.select(
+        "user_id",
+        F.date_format("valid_from", TS_FMT_SPARK).alias("valid_from"),
+        "event_type",
+        _r6("value").alias("value"),
+        F.date_format("valid_to", TS_FMT_SPARK).alias("valid_to"),
+        F.col("is_current").cast("long").alias("is_current"),
+    )
+
+
+SQL_SCD2_INTERVALS = f"""
+WITH w AS (
+  SELECT user_id, ts AS valid_from, event_type, value,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_type, value) AS valid_to
+  FROM events
+)
+SELECT user_id, strftime(valid_from, '{TS_FMT_DUCK}') AS valid_from,
+       event_type, ROUND(value, 6) + CAST(0 AS DOUBLE) AS value,
+       strftime(valid_to, '{TS_FMT_DUCK}') AS valid_to,
+       CAST(valid_to IS NULL AS BIGINT) AS is_current
+FROM w
+"""
+
+
 # Dict order = the order the driver measures entries in. If its budget
 # truncates the run (r1 stopped at 50), the tail goes unmeasured — so the
 # highest-stakes groups come first: reference parity, then the
@@ -3538,6 +3616,8 @@ CATALOG: dict[str, Query] = {
     "incremental_rollup": Query(q_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION),
     "event_transitions": Query(q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "merge_upsert": Query(q_merge_upsert, SQL_MERGE_UPSERT),
+    "scd2_intervals": Query(q_scd2_intervals, SQL_SCD2_INTERVALS),
     # relational surface (full 22-shape TPC-H battery + window/agg/scalar)
     "q1_pricing_summary": Query(q1_pricing_summary, SQL_Q1, headline=True),
     "q6_revenue": Query(q6_revenue, SQL_Q6, headline=True),

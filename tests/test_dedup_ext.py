@@ -204,3 +204,38 @@ def test_bm25_ranks_term_dense_doc_first(spark):
     out = bm25_topk(df, ["spark"], k=10).collect()
     assert [r["doc_id"] for r in out] == [1, 2]
     assert out[0]["score"] > out[1]["score"]
+
+
+def test_merge_upsert_semantics(spark):
+    """Update beats target row, insert lands, untouched rows survive."""
+    from airflow_kafka_spark_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k long, v string"
+    )
+    out = {r["k"]: r["v"] for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_scd2_interval_chain(spark):
+    """Intervals chain per key: each valid_to equals the next
+    valid_from; exactly one open (current) row per key."""
+    from airflow_kafka_spark_spark.operators.relational import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, 20, "y"), (1, 30, "z"), (2, 5, "q")],
+        "k long, ts long, attr string",
+    )
+    rows = sorted(
+        scd2_intervals(df, ["k"], "ts", ["attr"]).collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    k1 = [r for r in rows if r["k"] == 1]
+    assert [(r["valid_from"], r["valid_to"]) for r in k1] == [
+        (10, 20), (20, 30), (30, None)
+    ]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    assert [r for r in rows if r["k"] == 2][0]["is_current"] is True

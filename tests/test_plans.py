@@ -293,6 +293,23 @@ def test_containment_inverted_index_join(spark):
     assert "CartesianProduct" not in s and "NestedLoop" not in s, s
 
 
+def test_merge_upsert_anti_join_union(spark):
+    """MERGE emulation is an anti equi-join + union — no full outer
+    join, no nested loop; the small delta side broadcasts under AQE."""
+    s = _explain(CATALOG["merge_upsert"].fn(spark, SF_DIR))
+    assert "LeftAnti" in s or "left_anti" in s.lower(), s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s, s
+    assert "FullOuter" not in s, s
+
+
+def test_scd2_single_key_window(spark):
+    """SCD2 history is ONE lead() window — single hash partitioning on
+    the key, no join."""
+    s = _explain(CATALOG["scd2_intervals"].fn(spark, SF_DIR))
+    assert s.count("hashpartitioning(user_id") == 1, s
+    assert "Join" not in s, s
+
+
 def test_asof_forward_single_shuffle(spark):
     """Forward as-of mirrors the backward union-merge plan: no range
     join, bounded Exchange count."""
