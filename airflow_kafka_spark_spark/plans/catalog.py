@@ -3549,6 +3549,43 @@ FROM w
 """
 
 
+def q_window_dedup(spark, sf_dir):
+    """Windowed dedup: first event per (user, type) in each clock hour
+    survives — the batch analogue of the streaming
+    dropDuplicatesWithinWatermark pass (operators/dedup.py), oracle-
+    checkable because hour buckets are deterministic. One window over
+    (user, type, hour) ordered by (ts, event_id); rank-1 rows kept."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type", hour).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format(hour, TS_FMT_SPARK).alias("hour_bucket"),
+        )
+    )
+
+
+SQL_WINDOW_DEDUP = f"""
+WITH r AS (
+  SELECT event_id, user_id, event_type, date_trunc('hour', ts) AS h,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id, event_type, strftime(h, '{TS_FMT_DUCK}') AS hour_bucket
+FROM r WHERE rn = 1
+"""
+
+
 # Dict order = the order the driver measures entries in. If its budget
 # truncates the run (r1 stopped at 50), the tail goes unmeasured — so the
 # highest-stakes groups come first: reference parity, then the
@@ -3618,6 +3655,7 @@ CATALOG: dict[str, Query] = {
     "event_transitions": Query(q_event_transitions, SQL_EVENT_TRANSITIONS),
     "merge_upsert": Query(q_merge_upsert, SQL_MERGE_UPSERT),
     "scd2_intervals": Query(q_scd2_intervals, SQL_SCD2_INTERVALS),
+    "window_dedup": Query(q_window_dedup, SQL_WINDOW_DEDUP),
     # relational surface (full 22-shape TPC-H battery + window/agg/scalar)
     "q1_pricing_summary": Query(q1_pricing_summary, SQL_Q1, headline=True),
     "q6_revenue": Query(q6_revenue, SQL_Q6, headline=True),
