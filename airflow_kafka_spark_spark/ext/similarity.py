@@ -310,3 +310,160 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         qval.cast("long").alias("qval"),
         (F.round(F.col("scale"), 6) + F.lit(0.0)).alias("scale_r"),
     )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 32,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", public): split each vector
+    into ``m`` contiguous subvectors and train an ``n_codes``-centroid
+    k-means per subvector on a BOUNDED deterministic sample — the same
+    train-small/apply-big contract as :func:`ivf_assignments`. The model
+    is m·n_codes·(d/m) floats (= n_codes·d — kilobytes), broadcast as
+    literals; training never touches more than the sample.
+    """
+    import numpy as np
+
+    sample = np.array(
+        [
+            r[0]
+            for r in embeddings.select(id_col, vec_col)
+            .sort(id_col)
+            .limit(max(n_codes * 20, 256))
+            .select(vec_col)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    if len(sample) == 0:
+        raise ValueError("pq_codebooks: embeddings table is empty")
+    d = sample.shape[1]
+    if d % m != 0:
+        raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
+    sub_d = d // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = sample[:, j * sub_d : (j + 1) * sub_d]
+        k_eff = min(n_codes, len(sub))
+        cents = sub[rng.choice(len(sub), size=k_eff, replace=False)].copy()
+        for _ in range(10):  # fixed-iteration Lloyd's — deterministic
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([list(map(float, c)) for c in cents])
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector its PQ code word per subvector — pure map,
+    JVM-side: per subvector the squared distance to each centroid is an
+    ``aggregate(zip_with(slice(...)))`` fold and the code is the argmin
+    via ``array_position(array_min)``. No Python in the row path, no
+    shuffle — encoding streams a 100 TB corpus at scan speed, emitting
+    m bytes per vector (here an ``array<int>`` for portability).
+    """
+    v = F.col(vec_col)
+    m = len(codebooks)
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        sub_d = len(book[0])
+        sub = F.slice(v, j * sub_d + 1, sub_d)
+        d2s = [
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            for cent in book
+        ]
+        code = F.array_position(F.array(*d2s), F.array_min(F.array(*d2s))) - 1
+        code_cols.append(code.cast("int"))
+    return embeddings.select(
+        F.col(id_col), F.array(*code_cols).alias("codes")
+    )
+
+
+def ann_topk_pq(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 32,
+    rerank_factor: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC) + exact rerank:
+    the query stays un-quantized; each corpus vector's approximate L2
+    distance is a table lookup per subvector (the per-centroid distance
+    table is m·n_codes doubles computed driver-side and broadcast as
+    literals), so the scan does m ``element_at`` lookups per row instead
+    of d multiplies. The best ``rerank_factor·k`` ADC candidates get an
+    exact cosine rerank — the standard PQ accuracy recovery. Both
+    selection steps are TakeOrdered with total orderings (ties → id), so
+    results are deterministic.
+    """
+    import numpy as np
+
+    books = pq_codebooks(
+        embeddings, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col
+    )
+    q_row = (
+        embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
+    )
+    if q_row is None:
+        raise ValueError(f"ann_topk_pq: no row with {id_col}={query_vec_id!r}")
+    qvec = np.array(q_row[0], dtype=np.float64)
+    sub_d = len(books[0][0])
+    tables = []  # tables[j][c] = ||q_sub_j - centroid_c||²
+    for j, book in enumerate(books):
+        qs = qvec[j * sub_d : (j + 1) * sub_d]
+        tables.append([float(((qs - np.array(c)) ** 2).sum()) for c in book])
+
+    codes = pq_encode(embeddings, books, vec_col=vec_col, id_col=id_col)
+    adist = None
+    for j, table in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in table]),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        adist = term if adist is None else adist + term
+    cand_ids = (
+        codes.filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), adist.alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col))
+        .limit(rerank_factor * k)
+        .select(id_col)
+    )
+    cand = embeddings.join(cand_ids, id_col)
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    joined = cand.crossJoin(F.broadcast(q))
+    cos = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    return (
+        joined.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -3549,6 +3549,19 @@ FROM w
 """
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (ext.similarity.ann_topk_pq): ADC table
+    lookups over JVM-encoded PQ codes, exact cosine rerank of the top
+    candidates. Driver-trained codebooks on a bounded sample (the
+    train-small/apply-big split, as ann_ivf). Quantizer is not
+    SQL-expressible → rows-only driver check; recall vs exact knn is
+    pinned by tests/test_dedup_ext.py."""
+    from ..ext.similarity import ann_topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_pq(emb, query_vec_id=0, k=10)
+
+
 def q_window_dedup(spark, sf_dir):
     """Windowed dedup: first event per (user, type) in each clock hour
     survives — the batch analogue of the streaming
@@ -3617,6 +3630,7 @@ CATALOG: dict[str, Query] = {
     "knn_cosine": Query(q_knn_cosine, SQL_KNN_COSINE, headline=True),
     "ann_bucketed": Query(q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": Query(q_ann_ivf, None),  # quantizer not SQL-expressible
+    "ann_pq": Query(q_ann_pq, None),  # PQ codebooks not SQL-expressible
     "cosine_near_dup": Query(q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
     "text_stats": Query(q_text_stats, SQL_TEXT_STATS, headline=True),
     "doc_fingerprints": Query(q_doc_fingerprints, SQL_DOC_FINGERPRINTS),

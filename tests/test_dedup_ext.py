@@ -239,3 +239,32 @@ def test_scd2_interval_chain(spark):
     ]
     assert [r["is_current"] for r in k1] == [False, False, True]
     assert [r for r in rows if r["k"] == 2][0]["is_current"] is True
+
+
+def test_pq_ann_recall_and_determinism(spark):
+    """PQ ADC + rerank must recover most of the exact top-10 (recall@10
+    ≥ 0.6 on the fixture corpus) and encode deterministically across
+    runs."""
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_pq,
+        cosine_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {r["vec_id"] for r in cosine_topk(emb, 0, k=10).collect()}
+    approx = {r["vec_id"] for r in ann_topk_pq(emb, 0, k=10).collect()}
+    assert len(exact & approx) >= 6, (exact, approx)
+
+    books = pq_codebooks(emb)
+    c1 = pq_encode(emb, books).orderBy("vec_id").limit(20).collect()
+    c2 = pq_encode(emb, books).orderBy("vec_id").limit(20).collect()
+    assert [r["codes"] for r in c1] == [r["codes"] for r in c2]
+    # codes are within range
+    m, n_codes = len(books), len(books[0])
+    for r in c1:
+        assert len(r["codes"]) == m
+        assert all(0 <= c < n_codes for c in r["codes"])
