@@ -95,3 +95,39 @@ def test_symbol_cap(spark=None):
         max_symbols=4,
     )
     assert sent.count(HISTORY_TOPIC) == 4  # dag:55 cap
+
+
+def test_quotefeed_datasource_end_to_end(spark):
+    """Spark 4 Python DataSource replaces the external REST→Kafka hop:
+    read format('quotefeed'), feed the messages straight into the same
+    parse→explode path the Kafka consumer uses — no broker anywhere."""
+    from airflow_kafka_spark_spark.operators.parse import (
+        explode_history,
+        parse_history_messages,
+    )
+    from airflow_kafka_spark_spark.sources.quotefeed import (
+        _synthetic_history,
+        register_quotefeed,
+    )
+
+    register_quotefeed(spark)
+    feed = (
+        spark.read.format("quotefeed")
+        .option("symbols", "AAA,BBB,CCC")
+        .option("numBars", "5")
+        .option("numPartitions", "2")
+        .load()
+    )
+    assert feed.count() == 3
+    # determinism: same options → identical rows
+    assert feed.orderBy("symbol").collect() == feed.orderBy("symbol").collect()
+    # current_price matches the generator contract (last close)
+    row = feed.filter(feed.symbol == "AAA").first()
+    assert row["current_price"] == _synthetic_history("AAA", 5)["current_price"]
+
+    parsed = parse_history_messages(feed, value_col="message")
+    bars = explode_history(parsed)
+    assert bars.count() == 15  # 3 symbols × 5 bars
+    assert set(bars.select("symbol").distinct().toPandas()["symbol"]) == {
+        "AAA", "BBB", "CCC",
+    }
