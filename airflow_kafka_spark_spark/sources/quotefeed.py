@@ -24,7 +24,12 @@ import json
 import math
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = "symbol string, current_price double, message string"
 
@@ -102,15 +107,57 @@ class QuoteFeedReader(DataSourceReader):
                 )
 
 
+class QuoteFeedStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch quote feed: offset = poll-cycle counter; each batch
+    emits one fresh history message per symbol, ``numBars`` growing by
+    one bar per cycle (prices continue deterministically). This is the
+    reference's Airflow poll loop (fetch_to_kafka_dag.py:50-121)
+    re-expressed as a native ``readStream`` source — exactly-once
+    because cycle → rows is a pure function, so offset replay after a
+    crash regenerates identical data (Kafka-grade replayability with no
+    broker). ``readBetweenOffsets`` is the replay hook Spark calls on
+    recovery."""
+
+    def __init__(self, options: dict):
+        self.symbols = [s for s in options.get("symbols", "").split(",") if s]
+        self.base_bars = int(options.get("numBars", "30"))
+
+    def initialOffset(self) -> dict:
+        return {"cycle": 0}
+
+    def _rows(self, cycle: int):
+        for symbol in self.symbols:
+            msg = _synthetic_history(symbol, self.base_bars + cycle)
+            yield (
+                msg["symbol"],
+                float(msg["current_price"]),
+                json.dumps(msg, sort_keys=True),
+            )
+
+    def read(self, start: dict):
+        cycle = start["cycle"]
+        # materialized list, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator when planning partitions, and
+        # generators are not copyable (a cycle's rows are small — one
+        # message per symbol)
+        return list(self._rows(cycle)), {"cycle": cycle + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for cycle in range(start["cycle"], end["cycle"]):
+            yield from self._rows(cycle)
+
+
 class QuoteFeedDataSource(DataSource):
-    """``spark.read.format("quotefeed")`` after
-    :func:`register_quotefeed`. Options:
+    """``spark.read.format("quotefeed")`` (batch) or
+    ``spark.readStream.format("quotefeed")`` (micro-batch poll loop)
+    after :func:`register_quotefeed`. Options:
 
     - ``symbols``: comma-separated symbol list (synthetic mode)
-    - ``numBars``: bars per symbol (default 30)
-    - ``path``: JSONL file of history messages (replay mode; overrides
-      synthetic)
-    - ``numPartitions``: reader fan-out (default 4)
+    - ``numBars``: bars per symbol (default 30; streaming grows it by
+      one per cycle)
+    - ``path``: JSONL file of history messages (batch replay mode;
+      overrides synthetic)
+    - ``numPartitions``: batch reader fan-out (default 4)
     """
 
     @classmethod
@@ -122,6 +169,9 @@ class QuoteFeedDataSource(DataSource):
 
     def reader(self, schema) -> QuoteFeedReader:
         return QuoteFeedReader(self.options)
+
+    def simpleStreamReader(self, schema) -> QuoteFeedStreamReader:
+        return QuoteFeedStreamReader(self.options)
 
 
 def register_quotefeed(spark) -> None:

@@ -502,3 +502,46 @@ def test_continuous_rollup_replay_fence(spark):
     # a NEW batch id merges (doubles the counts — same rows again)
     assert merge_batch_into_rollup(rollup, ev, 1, grain="hour") is True
     assert spark.read.parquet(rollup).agg(F.sum("n_events")).first()[0] == 2 * once
+
+
+def test_quotefeed_stream_polls_cycles(spark):
+    """The streaming quotefeed emits one message per symbol per cycle
+    with history growing a bar each cycle — the reference's poll loop as
+    a native readStream source, replayable from offsets alone."""
+    import json as _json
+    import tempfile
+
+    from airflow_kafka_spark_spark.sources.quotefeed import register_quotefeed
+
+    register_quotefeed(spark)
+    stream = (
+        spark.readStream.format("quotefeed")
+        .option("symbols", "AAA,BBB")
+        .option("numBars", "3")
+        .load()
+    )
+    batches = []
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: batches.append(df.collect())
+        )
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while len(batches) < 3 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(batches) >= 3
+    non_empty = [b for b in batches if b]
+    assert len(non_empty) >= 2
+    first, second = non_empty[0], non_empty[1]
+    assert sorted(r["symbol"] for r in first) == ["AAA", "BBB"]
+    n0 = len(_json.loads(first[0]["message"])["historical_data"])
+    n1 = len(_json.loads(second[0]["message"])["historical_data"])
+    assert n1 == n0 + 1  # one more bar per cycle
