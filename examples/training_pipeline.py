@@ -7,6 +7,7 @@ operators a 100 TB pretraining-corpus build actually chains, in order.
       → exact dedup            (md5 fingerprint, keep min doc_id)
       → near-dup resolution    (MinHash-LSH pairs → connected components
                                 → drop non-keepers)
+      → containment dedup      (drop docs ≥90% contained in a survivor)
       → chunk-level dedup      (corpus-wide duplicated-span removal)
       → decontamination        (3-gram overlap vs benchmark shingles)
       → mixture sampling       (per-source md5-bucket keep rates)
@@ -68,6 +69,21 @@ def main() -> None:
     docs = docs.join(drop, "doc_id", "left_anti")
     n3 = docs.count()
 
+    # 3b. containment dedup: drop docs ≥90% contained in another survivor
+    # (snippet-inside-page duplication Jaccard dilutes past its threshold)
+    from airflow_kafka_spark_spark.ext.dedup import containment_pairs
+
+    cont = containment_pairs(docs, threshold=0.9)
+    contained = (
+        cont.select(
+            F.when(F.col("c1_in_2") >= 0.9, F.col("doc1"))
+            .otherwise(F.col("doc2"))
+            .alias("doc_id")
+        ).distinct()
+    )
+    docs = docs.join(contained, "doc_id", "left_anti")
+    n3a = docs.count()
+
     # 4. strip corpus-duplicated spans (boilerplate) inside survivors
     from airflow_kafka_spark_spark.ext.dedup import strip_duplicate_chunks
 
@@ -124,8 +140,8 @@ def main() -> None:
     release_minhash_caches()
     print(
         f"raw={n0} quality={n1} exact_dedup={n2} near_dup={n3} "
-        f"chunk_dedup={n3b} decontaminated={n4} mixture={n4b} "
-        f"written={n5} shards={n_shards} out={out}"
+        f"containment={n3a} chunk_dedup={n3b} decontaminated={n4} "
+        f"mixture={n4b} written={n5} shards={n_shards} out={out}"
     )
     spark.stop()
 
