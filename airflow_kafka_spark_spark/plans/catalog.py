@@ -3726,6 +3726,13 @@ def _session_safe(fn: Callable[[SparkSession, str], DataFrame]):
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_engine_confs(spark)
+        # release the PREVIOUS query's internally-persisted frames (the
+        # caller has consumed its DataFrame by the time the next entry
+        # runs) — a 50-query harness session would otherwise accumulate
+        # every dedup query's shingle/label caches
+        from ..ext.dedup import release_minhash_caches
+
+        release_minhash_caches()
         return fn(spark, sf_dir)
 
     run.__name__ = getattr(fn, "__name__", "catalog_query")
