@@ -156,7 +156,13 @@ def containment_pairs(
     when either direction reaches ``threshold``.
     """
     sh = _doc_shingles(docs, text_col, n)
-    sized = sh.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    # persist: both sides of the self-join consume this frame — without
+    # it the split/shingle/distinct stage (the expensive part) runs
+    # twice. Same lifecycle as the jaccard cache (release_minhash_caches)
+    sized = sh.select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    ).persist()
+    _OWNED_CACHES.append(sized)
     inv = sized.select(
         "doc_id", "n_sh", F.explode("shingles").alias("shingle")
     )

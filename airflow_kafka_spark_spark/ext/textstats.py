@@ -352,6 +352,8 @@ def bm25_topk(
     expression (literals combined the same way), so scores are
     bit-identical cross-engine before the 6dp round.
     """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
     t = tokens(F.col(text_col))
 
     # closure factory: a `lambda x, term=term:` two-arg signature would

@@ -138,17 +138,22 @@ def bucketed_range_join(
         )
     # timestamp_micros(0) is the epoch INSTANT — unlike a string-literal
     # cast, which parses in the session timezone and silently corrupts
-    # the span (even negative) off UTC. Explicit TimestampType casts keep
-    # unix_micros legal when the session (or the input column) prefers
-    # TIMESTAMP_NTZ — under spark.sql.timestampType=TIMESTAMP_NTZ even
-    # timestamp_micros returns NTZ.
+    # the span off UTC. Explicit TimestampType casts keep unix_micros
+    # legal when the session prefers TIMESTAMP_NTZ (under
+    # spark.sql.timestampType=TIMESTAMP_NTZ even timestamp_micros
+    # returns NTZ). The span is the DIFFERENCE of two casts so any
+    # session-timezone shift the NTZ→LTZ cast introduces cancels —
+    # a single cast of epoch+interval would make the span wrong (even
+    # negative) on an NTZ session with a non-UTC timezone. The column
+    # casts shift both sides' buckets by the same constant, which
+    # preserves the adjacent-bucket matching invariant, and the exact
+    # residual filter compares the raw columns.
     from pyspark.sql import types as T
 
+    t0 = F.timestamp_micros(F.lit(0))
     span_us = F.unix_micros(
-        (F.timestamp_micros(F.lit(0)) + F.expr(f"INTERVAL {lookback}")).cast(
-            T.TimestampType()
-        )
-    )
+        (t0 + F.expr(f"INTERVAL {lookback}")).cast(T.TimestampType())
+    ) - F.unix_micros(t0.cast(T.TimestampType()))
     p_bucket = F.floor(
         F.unix_micros(F.col(probe_ts).cast(T.TimestampType())) / span_us
     )

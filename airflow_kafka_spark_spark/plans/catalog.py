@@ -3794,8 +3794,8 @@ def _measure_priority(name: str) -> int:
 
 def _ordered_names() -> list[str]:
     # stable within a tier: preserves CATALOG's logical grouping
-    return sorted(CATALOG, key=lambda n: (_measure_priority(n),
-                                          list(CATALOG).index(n)))
+    idx = {n: i for i, n in enumerate(CATALOG)}
+    return sorted(CATALOG, key=lambda n: (_measure_priority(n), idx[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

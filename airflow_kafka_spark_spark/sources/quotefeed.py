@@ -38,6 +38,8 @@ def _synthetic_history(symbol: str, n_bars: int) -> dict:
     """Deterministic OHLCV history for a symbol — RNG-free (hash-seeded
     arithmetic), so every executor, rerun, and test sees identical
     bars."""
+    if n_bars < 1:
+        raise ValueError(f"quotefeed: numBars must be >= 1, got {n_bars}")
     seed = sum(ord(c) for c in symbol)
     bars = []
     price = 100.0 + (seed % 50)
@@ -79,7 +81,13 @@ class QuoteFeedReader(DataSourceReader):
         self.num_partitions = int(options.get("numPartitions", "4"))
 
     def partitions(self):
-        n = max(1, min(self.num_partitions, max(len(self.symbols), 1)))
+        if self.path:
+            # replay mode shards by line index — any fan-out is valid
+            n = max(1, self.num_partitions)
+        else:
+            # synthetic mode shards the symbol list — no point planning
+            # more partitions than symbols
+            n = max(1, min(self.num_partitions, max(len(self.symbols), 1)))
         return [_QuoteFeedPartition(i, n) for i in range(n)]
 
     def read(self, partition: _QuoteFeedPartition):
