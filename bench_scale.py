@@ -102,6 +102,34 @@ def main() -> None:
             "sec": round(dt, 3),
             "docs_per_sec": round(n / dt),
         }
+    # PQ encoding is the 100 TB-embeddings path: codebooks train once on
+    # a bounded sample, then encoding must stream map-only. Replicas get
+    # shifted ids so corpus size grows; codebooks are trained ONCE and
+    # reused (the realistic deployment shape).
+    from airflow_kafka_spark_spark.ext.similarity import pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vid_shift = emb.agg(F.max("vec_id")).first()[0] + 1
+    books = pq_codebooks(emb)
+    pq_results = {}
+    for mult in (1, 4, 10):
+        big = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                emb.withColumn("vec_id", F.col("vec_id") + vid_shift * i)
+                for i in range(mult)
+            ],
+        )
+        n = big.count()
+        t0 = time.perf_counter()
+        pq_encode(big, books).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        pq_results[f"{mult}x"] = {
+            "vectors": n,
+            "sec": round(dt, 3),
+            "kvecs_per_sec": round(n / dt / 1000, 1),
+        }
+
     print(
         json.dumps(
             {
@@ -109,6 +137,7 @@ def main() -> None:
                 "results": results,
                 "minhash_scaling": dedup_results,
                 "chunk_dedup_scaling": chunk_results,
+                "pq_encode_scaling": pq_results,
             }
         )
     )

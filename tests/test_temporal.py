@@ -114,6 +114,30 @@ def test_range_join_timezone_independent(spark):
         spark.conf.set("spark.sql.session.timeZone", tz)
 
 
+def test_range_join_ntz_session_non_utc(spark):
+    """The review-found hazard: an NTZ-preferring session with a non-UTC
+    timezone must still compute a correct (positive) span — the span is
+    a difference of two casts so the tz shift cancels."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    ts_type = spark.conf.get("spark.sql.timestampType")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Ho_Chi_Minh")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        probe = _ts(
+            spark, [(1, "2024-01-01 10:00:00", "p")], "k int, pts string, tag string"
+        )
+        build = _ts(
+            spark,
+            [(1, "2024-01-01 09:55:00", "in"), (1, "2024-01-01 09:40:00", "out")],
+            "k int, bts string, name string",
+        )
+        out = bucketed_range_join(probe, build, ["k"], "pts", "bts", "10 minutes")
+        assert [r["name"] for r in out.collect()] == ["in"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        spark.conf.set("spark.sql.timestampType", ts_type)
+
+
 def test_range_join_rejects_outer(spark):
     import pytest
 
