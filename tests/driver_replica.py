@@ -38,6 +38,12 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from tests.oracle_utils import duck_connection, compare
 
+    # the driver smoke-checks entry() on its own session too
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    n_entry = entrymod.entry(spark).count()
+    print(f"entry() rows: {n_entry}", flush=True)
+    assert n_entry > 0, "entry() returned no rows"
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duck_connection(sf_dir)
