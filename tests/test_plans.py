@@ -310,6 +310,27 @@ def test_scd2_single_key_window(spark):
     assert "Join" not in s, s
 
 
+def test_pq_encode_map_only_arrow(spark):
+    """PQ encoding is a map-only Arrow batch kernel: no Exchange, one
+    ArrowEvalPython stage, no join anywhere."""
+    from airflow_kafka_spark_spark.ext.similarity import pq_codebooks, pq_encode
+    from airflow_kafka_spark_spark.sources.files import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    s = _explain(pq_encode(emb, pq_codebooks(emb)))
+    assert "Exchange" not in s, s
+    assert "ArrowEvalPython" in s, s
+    assert "Join" not in s, s
+
+
+def test_window_dedup_single_shuffle(spark):
+    """Hourly first-event dedup is one rank window — a single hash
+    partitioning on the composite key, no join."""
+    s = _explain(CATALOG["window_dedup"].fn(spark, SF_DIR))
+    assert s.count("hashpartitioning") == 1, s
+    assert "Join" not in s, s
+
+
 def test_asof_forward_single_shuffle(spark):
     """Forward as-of mirrors the backward union-merge plan: no range
     join, bounded Exchange count."""
