@@ -65,29 +65,19 @@ def _doc_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     )
 
 
-def jaccard_pairs(
+def _common_shingle_counts(
     docs: DataFrame,
-    threshold: float = 0.4,
-    n: int = 3,
-    text_col: str = "text",
-    max_shingle_df: int | None = None,
+    text_col: str,
+    n: int,
+    max_shingle_df: int | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
-    explode distinct shingles, join docs sharing a shingle, count common
-    shingles, Jaccard = |∩| / (|A|+|B|−|∩|). Only pairs with ≥1 shared
-    shingle are ever materialized.
+    """Shared inverted-index self-join behind jaccard_pairs and
+    containment_pairs: ``(doc1, doc2, n1, n2, n_common)`` for every
+    unordered doc pair sharing ≥1 surviving shingle.
 
-    ``max_shingle_df``: the skew knob for huge corpora. A shingle shared
-    by d documents contributes O(d²) candidate pairs, so one boilerplate
-    shingle ("all rights reserved …") can dominate the whole join; capping
-    document frequency drops shingles with df > cap from the *index* while
-    keeping them in each doc's shingle count. This is a one-sided
-    approximation: capped shingles no longer count toward |∩|, so
-    reported jaccard values are LOWER BOUNDS and pairs whose overlap is
-    mostly high-df shingles can drop below the threshold even if they
-    also share some rare ones (surviving pairs are always true ≥threshold
-    pairs under the deflated score). ``None`` (default) keeps exact
-    semantics and oracle parity."""
+    ``max_shingle_df`` caps document frequency in the INDEX only (each
+    doc's total shingle count ``n_sh`` is unaffected), so downstream
+    scores computed from ``n_common`` are lower bounds when capped."""
     sh = _doc_shingles(docs, text_col, n)
     # persist the sized shingle frame: the inverted index is consumed by
     # BOTH sides of the self-join (and by the df-count when capped) —
@@ -117,7 +107,7 @@ def jaccard_pairs(
         )
         inv = inv.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
-    common = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -128,6 +118,32 @@ def jaccard_pairs(
         )
         .agg(F.count("*").alias("n_common"))
     )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
+    explode distinct shingles, join docs sharing a shingle, count common
+    shingles, Jaccard = |∩| / (|A|+|B|−|∩|). Only pairs with ≥1 shared
+    shingle are ever materialized.
+
+    ``max_shingle_df``: the skew knob for huge corpora. A shingle shared
+    by d documents contributes O(d²) candidate pairs, so one boilerplate
+    shingle ("all rights reserved …") can dominate the whole join; capping
+    document frequency drops shingles with df > cap from the *index* while
+    keeping them in each doc's shingle count. This is a one-sided
+    approximation: capped shingles no longer count toward |∩|, so
+    reported jaccard values are LOWER BOUNDS and pairs whose overlap is
+    mostly high-df shingles can drop below the threshold even if they
+    also share some rare ones (surviving pairs are always true ≥threshold
+    pairs under the deflated score). ``None`` (default) keeps exact
+    semantics and oracle parity."""
+    common = _common_shingle_counts(docs, text_col, n, max_shingle_df)
     jac = F.col("n_common").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("n_common")
     ).cast("double")
@@ -143,6 +159,7 @@ def containment_pairs(
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup pairs by shingle CONTAINMENT — the measure that
     catches subset/superset duplication Jaccard dilutes: a snippet quoted
@@ -154,30 +171,16 @@ def containment_pairs(
     density, not n²); emits each unordered pair once with BOTH directed
     containments ``c1_in_2 = |∩|/|A|`` and ``c2_in_1 = |∩|/|B|``, kept
     when either direction reaches ``threshold``.
+
+    ``max_shingle_df`` is the same skew knob as jaccard_pairs — a single
+    boilerplate shingle shared by d docs otherwise yields O(d²) candidate
+    pairs. Capped shingles leave the index but stay in each doc's
+    ``n_sh``, so both directed containments become LOWER BOUNDS (every
+    surviving pair truly reaches ``threshold`` under the deflated score;
+    pairs whose overlap is mostly high-df shingles can be missed).
+    ``None`` (default) keeps exact semantics and oracle parity.
     """
-    sh = _doc_shingles(docs, text_col, n)
-    # persist: both sides of the self-join consume this frame — without
-    # it the split/shingle/distinct stage (the expensive part) runs
-    # twice. Same lifecycle as the jaccard cache (release_minhash_caches)
-    sized = sh.select(
-        "doc_id", "shingles", F.size("shingles").alias("n_sh")
-    ).persist()
-    _OWNED_CACHES.append(sized)
-    inv = sized.select(
-        "doc_id", "n_sh", F.explode("shingles").alias("shingle")
-    )
-    a, b = inv.alias("a"), inv.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.col("a.n_sh").alias("n1"),
-            F.col("b.n_sh").alias("n2"),
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
+    common = _common_shingle_counts(docs, text_col, n, max_shingle_df)
     c12 = F.round(F.col("n_common").cast("double") / F.col("n1").cast("double"), 6)
     c21 = F.round(F.col("n_common").cast("double") / F.col("n2").cast("double"), 6)
     return (

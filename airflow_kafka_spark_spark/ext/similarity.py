@@ -396,6 +396,19 @@ def pq_encode(
 
     @pandas_udf("array<int>")
     def encode(col: pd.Series) -> pd.Series:
+        # empty Arrow batches happen (empty partition / pushed-down
+        # filter): np.array([]) is shape (0,) and the 2-D subvector
+        # slice below would raise IndexError
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        if col.isna().any():
+            # a single null makes tolist() ragged → object-dtype array
+            # that breaks the broadcast arithmetic with a shape error
+            # far from the cause; fail with the contract instead
+            raise ValueError(
+                "pq_encode: null embedding in batch — filter nulls "
+                f"before encoding ({vec_col} must be non-null)"
+            )
         x = np.array(col.tolist(), dtype=np.float64)
         codes = np.empty((x.shape[0], m), dtype=np.int32)
         for j, book in enumerate(books):

@@ -105,6 +105,20 @@ def asof_join(
     )
 
 
+def _wallclock_micros(c: Column) -> Column:
+    """Micros since wall-clock ``1970-01-01 00:00:00`` of a TIMESTAMP_NTZ
+    value — built purely from field extraction (date diff, hour, minute,
+    fractional second via date_part), so no session-timezone rendering is
+    involved anywhere. Unlike an NTZ→LTZ cast, this is exactly linear in
+    the wall clock even when the session timezone observes DST."""
+    days = F.datediff(c.cast("date"), F.to_date(F.lit("1970-01-01")))
+    secs = days.cast("long") * 86400 + F.hour(c) * 3600 + F.minute(c) * 60
+    frac = F.date_part(F.lit("SECOND"), c)  # decimal(8,6): sec + micros
+    return secs * F.lit(1_000_000).cast("long") + (
+        frac * 1_000_000
+    ).cast("long")
+
+
 def bucketed_range_join(
     probe: DataFrame,
     build: DataFrame,
@@ -136,30 +150,54 @@ def bucketed_range_join(
             "semantics aggregate the inner result and join back to the "
             "probe side (see q_range_join_clicks)"
         )
-    # timestamp_micros(0) is the epoch INSTANT — unlike a string-literal
-    # cast, which parses in the session timezone and silently corrupts
-    # the span off UTC. Explicit TimestampType casts keep unix_micros
-    # legal when the session prefers TIMESTAMP_NTZ (under
-    # spark.sql.timestampType=TIMESTAMP_NTZ even timestamp_micros
-    # returns NTZ). The span is the DIFFERENCE of two casts so any
-    # session-timezone shift the NTZ→LTZ cast introduces cancels —
-    # a single cast of epoch+interval would make the span wrong (even
-    # negative) on an NTZ session with a non-UTC timezone. The column
-    # casts shift both sides' buckets by the same constant, which
-    # preserves the adjacent-bucket matching invariant, and the exact
-    # residual filter compares the raw columns.
+    # The bucket metric must be LINEAR in the columns' own comparison
+    # order, or the adjacent-bucket coverage invariant breaks:
+    #
+    # - TIMESTAMP_NTZ columns compare by WALL CLOCK, so buckets come
+    #   from _wallclock_micros — pure field extraction, no session-
+    #   timezone rendering. The previous NTZ→LTZ cast applied the
+    #   session zone's per-row UTC offset, which is NOT constant in a
+    #   DST zone: two wall times 2h apart straddling a spring-forward
+    #   gap cast to instants only 1h apart, so a build row could land
+    #   ≥2 buckets before its probe row and silently drop the match.
+    # - TIMESTAMP (LTZ) columns compare by instant, so unix_micros is
+    #   the right (and exactly linear) metric. timestamp_micros(0) is
+    #   the epoch INSTANT — unlike a string-literal cast, which parses
+    #   in the session timezone; the explicit TimestampType casts keep
+    #   unix_micros legal under spark.sql.timestampType=TIMESTAMP_NTZ
+    #   (where even timestamp_micros returns NTZ), and the span is the
+    #   DIFFERENCE of two casts so any constant shift cancels.
+    #
+    # Either way the exact residual filter compares the raw columns.
     from pyspark.sql import types as T
 
-    t0 = F.timestamp_micros(F.lit(0))
-    span_us = F.unix_micros(
-        (t0 + F.expr(f"INTERVAL {lookback}")).cast(T.TimestampType())
-    ) - F.unix_micros(t0.cast(T.TimestampType()))
-    p_bucket = F.floor(
-        F.unix_micros(F.col(probe_ts).cast(T.TimestampType())) / span_us
-    )
-    b_bucket = F.floor(
-        F.unix_micros(F.col(build_ts).cast(T.TimestampType())) / span_us
-    )
+    p_ntz = isinstance(probe.schema[probe_ts].dataType, T.TimestampNTZType)
+    b_ntz = isinstance(build.schema[build_ts].dataType, T.TimestampNTZType)
+    if p_ntz != b_ntz:
+        raise ValueError(
+            "bucketed_range_join: probe and build timestamp columns must "
+            f"agree on NTZ-ness ({probe_ts} NTZ={p_ntz}, {build_ts} "
+            f"NTZ={b_ntz}) — mixed types would compare by an implicit "
+            "session-timezone cast"
+        )
+    if p_ntz:
+        epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        # _wallclock_micros(epoch) == 0, so the span is just the
+        # interval's wall-clock width anchored at the epoch
+        span_us = _wallclock_micros(epoch_ntz + F.expr(f"INTERVAL {lookback}"))
+        p_bucket = F.floor(_wallclock_micros(F.col(probe_ts)) / span_us)
+        b_bucket = F.floor(_wallclock_micros(F.col(build_ts)) / span_us)
+    else:
+        t0 = F.timestamp_micros(F.lit(0))
+        span_us = F.unix_micros(
+            (t0 + F.expr(f"INTERVAL {lookback}")).cast(T.TimestampType())
+        ) - F.unix_micros(t0.cast(T.TimestampType()))
+        p_bucket = F.floor(
+            F.unix_micros(F.col(probe_ts).cast(T.TimestampType())) / span_us
+        )
+        b_bucket = F.floor(
+            F.unix_micros(F.col(build_ts).cast(T.TimestampType())) / span_us
+        )
     p = probe.withColumn(
         "__bucket", F.explode(F.array(p_bucket - 1, p_bucket))
     )

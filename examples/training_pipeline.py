@@ -70,18 +70,31 @@ def main() -> None:
     n3 = docs.count()
 
     # 3b. containment dedup: drop docs ≥90% contained in another survivor
-    # (snippet-inside-page duplication Jaccard dilutes past its threshold)
+    # (snippet-inside-page duplication Jaccard dilutes past its threshold).
+    # Chains need keeper resolution, same as stage 3: dropping every doc
+    # flagged "contained" over-drops — in A ⊂ B ⊂ C both A and B get
+    # flagged, leaving A with no surviving container. Feeding the
+    # directed pairs through connected_components keeps exactly one doc
+    # per containment cluster (never zero). A production corpus build
+    # might instead keep the LONGEST doc per cluster; keeper identity
+    # doesn't matter for dedup volume, so the example reuses the same
+    # keeper rule as the MinHash stage.
     from airflow_kafka_spark_spark.ext.dedup import containment_pairs
 
-    cont = containment_pairs(docs, threshold=0.9)
-    contained = (
-        cont.select(
-            F.when(F.col("c1_in_2") >= 0.9, F.col("doc1"))
-            .otherwise(F.col("doc2"))
-            .alias("doc_id")
-        ).distinct()
+    # localCheckpoint cuts the pairs' lineage before iterating: CC's
+    # label-propagation loop otherwise replants the whole quality→dedup→
+    # shingle-index plan under every iteration, and the compounded plan
+    # tree alone blows the driver heap (same lineage-cut move as the
+    # stage-4 parquet boundary below — pairs are tiny, so in-memory).
+    cont = (
+        containment_pairs(docs, threshold=0.9)
+        .select("doc1", "doc2")
+        .localCheckpoint()
     )
-    docs = docs.join(contained, "doc_id", "left_anti")
+    drop_contained = (
+        connected_components(cont).filter(~F.col("is_keeper")).select("doc_id")
+    )
+    docs = docs.join(drop_contained, "doc_id", "left_anti")
     n3a = docs.count()
 
     # 4. strip corpus-duplicated spans (boilerplate) inside survivors

@@ -61,6 +61,28 @@ def test_jaccard_df_cap_is_recall_approximation(spark):
     assert uncapped == exact
 
 
+def test_containment_df_cap_is_recall_approximation(spark):
+    """containment_pairs shares jaccard's inverted index and now the
+    same skew knob: capped pairs are a subset of the exact ones (scores
+    are lower bounds), and an unreachable cap is a no-op."""
+    from airflow_kafka_spark_spark.ext.dedup import containment_pairs
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    exact = {(r["doc1"], r["doc2"]) for r in containment_pairs(docs).collect()}
+    capped = {
+        (r["doc1"], r["doc2"])
+        for r in containment_pairs(docs, max_shingle_df=3).collect()
+    }
+    uncapped = {
+        (r["doc1"], r["doc2"])
+        for r in containment_pairs(docs, max_shingle_df=10**9).collect()
+    }
+    assert capped <= exact
+    assert uncapped == exact
+
+
 def test_ivf_ann_recall(spark):
     """IVF ANN with 4/16 probes must recover most of the exact top-10 —
     and everything it returns must be a true cosine (subset with
@@ -268,3 +290,30 @@ def test_pq_ann_recall_and_determinism(spark):
     for r in c1:
         assert len(r["codes"]) == m
         assert all(0 <= c < n_codes for c in r["codes"])
+
+
+def test_pq_encode_edge_batches(spark):
+    """Empty Arrow batches must yield an empty result (not IndexError on
+    the 2-D slice), and a null embedding must fail with the documented
+    non-null contract message rather than a numpy shape error."""
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from airflow_kafka_spark_spark.ext.similarity import pq_codebooks, pq_encode
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq_codebooks(emb)
+
+    empty = spark.createDataFrame([], emb.schema)
+    assert pq_encode(empty, books).count() == 0
+    # filter pushed below the UDF can also hand it zero-row batches
+    assert pq_encode(emb.filter("vec_id < 0"), books).count() == 0
+
+    schema = "vec_id long, embedding array<double>"
+    with_null = spark.createDataFrame(
+        [(1, [0.0] * len(books) * len(books[0][0])), (2, None)], schema
+    )
+    with pytest.raises(PySparkException, match="null embedding"):
+        pq_encode(with_null, books).collect()

@@ -138,6 +138,48 @@ def test_range_join_ntz_session_non_utc(spark):
         spark.conf.set("spark.sql.timestampType", ts_type)
 
 
+def test_range_join_ntz_dst_timezone(spark):
+    """NTZ columns under a DST session timezone (the advisor-found
+    hazard): NTZ comparisons are wall-clock, but the old bucket metric
+    cast NTZ→LTZ, whose per-row UTC offset jumps 1h across a DST
+    transition — a build row in the spring-forward gap (02:30 never
+    exists on the America/New_York wall clock, but NTZ data recorded in
+    another zone can contain it) got pushed a full bucket PAST its probe
+    row and the true match was silently dropped. Buckets now come from
+    pure wall-clock field extraction, so the match survives."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        probe = spark.createDataFrame(
+            [(1, "2024-03-10 03:00:00", "p")], "k int, pts string, tag string"
+        ).withColumn("pts", F.col("pts").cast("timestamp_ntz"))
+        build = spark.createDataFrame(
+            [
+                (1, "2024-03-10 02:30:00", "gap-in"),     # within 45 min wall-clock
+                (1, "2024-03-10 02:10:00", "gap-out"),    # outside lookback
+                (1, "2024-03-10 01:50:00", "before-out"), # outside lookback
+            ],
+            "k int, bts string, name string",
+        ).withColumn("bts", F.col("bts").cast("timestamp_ntz"))
+        out = bucketed_range_join(probe, build, ["k"], "pts", "bts", "45 minutes")
+        assert [r["name"] for r in out.collect()] == ["gap-in"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_range_join_rejects_mixed_ntz_ltz(spark):
+    import pytest
+
+    probe = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "p")], "k int, pts string, tag string"
+    ).withColumn("pts", F.col("pts").cast("timestamp_ntz"))
+    build = _ts(
+        spark, [(1, "2024-01-01 09:55:00", "in")], "k int, bts string, name string"
+    )
+    with pytest.raises(ValueError, match="NTZ"):
+        bucketed_range_join(probe, build, ["k"], "pts", "bts", "10 minutes")
+
+
 def test_range_join_rejects_outer(spark):
     import pytest
 
