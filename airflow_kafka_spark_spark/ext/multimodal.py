@@ -2,11 +2,15 @@
 
 Images/audio/video are opaque ``binary`` columns plus typed metadata.
 The Spark-side machinery — schema, Arrow batch shape, ``mapInPandas``
-iterator signature, partition sizing — is real and tested; the actual
-codec step is stubbed (this container ships no image/audio libraries)
-behind ``DECODERS``: a deterministic fake that derives metadata from the
-byte payload arithmetically, or a clearly-marked ``NotImplementedError``
-for real codecs.
+iterator signature, partition sizing — is real and tested, and so are
+the container-format decoders: ``parse_png_header`` walks real PNG
+IHDR chunks (CRC-checked) and the WAV path walks RIFF/WAVE chunks,
+both from the public specs with stdlib only (no image/audio libraries
+ship in this container; a compressed-pixel decode would slot in the
+same ``DECODERS`` registry). ``DECODERS`` also keeps ``fake`` — a
+deterministic arithmetic decoder whose output an oracle can replicate,
+used where cross-engine checkable metadata matters more than real
+bytes.
 
 At 100 TB: binary payloads dominate partition size, so callers should
 set ``spark.sql.files.maxPartitionBytes`` down (payload-aware splits)

@@ -3447,6 +3447,39 @@ WHERE GREATEST(
 """
 
 
+def q_containment_pairs_capped(spark, sf_dir):
+    """Containment with the ``max_shingle_df`` skew cap — the named
+    escape hatch for boilerplate-heavy corpora where one shingle shared
+    by d docs otherwise makes O(d²) candidates (same knob, same
+    broadcast-anti-join application as jaccard_pairs_capped)."""
+    from ..ext.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.5, max_shingle_df=5)
+
+
+SQL_CONTAINMENT_PAIRS_CAPPED = f"""
+WITH {_SHINGLES_SQL},
+inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+kept AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) <= 5),
+inv2 AS (SELECT inv.* FROM inv JOIN kept USING (shingle)),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.n_sh AS n1, b.n_sh AS n2,
+         COUNT(*) AS n_common
+  FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc1, doc2,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(n1 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS c1_in_2,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(n2 AS DOUBLE), 6) + CAST(0 AS DOUBLE) AS c2_in_1
+FROM common
+WHERE GREATEST(
+    ROUND(CAST(n_common AS DOUBLE) / CAST(n1 AS DOUBLE), 6) + CAST(0 AS DOUBLE),
+    ROUND(CAST(n_common AS DOUBLE) / CAST(n2 AS DOUBLE), 6) + CAST(0 AS DOUBLE)
+  ) >= 0.5
+"""
+
+
 def q_zscore_outliers(spark, sf_dir):
     """Per-event-type z-score outliers (ext.outliers.zscore_outliers):
     decimal-exact moments, broadcast back, pure-map z."""
@@ -3638,7 +3671,9 @@ CATALOG: dict[str, Query] = {
     "knn_cosine": Query(q_knn_cosine, SQL_KNN_COSINE, headline=True),
     "ann_bucketed": Query(q_ann_bucketed, SQL_ANN_BUCKETED),
     "ann_ivf": Query(q_ann_ivf, None),  # quantizer not SQL-expressible
-    "ann_pq": Query(q_ann_pq, None),  # PQ codebooks not SQL-expressible
+    # PQ codebooks not SQL-expressible; headline so the full
+    # train→encode→ADC→rerank cost is tracked round-over-round
+    "ann_pq": Query(q_ann_pq, None, headline=True),
     "cosine_near_dup": Query(q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
     "text_stats": Query(q_text_stats, SQL_TEXT_STATS, headline=True),
     "doc_fingerprints": Query(q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
@@ -3658,6 +3693,9 @@ CATALOG: dict[str, Query] = {
     "mixture_sample": Query(q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "bm25_topk": Query(q_bm25_topk, SQL_BM25_TOPK, headline=True),
     "containment_pairs": Query(q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    "containment_pairs_capped": Query(
+        q_containment_pairs_capped, SQL_CONTAINMENT_PAIRS_CAPPED, headline=True
+    ),
     "zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS, headline=True),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),

@@ -130,6 +130,64 @@ def main() -> None:
             "kvecs_per_sec": round(n / dt / 1000, 1),
         }
 
+    # rolling-mean formulation face-off: the oracle-exact lag-chain is
+    # O(n) expressions per window vs the O(1) frame-aggregate — the
+    # pre-measured swap for when a profiler flags the lag-chain at 100×
+    # (the frame variant trades last-ULP cross-engine reproducibility)
+    from pyspark.sql import Window
+
+    from airflow_kafka_spark_spark.functions.windows import (
+        rolling_mean,
+        rolling_mean_frame,
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rolling_results = {}
+    for mult in (1, 10):
+        big = reduce(
+            lambda a, b: a.unionByName(b),
+            [ev.withColumn("user_id", F.col("user_id") + uid_shift * i) for i in range(mult)],
+        )
+        n = big.count()
+        entry = {"rows": n}
+        for tag, fn in (("lag_chain", rolling_mean), ("frame_agg", rolling_mean_frame)):
+            t0 = time.perf_counter()
+            big.select(
+                "user_id", "ts", fn(F.col("close"), w, 20).alias("ma20")
+            ).write.format("noop").mode("overwrite").save()
+            entry[f"{tag}_sec"] = round(time.perf_counter() - t0, 3)
+        rolling_results[f"{mult}x"] = entry
+
+    # containment skew knob: a boilerplate shingle shared by every doc
+    # makes the uncapped inverted-index join O(d²) — poison the corpus
+    # with a shared footer and show capped runtime stays at clean-corpus
+    # speed (uncapped-on-poisoned is deliberately NOT run at full size;
+    # it is the quadratic blowup the knob exists to avoid)
+    from airflow_kafka_spark_spark.ext.dedup import (
+        containment_pairs,
+        release_minhash_caches,
+    )
+
+    poisoned = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" all rights reserved standard footer boilerplate notice"),
+        ),
+    )
+    containment_results = {}
+    for tag, frame, cap in (
+        ("clean_uncapped", docs, None),
+        ("poisoned_capped", poisoned, 5),
+    ):
+        t0 = time.perf_counter()
+        n_pairs = containment_pairs(frame, threshold=0.5, max_shingle_df=cap).count()
+        containment_results[tag] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "pairs": n_pairs,
+        }
+        release_minhash_caches()
+
     print(
         json.dumps(
             {
@@ -138,6 +196,8 @@ def main() -> None:
                 "minhash_scaling": dedup_results,
                 "chunk_dedup_scaling": chunk_results,
                 "pq_encode_scaling": pq_results,
+                "rolling_mean_formulations": rolling_results,
+                "containment_skew_cap": containment_results,
             }
         )
     )

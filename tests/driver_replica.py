@@ -48,6 +48,15 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     con = duck_connection(sf_dir)
 
+    # the driver measures exactly the FIRST 50 queries() entries — print
+    # the window so each round's measurement slate is reviewable (and a
+    # rotation-priority bug is visible BEFORE the round lands)
+    window = list(qs)[:50]
+    print("=== measurement window (first 50 queries() entries) ===")
+    for i, name in enumerate(window, 1):
+        print(f"{i:3d} {name}")
+    print("=== end window ===", flush=True)
+
     results: dict[str, dict] = {}
     t_all = time.time()
     for name, fn in qs.items():
@@ -71,6 +80,17 @@ def main() -> int:
             except Exception:
                 entry["ok"] = False
                 entry[f"err_{tag}"] = traceback.format_exc().splitlines()[-1]
+        if name not in oracles and entry["ok"]:
+            # rows-only entries: replicate the driver's pandas
+            # canonicalization — an array-typed output crashes its
+            # sort_values with "unhashable type: 'list'"
+            # (approx_aggs, CORRECTNESS_r03)
+            try:
+                pdf = fn(spark, sf_dir).toPandas()
+                pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+            except Exception:
+                entry["ok"] = False
+                entry["err_canon"] = traceback.format_exc().splitlines()[-1]
         entry["sec"] = round(time.time() - t0, 2)
         results[name] = entry
         status = "ok" if entry["ok"] else "FAIL"

@@ -504,6 +504,73 @@ def test_continuous_rollup_replay_fence(spark):
     assert spark.read.parquet(rollup).agg(F.sum("n_events")).first()[0] == 2 * once
 
 
+def test_quotefeed_stream_full_topology(spark):
+    """The reference's full topology (poll feed → parse/explode →
+    indicators/signals → incremental sink), end-to-end without Kafka:
+    the native quotefeed readStream plays the Airflow poll loop, the
+    micro-batches run through start_pipeline's analyze stage, and the
+    sink folds each processed batch into the stored parquet rollup with
+    the batch-id replay fence (reference
+    spark/stock_analysis.py:46-300's source→transform→sink chain)."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from airflow_kafka_spark_spark.sources.quotefeed import register_quotefeed
+    from airflow_kafka_spark_spark.streaming.rollup import merge_batch_into_rollup
+
+    register_quotefeed(spark)
+    workdir = tempfile.mkdtemp()
+    rollup = os.path.join(workdir, "rollup")
+    merged_counts: list[int] = []
+
+    def rollup_sink(processed, batch_id):
+        batch = processed.withColumn(
+            "ts", F.to_timestamp("date_str", "yyyy-MM-dd").cast(T.TimestampType())
+        )
+        if merge_batch_into_rollup(
+            rollup, batch, batch_id, ts_col="ts", grain="day",
+            keys=["symbol"], value_col="close",
+        ):
+            merged_counts.append(batch.count())
+
+    source = (
+        spark.readStream.format("quotefeed")
+        .option("symbols", "AAA,BBB")
+        .option("numBars", "4")
+        .load()
+        .select(F.col("symbol").alias("key"), F.col("message").alias("value"))
+    )
+    q = start_pipeline(
+        source,
+        sink=rollup_sink,
+        trigger="0 seconds",
+        checkpoint_dir=os.path.join(workdir, "ckpt"),
+        query_name="quotefeed_topology",
+    )
+    try:
+        deadline = time.time() + 60
+        while len(merged_counts) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    assert len(merged_counts) >= 2
+    # cycle c emits (4 + c) bars per symbol → 2·(4+c) processed rows
+    assert merged_counts[0] == 2 * 4
+    stored = spark.read.parquet(rollup)
+    assert {r["symbol"] for r in stored.select("symbol").distinct().collect()} == {
+        "AAA",
+        "BBB",
+    }
+    # the fence made the merge exactly-once: stored event count equals
+    # exactly the rows of the batches that reported a successful merge
+    total = stored.agg(F.sum("n_events")).first()[0]
+    assert total == sum(merged_counts)
+
+
 def test_quotefeed_stream_polls_cycles(spark):
     """The streaming quotefeed emits one message per symbol per cycle
     with history growing a bar each cycle — the reference's poll loop as
