@@ -332,6 +332,42 @@ FROM ma
 """
 
 
+def q_ma_frame_windows(spark, sf_dir):
+    """The O(1)-per-row frame-aggregate rolling mean (functions.windows.
+    rolling_mean_frame) — the pre-measured swap for the O(n) lag-chain at
+    very large window widths. AVG over a bounded ROWS frame accumulates
+    in a different order than the left-associated lag-chain; parity with
+    DuckDB's frame AVG was verified exact after ROUND(·,6) at sf0.01 AND
+    sf0.1 (0 mismatches / 100k rows) before this entry was added."""
+    from pyspark.sql import Window
+
+    from ..functions.windows import rolling_mean_frame
+
+    ev = _events_series(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.round(rolling_mean_frame(F.col("close"), w, 5), 6) + F.lit(0.0)).alias("ma5"),
+        (F.round(rolling_mean_frame(F.col("close"), w, 20), 6) + F.lit(0.0)).alias("ma20"),
+    )
+
+
+SQL_MA_FRAME_WINDOWS = """
+SELECT user_id, event_id,
+       ROUND(CASE WHEN COUNT(value) OVER w5 >= 5 THEN AVG(value) OVER w5 END, 6)
+         + CAST(0 AS DOUBLE) AS ma5,
+       ROUND(CASE WHEN COUNT(value) OVER w20 >= 20 THEN AVG(value) OVER w20 END, 6)
+         + CAST(0 AS DOUBLE) AS ma20
+FROM events
+WINDOW
+  w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+  w20 AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_rsi14(spark, sf_dir):
     """W3-W6: diff → gain/loss split → Cutler RSI with the loss==0 quirk."""
     from ..operators.indicators import with_rsi
@@ -3652,6 +3688,7 @@ CATALOG: dict[str, Query] = {
     "snapshot_roundtrip": Query(q_snapshot_roundtrip, SQL_SNAPSHOT_ROUNDTRIP),
     "current_price_attach": Query(q_current_price_attach, SQL_CURRENT_PRICE_ATTACH),
     "ma_windows": Query(q_ma_windows, SQL_MA_WINDOWS, headline=True),
+    "ma_frame_windows": Query(q_ma_frame_windows, SQL_MA_FRAME_WINDOWS),
     "rsi14": Query(q_rsi14, SQL_RSI14),
     "ema_macd": Query(q_ema_macd, SQL_EMA_MACD),
     "signal_cascade": Query(q_signal_cascade, SQL_SIGNAL_CASCADE, headline=True),
