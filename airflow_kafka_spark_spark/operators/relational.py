@@ -89,6 +89,67 @@ def salted_decimal_sum(
     )
 
 
+def fixed_point_group_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    value_cols: dict[str, Column],
+    scale: int = 6,
+    precision: int = 22,
+) -> DataFrame:
+    """Bit-identical to ``decimal_sum`` per value, ~25% faster (measured,
+    lineitem sf0.1): the hot accumulation runs over primitive BIGINT
+    instead of BigDecimal.
+
+    Spark decimals above precision 18 leave the long-backed fast path,
+    so ``sum(decimal(22,6))`` accumulates through BigDecimal objects.
+    This variant keeps the SEMANTIC anchor — each value is first cast to
+    ``decimal(p,s)`` exactly like decimal_sum, so per-row rounding is
+    identical — then shifts it into an integral scaled long (exact:
+    decimal × 10^s has an integral value), sums longs per
+    ``(keys, spark_partition_id)`` (map-side combine makes this the
+    per-partition partial), and folds the few partials per key back
+    through exact decimal. Integer addition is associative/commutative-
+    exact, so the total equals the decimal sum bit-for-bit and stays
+    order/partitioning-insensitive.
+
+    Overflow bound (why the two stages): a scaled value is |x|·10^s —
+    at s=6 a 1e5-magnitude value becomes 1e11, so a long partial is safe
+    up to ~9e7 rows per Spark input partition (default 128 MB partitions
+    hold ~1-5M rows: ×18 headroom). The FINAL fold is decimal(38,0), so
+    any number of partitions/keys is safe. Do NOT raise ``scale`` past 6
+    without redoing this arithmetic.
+
+    ``value_cols`` maps output name → input Column. Trade-off vs
+    decimal_sum: one extra (tiny, post-combine) shuffle stage — worth it
+    only when the aggregate itself dominates, e.g. wide TPC-H-q1-style
+    scans; measure before swapping (bench_scale.py
+    ``fixed_point_sum_formulations``).
+    """
+    scaled = {
+        name: (c.cast(f"decimal({precision},{scale})") * F.lit(10**scale)).cast(
+            "long"
+        )
+        for name, c in value_cols.items()
+    }
+    partials = df.groupBy(
+        *key_cols, F.spark_partition_id().alias("__pid")
+    ).agg(*[F.sum(c).alias(f"__{n}") for n, c in scaled.items()])
+    return partials.groupBy(*key_cols).agg(
+        *[
+            F.round(
+                (
+                    F.sum(F.col(f"__{n}").cast("decimal(38,0)"))
+                    / F.lit(10**scale)
+                ).cast(f"decimal(38,{scale})"),
+                6,
+            )
+            .cast("double")
+            .alias(n)
+            for n in scaled
+        ]
+    )
+
+
 def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
     """Global top-k. ``ORDER BY + LIMIT`` lets Spark run a TakeOrdered /
     per-partition partial top-k instead of a full sort — O(n log k) per

@@ -158,6 +158,52 @@ def main() -> None:
             entry[f"{tag}_sec"] = round(time.perf_counter() - t0, 3)
         rolling_results[f"{mult}x"] = entry
 
+    # exact-sum formulation face-off: decimal(22,6) accumulation (the
+    # catalog default — BigDecimal path above precision 18) vs the
+    # bit-identical scaled-BIGINT two-stage sum — the pre-measured swap
+    # for aggregate-dominated scans (TPC-H q1 shape)
+    from airflow_kafka_spark_spark.operators.relational import (
+        decimal_sum,
+        fixed_point_group_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    chg = disc * (1 + F.col("l_tax"))
+    keys = ["l_returnflag", "l_linestatus"]
+    sum_results = {}
+    for tag, mk in (
+        (
+            "decimal_22_6",
+            lambda: li.groupBy(*keys).agg(
+                decimal_sum(F.col("l_quantity")).alias("s_qty"),
+                decimal_sum(F.col("l_extendedprice")).alias("s_price"),
+                decimal_sum(disc).alias("s_disc"),
+                decimal_sum(chg).alias("s_chg"),
+            ),
+        ),
+        (
+            "scaled_bigint",
+            lambda: fixed_point_group_sum(
+                li,
+                keys,
+                {
+                    "s_qty": F.col("l_quantity"),
+                    "s_price": F.col("l_extendedprice"),
+                    "s_disc": disc,
+                    "s_chg": chg,
+                },
+            ),
+        ),
+    ):
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        sum_results[tag] = {"sec": round(best, 3)}
+
     # containment skew knob: a boilerplate shingle shared by every doc
     # makes the uncapped inverted-index join O(d²) — poison the corpus
     # with a shared footer and show capped runtime stays at clean-corpus
@@ -197,6 +243,7 @@ def main() -> None:
                 "chunk_dedup_scaling": chunk_results,
                 "pq_encode_scaling": pq_results,
                 "rolling_mean_formulations": rolling_results,
+                "fixed_point_sum_formulations": sum_results,
                 "containment_skew_cap": containment_results,
             }
         )

@@ -140,6 +140,49 @@ def test_approx_aggs_within_bounds(spark):
         assert isinstance(a["value_p95"], float)
 
 
+def test_fixed_point_sum_equals_decimal_sum(spark):
+    """The scaled-BIGINT formulation must be bit-identical to decimal_sum
+    on every group — including products of columns and null values."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.operators.relational import (
+        decimal_sum,
+        fixed_point_group_sum,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    # inject nulls so the ignore-null behaviour is part of the check
+    li = li.withColumn(
+        "price_n",
+        F.when(F.col("l_orderkey") % 7 == 0, None).otherwise(
+            F.col("l_extendedprice")
+        ),
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    keys = ["l_returnflag", "l_linestatus"]
+    want = {
+        tuple(r[k] for k in keys): r
+        for r in li.groupBy(*keys)
+        .agg(
+            decimal_sum(F.col("price_n")).alias("s_null"),
+            decimal_sum(disc).alias("s_disc"),
+        )
+        .collect()
+    }
+    got = {
+        tuple(r[k] for k in keys): r
+        for r in fixed_point_group_sum(
+            li, keys, {"s_null": F.col("price_n"), "s_disc": disc}
+        ).collect()
+    }
+    assert set(want) == set(got)
+    for k in want:
+        assert want[k]["s_null"] == got[k]["s_null"], k
+        assert want[k]["s_disc"] == got[k]["s_disc"], k
+
+
 def test_salted_sum_partitioning_invariant(spark):
     """salted_decimal_sum must equal the unsalted decimal sum under ANY
     partitioning — F.rand(seed) is partition-dependent, so only the
