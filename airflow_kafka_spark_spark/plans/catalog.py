@@ -54,6 +54,7 @@ from ..operators.indicators import with_indicators, with_macd
 from ..operators.relational import (
     decimal_avg,
     decimal_sum,
+    fixed_point_group_sum,
     salted_decimal_sum,
     top_k,
     top_k_per_group,
@@ -998,6 +999,44 @@ SQL_SALTED_SUM = """
 SELECT l_returnflag,
   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(22,6))), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS sum_price
 FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_fixed_point_sums(spark, sf_dir):
+    """The scaled-BIGINT exact-sum formulation (operators.relational.
+    fixed_point_group_sum) on the TPC-H q1 measures: primitive-long
+    accumulation with a decimal final fold, bit-identical to the
+    decimal(22,6) sum the oracle runs (~38% faster where the aggregate
+    dominates — bench_scale fixed_point_sum_formulations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = fixed_point_group_sum(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.col("l_quantity"),
+            "sum_base_price": F.col("l_extendedprice"),
+            "sum_disc_price": disc,
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("sum_qty") + F.lit(0.0)).alias("sum_qty"),
+        (F.col("sum_base_price") + F.lit(0.0)).alias("sum_base_price"),
+        (F.col("sum_disc_price") + F.lit(0.0)).alias("sum_disc_price"),
+    )
+
+
+SQL_FIXED_POINT_SUMS = """
+SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(22,6))), 6) AS DOUBLE)
+    + CAST(0 AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(22,6))), 6) AS DOUBLE)
+    + CAST(0 AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))), 6) AS DOUBLE)
+    + CAST(0 AS DOUBLE) AS sum_disc_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
@@ -3787,6 +3826,7 @@ CATALOG: dict[str, Query] = {
     "set_ops": Query(q_set_ops, SQL_SET_OPS),
     "rollup_lineitem": Query(q_rollup_lineitem, SQL_ROLLUP),
     "salted_sum": Query(q_salted_sum, SQL_SALTED_SUM),
+    "fixed_point_sums": Query(q_fixed_point_sums, SQL_FIXED_POINT_SUMS),
     "salted_join": Query(q_salted_join, SQL_SALTED_JOIN),
     "window_rank": Query(q_window_rank, SQL_WINDOW_RANK),
     "window_analytics": Query(q_window_analytics, SQL_WINDOW_ANALYTICS),
