@@ -141,6 +141,49 @@ def test_wav_header_roundtrip_property(rate, ch, n, bits, seed):
 
 
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group key
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-9e9,
+                    max_value=9e9,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_fixed_point_sum_equals_decimal_sum_property(spark, rows):
+    """fixed_point_group_sum claims BIT-identity with decimal_sum for any
+    doubles within the documented magnitude bound, any grouping, any
+    null pattern — including values adversarially near rounding
+    boundaries (hypothesis shrinks toward them)."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.operators.relational import (
+        decimal_sum,
+        fixed_point_group_sum,
+    )
+
+    df = spark.createDataFrame(rows, "k int, v double").repartition(4)
+    want = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(decimal_sum(F.col("v")).alias("s")).collect()
+    }
+    got = {
+        r["k"]: r["s"]
+        for r in fixed_point_group_sum(df, ["k"], {"s": F.col("v")}).collect()
+    }
+    assert want == got
+
+
+@given(
     st.lists(
         st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(
             lambda ws: " ".join(ws)
