@@ -125,12 +125,27 @@ def fixed_point_group_sum(
     scans; measure before swapping (bench_scale.py
     ``fixed_point_sum_formulations``).
     """
-    scaled = {
-        name: (c.cast(f"decimal({precision},{scale})") * F.lit(10**scale)).cast(
-            "long"
+    # the scaled-long cast WRAPS silently on overflow in non-ANSI mode
+    # (1e14 at scale 6 came back as 7.7e18 garbage, measured) — guard
+    # per row so an out-of-envelope value fails loudly instead of
+    # corrupting the sum. Partial-sum overflow is governed by the
+    # rows-per-partition bound in the docstring.
+    max_abs = (2**63 - 1) // 10**scale
+
+    def scaled_col(c: Column) -> Column:
+        dec = c.cast(f"decimal({precision},{scale})")
+        checked = F.when(
+            F.assert_true(
+                (dec.isNull()) | (F.abs(dec) <= F.lit(max_abs)),
+                f"fixed_point_group_sum: |value| exceeds {max_abs} "
+                f"(the long-representable bound at scale {scale}) — "
+                "use decimal_sum for this column",
+            ).isNull(),
+            dec,
         )
-        for name, c in value_cols.items()
-    }
+        return (checked * F.lit(10**scale)).cast("long")
+
+    scaled = {name: scaled_col(c) for name, c in value_cols.items()}
     partials = df.groupBy(
         *key_cols, F.spark_partition_id().alias("__pid")
     ).agg(*[F.sum(c).alias(f"__{n}") for n, c in scaled.items()])

@@ -183,6 +183,23 @@ def test_fixed_point_sum_equals_decimal_sum(spark):
         assert want[k]["s_disc"] == got[k]["s_disc"], k
 
 
+def test_fixed_point_sum_rejects_out_of_envelope(spark):
+    """Out-of-envelope values must FAIL, not wrap: the scaled-long cast
+    silently corrupts above 2^63/10^scale in non-ANSI mode (1e14 at
+    scale 6 measured as 7.7e18 garbage before the guard)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from airflow_kafka_spark_spark.operators.relational import (
+        fixed_point_group_sum,
+    )
+
+    df = spark.createDataFrame([(1, 1.0e14)], "k int, v double")
+    with pytest.raises(PySparkException, match="exceeds"):
+        fixed_point_group_sum(df, ["k"], {"s": F.col("v")}).collect()
+
+
 def test_salted_sum_partitioning_invariant(spark):
     """salted_decimal_sum must equal the unsalted decimal sum under ANY
     partitioning — F.rand(seed) is partition-dependent, so only the
