@@ -51,6 +51,26 @@ def test_indicator_stack_single_shuffle(spark):
     assert s.count("Exchange") == 1, s
 
 
+def test_fixed_point_sums_long_partials_before_shuffle(spark):
+    """The scaled-BIGINT sum's whole point: primitive-long accumulation
+    happens map-side (the (keys, partition-id) grouping never shuffles —
+    pid is partition-local), and only tiny decimal partials cross the
+    one key Exchange."""
+    s = _explain(CATALOG["fixed_point_sums"].fn(spark, SF_DIR))
+    assert s.count("Exchange") <= 2, s
+    # the long sum must appear BELOW the first Exchange (map side)
+    below = s.split("Exchange", 1)[1]
+    assert "sum(" in below and "L as decimal" in s, s
+
+
+def test_ma_frame_windows_single_shuffle(spark):
+    """The frame-aggregate rolling mean shares one hash partitioning for
+    both window widths — exactly one Exchange, one Window pass."""
+    s = _explain(CATALOG["ma_frame_windows"].fn(spark, SF_DIR))
+    assert s.count("Exchange") == 1, s
+    assert s.count("Window") == 1, s
+
+
 def test_asof_join_single_shuffle(spark):
     """The union-merge as-of join is one Exchange (the window) — no
     nested-loop join, no per-side shuffles."""
