@@ -251,6 +251,46 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    public): cluster with the IVF coarse quantizer's k-means, then verify
+    EXACT cosine only within each cluster — all (vec1 < vec2) pairs with
+    cosine ≥ ``threshold`` whose members share a cluster.
+
+    Same shape as :func:`cosine_near_dup_pairs` but with density-adaptive
+    k-means cells instead of fixed hyperplane buckets: clusters follow
+    the corpus distribution, so near-identical points co-locate even
+    when a hyperplane would split them (the hyperplane miss-mode), at
+    the cost of driver-side training on a bounded sample. Candidate
+    volume per cluster is |cluster|², so at 100 TB raise ``n_lists``
+    until cells are executor-sized (SemDeDup's own recipe) and salt any
+    pathological mega-cluster. The join is one shuffle on the cluster
+    id; verification is the JVM-side dot product — no UDF.
+    """
+    assigned, _ = ivf_assignments(
+        embeddings, n_lists=n_lists, vec_col=vec_col, id_col=id_col
+    )
+    clustered = embeddings.join(assigned, id_col)
+    a = clustered.select(
+        F.col(id_col).alias("vec1"), "list_id", F.col(vec_col).alias("v1")
+    )
+    b = clustered.select(
+        F.col(id_col).alias("vec2"), "list_id", F.col(vec_col).alias("v2")
+    )
+    pairs = a.join(b, "list_id").filter(F.col("vec1") < F.col("vec2"))
+    cos = _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
+    return pairs.select(
+        "vec1", "vec2", (F.round(cos, 6) + F.lit(0.0)).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def ann_topk_bucketed(
     embeddings: DataFrame,
     query_vec_id: int,

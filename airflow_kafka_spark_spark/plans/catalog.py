@@ -1665,6 +1665,18 @@ def q_cosine_near_dup(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.4, n_planes=4)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic near-dup (ext.similarity.
+    semantic_dedup_pairs): k-means cells from the IVF coarse quantizer,
+    exact cosine verification within cells. Driver-trained k-means is
+    not SQL-expressible → rows-only check; subset-of-exact-pairs and
+    single-cell-equals-brute-force are pinned by unit test."""
+    from ..ext.similarity import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, threshold=0.4)
+
+
 def q_ann_bucketed(spark, sf_dir):
     """LSH-bucketed ANN — deterministic sign-projection buckets, so even
     the approximate path is oracle-checkable."""
@@ -3751,6 +3763,7 @@ CATALOG: dict[str, Query] = {
     # train→encode→ADC→rerank cost is tracked round-over-round
     "ann_pq": Query(q_ann_pq, None, headline=True),
     "cosine_near_dup": Query(q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
+    "semantic_dedup": Query(q_semantic_dedup, None),  # k-means engine-side
     "text_stats": Query(q_text_stats, SQL_TEXT_STATS, headline=True),
     "doc_fingerprints": Query(q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "lang_profile": Query(q_lang_profile, SQL_LANG_PROFILE),

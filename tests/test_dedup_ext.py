@@ -292,6 +292,48 @@ def test_pq_ann_recall_and_determinism(spark):
         assert all(0 <= c < n_codes for c in r["codes"])
 
 
+def test_semantic_dedup_subset_and_single_cell_exact(spark):
+    """SemDeDup pairs are exact-cosine verified: every returned pair is a
+    true >=threshold pair with the brute-force score, and with a single
+    cluster (n_lists=1) the result IS the brute-force pair set."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.similarity import (
+        _dot,
+        _norm,
+        semantic_dedup_pairs,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(120)
+    a = emb.select(F.col("vec_id").alias("vec1"), F.col("embedding").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("vec2"), F.col("embedding").alias("v2"))
+    cos = _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
+    brute = {
+        (r["vec1"], r["vec2"]): r["cosine"]
+        for r in a.join(b, F.col("vec1") < F.col("vec2"))
+        .select("vec1", "vec2", (F.round(cos, 6) + F.lit(0.0)).alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+        .collect()
+    }
+    assert brute  # threshold low enough that the fixture has pairs
+
+    single = {
+        (r["vec1"], r["vec2"]): r["cosine"]
+        for r in semantic_dedup_pairs(emb, threshold=0.3, n_lists=1).collect()
+    }
+    assert single == brute
+
+    clustered = {
+        (r["vec1"], r["vec2"]): r["cosine"]
+        for r in semantic_dedup_pairs(emb, threshold=0.3).collect()
+    }
+    assert set(clustered) <= set(brute)
+    for k, v in clustered.items():
+        assert v == brute[k], k
+
+
 def test_pq_encode_edge_batches(spark):
     """Empty Arrow batches must yield an empty result (not IndexError on
     the 2-D slice), and a null embedding must fail with the documented
