@@ -112,12 +112,19 @@ def fixed_point_group_sum(
     exact, so the total equals the decimal sum bit-for-bit and stays
     order/partitioning-insensitive.
 
-    Overflow bound (why the two stages): a scaled value is |x|·10^s —
-    at s=6 a 1e5-magnitude value becomes 1e11, so a long partial is safe
-    up to ~9e7 rows per Spark input partition (default 128 MB partitions
-    hold ~1-5M rows: ×18 headroom). The FINAL fold is decimal(38,0), so
-    any number of partitions/keys is safe. Do NOT raise ``scale`` past 6
-    without redoing this arithmetic.
+    Overflow safety (why the two stages, and why TWO guards): a scaled
+    value is |x|·10^s. The per-row guard bounds each |scaled| below
+    2^63-1, but a per-(keys, partition) long partial over many
+    guard-passing rows can still wrap int64 silently in non-ANSI mode
+    (two 8e18-scaled rows suffice). So the partial aggregate also
+    computes, per group, ``count(v)`` and ``max(abs(scaled(v)))`` —
+    both overflow-free — and the final stage asserts
+    ``count * max_abs <= 2^63-1`` in decimal(38,0) arithmetic BEFORE
+    consuming the partial sum: |sum| <= count·max, so a passing check
+    proves the long accumulation never wrapped, and a failing one
+    raises loudly instead of corrupting the result (the check never
+    trusts the possibly-wrapped sum itself). The FINAL fold is
+    decimal(38,0), so any number of partitions/keys is safe.
 
     ``value_cols`` maps output name → input Column. Trade-off vs
     decimal_sum: one extra (tiny, post-combine) shuffle stage — worth it
@@ -128,8 +135,8 @@ def fixed_point_group_sum(
     # the scaled-long cast WRAPS silently on overflow in non-ANSI mode
     # (1e14 at scale 6 came back as 7.7e18 garbage, measured) — guard
     # per row so an out-of-envelope value fails loudly instead of
-    # corrupting the sum. Partial-sum overflow is governed by the
-    # rows-per-partition bound in the docstring.
+    # corrupting the sum. Partial-sum overflow is guarded separately
+    # below via the count·max bound.
     max_abs = (2**63 - 1) // 10**scale
 
     def scaled_col(c: Column) -> Column:
@@ -148,12 +155,40 @@ def fixed_point_group_sum(
     scaled = {name: scaled_col(c) for name, c in value_cols.items()}
     partials = df.groupBy(
         *key_cols, F.spark_partition_id().alias("__pid")
-    ).agg(*[F.sum(c).alias(f"__{n}") for n, c in scaled.items()])
+    ).agg(
+        *[F.sum(c).alias(f"__{n}") for n, c in scaled.items()],
+        # count + max(|scaled|) per partial group: both accumulate
+        # overflow-free, and |partial sum| <= count·max, so they let the
+        # final stage PROVE the long partial never wrapped (the wrapped
+        # sum itself cannot be used to detect its own overflow)
+        *[F.count(c).alias(f"__cnt_{n}") for n, c in scaled.items()],
+        *[F.max(F.abs(c)).alias(f"__max_{n}") for n, c in scaled.items()],
+    )
+
+    def checked_partial(n: str) -> Column:
+        bound_ok = F.coalesce(
+            (
+                F.col(f"__cnt_{n}").cast("decimal(38,0)")
+                * F.col(f"__max_{n}").cast("decimal(38,0)")
+            )
+            <= F.lit(2**63 - 1).cast("decimal(38,0)"),
+            F.lit(True),  # all-null partial: nothing accumulated
+        )
+        return F.when(
+            F.assert_true(
+                bound_ok,
+                f"fixed_point_group_sum: a per-partition partial for "
+                f"'{n}' may exceed the int64 range (count*max_abs over "
+                f"2^63-1) — use decimal_sum for this column",
+            ).isNull(),
+            F.col(f"__{n}"),
+        )
+
     return partials.groupBy(*key_cols).agg(
         *[
             F.round(
                 (
-                    F.sum(F.col(f"__{n}").cast("decimal(38,0)"))
+                    F.sum(checked_partial(n).cast("decimal(38,0)"))
                     / F.lit(10**scale)
                 ).cast(f"decimal(38,{scale})"),
                 6,

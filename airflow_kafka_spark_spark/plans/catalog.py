@@ -3886,8 +3886,12 @@ def _session_safe(fn: Callable[[SparkSession, str], DataFrame]):
 #   0. latest driver row is an ERR / hash-mismatch (fixed code needs a
 #      fresh row — a never-working entry outranks every stale green)
 #   1. never measured in any round (incl. anything newly added)
-#   2. clean (green, or rows-only-by-design) — oldest round first, so
-#      stale rows refresh before fresh ones repeat
+#   2. clean, but the entry's source closure changed since its row was
+#      produced (plans.staleness: a green row no longer describes the
+#      current code — r4's blind spot for containment_pairs/range_join)
+#   3. clean, measured before hash recording existed (provenance
+#      unknown) — oldest round first
+#   4. clean and provably unchanged since measured — oldest round first
 _HISTORY_CACHE: dict[str, tuple[int, str]] | None = None
 
 
@@ -3929,6 +3933,11 @@ def _correctness_history() -> dict[str, tuple[int, str]]:
                 CATALOG[name].oracle is None
                 and row.get("spark_rows") is not None
                 and row.get("err") in (None, "no_oracle")
+                # the row must actually BE a rows-only check: a historical
+                # row that recorded an oracle comparison (and mismatched)
+                # stays 'err' even if the entry's oracle was later removed
+                and row.get("oracle_rows") is None
+                and row.get("rows_match") is None
             ):
                 status = "clean"  # rows-only by design, check completed
             else:
@@ -3947,7 +3956,16 @@ def _measure_priority(name: str) -> tuple[int, int]:
     rnd, status = hist[name]
     if status == "err":
         return (0, rnd)
-    return (2, rnd)
+    from .staleness import entry_source_hash, measured_hashes
+
+    rec = measured_hashes().get(name)
+    if not isinstance(rec, dict) or rec.get("round") != rnd:
+        return (3, rnd)  # no snapshot for this row — refresh by age
+    if rec.get("hash") is None:
+        return (3, rnd)  # pre-hash-era row, provenance unknown
+    if rec["hash"] != entry_source_hash(name):
+        return (2, rnd)  # code changed under a green row — remeasure first
+    return (4, rnd)
 
 
 def _ordered_names() -> list[str]:

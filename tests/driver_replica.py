@@ -22,6 +22,11 @@ import traceback
 
 TS_TYPES = ("TIMESTAMP_NTZ", "TIMESTAMP_LTZ")
 
+# rows-only canonicalization cap: big enough to exercise every dtype the
+# driver's pandas sort will see, small enough to bound driver transfer
+# (rows-only entries currently emit 5-16 rows; this guards future ones)
+CANON_CAP = 10_000
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -74,23 +79,25 @@ def main() -> int:
                         entry["ok"] = False
                         entry[f"problems_{tag}"] = problems[:3]
                 else:
-                    n = df.count()
-                    entry["rows_only"] = n
-                    entry["ok"] = entry["ok"] and n >= 0
+                    # rows-only entries: ONE bounded execution per ts
+                    # type — limit().toPandas() keeps the real Arrow
+                    # dtype path (the driver canonicalizes via pandas;
+                    # an array-typed column crashes its sort_values
+                    # with "unhashable type: 'list'" — approx_aggs,
+                    # CORRECTNESS_r03) while capping driver transfer
+                    # for pair-generating outputs.
+                    pdf = df.limit(CANON_CAP).toPandas()
+                    entry["rows_only"] = len(pdf)
+                    try:
+                        pdf.sort_values(list(pdf.columns)).reset_index(
+                            drop=True
+                        )
+                    except Exception:
+                        entry["ok"] = False
+                        entry["err_canon"] = traceback.format_exc().splitlines()[-1]
             except Exception:
                 entry["ok"] = False
                 entry[f"err_{tag}"] = traceback.format_exc().splitlines()[-1]
-        if name not in oracles and entry["ok"]:
-            # rows-only entries: replicate the driver's pandas
-            # canonicalization — an array-typed output crashes its
-            # sort_values with "unhashable type: 'list'"
-            # (approx_aggs, CORRECTNESS_r03)
-            try:
-                pdf = fn(spark, sf_dir).toPandas()
-                pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
-            except Exception:
-                entry["ok"] = False
-                entry["err_canon"] = traceback.format_exc().splitlines()[-1]
         entry["sec"] = round(time.time() - t0, 2)
         results[name] = entry
         status = "ok" if entry["ok"] else "FAIL"

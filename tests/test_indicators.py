@@ -200,6 +200,35 @@ def test_fixed_point_sum_rejects_out_of_envelope(spark):
         fixed_point_group_sum(df, ["k"], {"s": F.col("v")}).collect()
 
 
+def test_fixed_point_sum_rejects_partial_overflow(spark):
+    """ADVICE r4 (medium): rows that individually pass the per-row bound
+    can still wrap the per-(key, partition) int64 partial — e.g. two
+    8e12 values at scale 6 are 8e18 scaled each, summing past 2^63. The
+    count*max_abs partial guard must raise loudly, not return garbage."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from airflow_kafka_spark_spark.operators.relational import (
+        fixed_point_group_sum,
+    )
+
+    # single partition → both rows land in the same long partial
+    df = spark.createDataFrame(
+        [(1, 8.0e12), (1, 8.0e12)], "k int, v double"
+    ).coalesce(1)
+    with pytest.raises(PySparkException, match="int64 range"):
+        fixed_point_group_sum(df, ["k"], {"s": F.col("v")}).collect()
+    # and the guard is not over-eager: same magnitude, one row per key,
+    # still within every bound → exact answer
+    ok = spark.createDataFrame([(1, 8.0e12), (2, 8.0e12)], "k int, v double")
+    rows = {
+        r["k"]: r["s"]
+        for r in fixed_point_group_sum(ok, ["k"], {"s": F.col("v")}).collect()
+    }
+    assert rows == {1: 8.0e12, 2: 8.0e12}
+
+
 def test_salted_sum_partitioning_invariant(spark):
     """salted_decimal_sum must equal the unsalted decimal sum under ANY
     partitioning — F.rand(seed) is partition-dependent, so only the

@@ -52,8 +52,10 @@ def test_never_measured_before_stale_greens():
 
 
 def test_window_has_no_fresh_green_while_stale_exists():
-    """The 50-slot window never spends a slot re-measuring the freshest
-    round's green while an older green is left outside it."""
+    """The 50-slot window never spends a slot re-measuring an UNCHANGED
+    green from the freshest round while an older green is left outside
+    it. (A changed-since-measured green — tier 2 — may legitimately sit
+    inside ahead of older unchanged greens.)"""
     names = _ordered_names()
     hist = _correctness_history()
     green_rounds = [
@@ -67,11 +69,20 @@ def test_window_has_no_fresh_green_while_stale_exists():
         n
         for n in names[50:]
         if n in hist and hist[n][1] == "clean" and hist[n][0] < newest
+        and _measure_priority(n)[0] >= 3  # not itself changed-since-measured
     ]
-    fresh_inside = [
-        n for n in inside if n in hist and hist[n][1] == "clean" and hist[n][0] == newest
+    fresh_unchanged_inside = [
+        n
+        for n in inside
+        if n in hist
+        and hist[n][1] == "clean"
+        and hist[n][0] == newest
+        and _measure_priority(n)[0] == 4
     ]
-    assert not (stale_outside and fresh_inside), (stale_outside, fresh_inside)
+    assert not (stale_outside and fresh_unchanged_inside), (
+        stale_outside,
+        fresh_unchanged_inside,
+    )
 
 
 def test_queries_and_oracles_consistent():
@@ -83,3 +94,92 @@ def test_queries_and_oracles_consistent():
     oracles = entrymod.oracle_sql()
     assert list(qs) == _ordered_names()
     assert set(oracles) == {n for n in CATALOG if CATALOG[n].oracle is not None}
+
+
+# --- changed-since-measured staleness tier (plans.staleness) ------------
+
+
+def test_source_parts_are_address_free_and_stable():
+    """The hash inputs must be byte-identical across processes: no
+    memory-address reprs may leak in (a dict constant holding function
+    objects did exactly that before _stable_const existed)."""
+    import re
+
+    from airflow_kafka_spark_spark.plans import staleness
+
+    for name in ("mm_image_meta", "containment_pairs", "ema_macd"):
+        parts = staleness.entry_source_parts(name)
+        assert parts == staleness.entry_source_parts(name)
+        for part in parts:
+            assert not re.search(r" at 0x[0-9a-f]+", part), (name, part[:200])
+
+
+def test_hash_closure_reaches_local_import_helpers():
+    """Entries import helpers function-locally (`from ..ext.dedup import
+    containment_pairs` inside the fn body) — the hash closure must still
+    reach them AND their transitive callees, else a helper refactor is
+    invisible (the exact r4 blind spot)."""
+    from airflow_kafka_spark_spark.plans import staleness
+
+    joined = "\n".join(staleness.entry_source_parts("containment_pairs"))
+    assert "def containment_pairs(" in joined
+    assert "def _common_shingle_counts(" in joined  # transitive helper
+
+    joined = "\n".join(staleness.entry_source_parts("range_join_clicks"))
+    assert "def bucketed_range_join(" in joined
+
+
+def test_hash_ignores_unrelated_catalog_growth(tmp_path):
+    """Appending an unrelated entry to catalog.py must not change an
+    existing entry's hash (module-level hashing would): the closure is
+    per-entry, so only the oracle + reachable sources feed it."""
+    from airflow_kafka_spark_spark.plans import staleness
+    from airflow_kafka_spark_spark.plans.catalog import CATALOG
+
+    h1 = staleness.entry_source_hash("q6_revenue")
+    staleness._HASH_CACHE.pop("q6_revenue", None)
+    h2 = staleness.entry_source_hash("q6_revenue")
+    assert h1 == h2
+    # and two distinct entries do not collide
+    assert staleness.entry_source_hash("q1_pricing_summary") != h1
+    assert len(CATALOG) > 100  # guard: catalog is the real one
+
+
+def test_measured_hashes_recording_round_trip(tmp_path):
+    """record_measured_hashes stamps real hashes for the latest round's
+    rows, carries forward prior records, and nulls pre-hash-era rows."""
+    from airflow_kafka_spark_spark.plans import staleness
+
+    out = staleness.record_measured_hashes(tmp_path / "mh.json")
+    hist = _correctness_history()
+    latest = max(rnd for rnd, _ in hist.values())
+    for name, rec in out.items():
+        assert rec["round"] == hist[name][0]
+        if rec["round"] == latest:
+            assert rec["hash"] == staleness.entry_source_hash(name)
+    reloaded = staleness.measured_hashes(tmp_path / "mh.json")
+    assert reloaded == out
+
+
+def test_changed_entries_outrank_unchanged_greens():
+    """Tier semantics: every clean entry whose recorded hash mismatches
+    the current source (incl. the r4-refactor bootstrap sentinels) sorts
+    before every unchanged/unknown green; committed MEASURED_HASHES.json
+    agrees with the committed CORRECTNESS artifacts."""
+    from airflow_kafka_spark_spark.plans import staleness
+
+    rec = staleness.measured_hashes()
+    assert rec, "MEASURED_HASHES.json must be committed alongside artifacts"
+    hist = _correctness_history()
+    names = _ordered_names()
+    for name, (rnd, status) in hist.items():
+        if status != "clean":
+            continue
+        r = rec.get(name)
+        if not isinstance(r, dict) or r.get("round") != rnd:
+            continue
+        if r.get("hash") is not None and r["hash"] != staleness.entry_source_hash(name):
+            tier = _measure_priority(name)[0]
+            assert tier == 2, (name, tier)
+            # changed greens sit in the measurement window
+            assert names.index(name) < 50, name
