@@ -359,3 +359,49 @@ def test_pq_encode_edge_batches(spark):
     )
     with pytest.raises(PySparkException, match="null embedding"):
         pq_encode(with_null, books).collect()
+
+
+def test_semantic_dedup_recall_on_planted_near_dups(spark):
+    """Recall property (VERDICT r4 item 4): plant near-identical pairs
+    (eps-perturbed copies, cosine ~ 1 >> threshold) in a random corpus
+    and require semantic_dedup_pairs to recover >= 0.85 of them at every
+    operating n_lists. Near-identical points share a nearest centroid
+    unless they straddle a cell boundary, so recall degrades only with
+    boundary mass — which the bound makes measurable instead of
+    hand-waved. Precision needs no bound: every emitted pair is
+    exact-cosine verified (test above pins emitted == brute-force
+    scores)."""
+    import numpy as np
+
+    from airflow_kafka_spark_spark.ext.similarity import semantic_dedup_pairs
+
+    rng = np.random.default_rng(7)
+    dim, n_base, n_planted = 16, 200, 40
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    planted = set()
+    for j in range(n_planted):
+        twin_id = n_base + j
+        twin = base[j] + 0.001 * rng.normal(size=dim)
+        rows.append((twin_id, [float(x) for x in twin]))
+        planted.add((j, twin_id))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+    for n_lists in (1, 4, 16):
+        found = {
+            (r["vec1"], r["vec2"])
+            for r in semantic_dedup_pairs(
+                emb, threshold=0.95, n_lists=n_lists
+            ).collect()
+        }
+        recall = len(found & planted) / len(planted)
+        assert recall >= 0.85, (n_lists, recall)
+    # n_lists=1 is brute force: recall must be exactly 1
+    found1 = {
+        (r["vec1"], r["vec2"])
+        for r in semantic_dedup_pairs(emb, threshold=0.95, n_lists=1).collect()
+    }
+    assert planted <= found1
