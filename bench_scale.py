@@ -234,6 +234,51 @@ def main() -> None:
         }
         release_minhash_caches()
 
+    # semantic-dedup mega-cluster knob (VERDICT r4 item 3): SemDeDup's
+    # verify cost is |cell|² per k-means cell, so a corpus where 60% of
+    # vectors collapse into one dense semantic cluster is the skew case
+    # the n_lists knob exists for. Build that corpus (center + eps*v —
+    # deterministic, no RNG), run a low-n_lists config that leaves the
+    # mega-cell intact vs the SemDeDup recipe (raise n_lists until cells
+    # are executor-sized), and record the cell-size histogram that makes
+    # the collapse visible next to the runtime it costs.
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ivf_assignments,
+        semantic_dedup_pairs,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    dense = F.transform(F.col("embedding"), lambda x: 1.0 + 0.001 * x)
+    skewed = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 < 6, dense)
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    # n_lists=2 leaves the dense ball in ONE cell (the mega-cluster
+    # case: |cell|² verify pairs); n_lists=64 is the SemDeDup recipe —
+    # random centroid init already lands ~60% of seeds inside the ball,
+    # so raising n_lists splits it and the max cell collapses
+    semdedup_results = {}
+    for tag, n_lists in (("mega_cell_nlists2", 2), ("split_nlists64", 64)):
+        assigned, _ = ivf_assignments(skewed, n_lists=n_lists)
+        sizes = sorted(
+            r["n"]
+            for r in assigned.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+        )
+        t0 = time.perf_counter()
+        n_pairs = semantic_dedup_pairs(
+            skewed, threshold=0.95, n_lists=n_lists
+        ).count()
+        semdedup_results[tag] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "pairs": n_pairs,
+            "cells": len(sizes),
+            "max_cell": sizes[-1],
+            "p95_cell": sizes[int(0.95 * (len(sizes) - 1))],
+        }
+
     print(
         json.dumps(
             {
@@ -245,6 +290,7 @@ def main() -> None:
                 "rolling_mean_formulations": rolling_results,
                 "fixed_point_sum_formulations": sum_results,
                 "containment_skew_cap": containment_results,
+                "semantic_dedup_skew": semdedup_results,
             }
         )
     )
