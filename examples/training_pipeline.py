@@ -8,6 +8,9 @@ operators a 100 TB pretraining-corpus build actually chains, in order.
       → near-dup resolution    (MinHash-LSH pairs → connected components
                                 → drop non-keepers)
       → containment dedup      (drop docs ≥90% contained in a survivor)
+      → semantic dedup         (SemDeDup: k-means-cell cosine pairs →
+                                connected components → one survivor
+                                per semantic cluster)
       → chunk-level dedup      (corpus-wide duplicated-span removal)
       → decontamination        (3-gram overlap vs benchmark shingles)
       → mixture sampling       (per-source md5-bucket keep rates)
@@ -97,6 +100,33 @@ def main() -> None:
     docs = docs.join(drop_contained, "doc_id", "left_anti")
     n3a = docs.count()
 
+    # 3c. semantic dedup (SemDeDup, Abbas et al.): the paper's actual
+    # dedup ACTION — keep one survivor per semantic near-dup cluster.
+    # Pairs come from k-means-cell-restricted exact cosine over the
+    # document embeddings (vec_id == doc_id in the fixtures); the same
+    # connected-components keeper resolution as stages 3/3b turns the
+    # pair set into one-survivor-per-cluster (transitive: A~B, B~C drops
+    # two of three even when A~C is below threshold). At 100 TB the
+    # knob is n_lists — raise it until cells are executor-sized (see
+    # ext.similarity.semantic_dedup_pairs + bench_scale's
+    # semantic_dedup_skew probe for the mega-cluster case).
+    from airflow_kafka_spark_spark.ext.similarity import semantic_dedup_pairs
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    )
+    sem_pairs = (
+        semantic_dedup_pairs(emb, threshold=0.999, n_lists=16)
+        .select(F.col("vec1").alias("doc1"), F.col("vec2").alias("doc2"))
+        .localCheckpoint()  # same lineage cut as stage 3b
+    )
+    drop_semantic = (
+        connected_components(sem_pairs).filter(~F.col("is_keeper")).select("doc_id")
+    )
+    docs = docs.join(drop_semantic, "doc_id", "left_anti")
+    n3c = docs.count()
+
     # 4. strip corpus-duplicated spans (boilerplate) inside survivors
     from airflow_kafka_spark_spark.ext.dedup import strip_duplicate_chunks
 
@@ -153,8 +183,9 @@ def main() -> None:
     release_minhash_caches()
     print(
         f"raw={n0} quality={n1} exact_dedup={n2} near_dup={n3} "
-        f"containment={n3a} chunk_dedup={n3b} decontaminated={n4} "
-        f"mixture={n4b} written={n5} shards={n_shards} out={out}"
+        f"containment={n3a} semantic_dedup={n3c} chunk_dedup={n3b} "
+        f"decontaminated={n4} mixture={n4b} written={n5} "
+        f"shards={n_shards} out={out}"
     )
     spark.stop()
 

@@ -405,3 +405,52 @@ def test_semantic_dedup_recall_on_planted_near_dups(spark):
         for r in semantic_dedup_pairs(emb, threshold=0.95, n_lists=1).collect()
     }
     assert planted <= found1
+
+
+def test_semantic_dedup_to_components_one_survivor_per_cluster(spark):
+    """The SemDeDup dedup ACTION (examples/training_pipeline.py stage
+    3c): semantic pairs -> connected_components must keep exactly ONE
+    doc per planted semantic cluster and leave isolated docs alone
+    (they never appear in the pair set)."""
+    import numpy as np
+
+    from airflow_kafka_spark_spark.ext.dedup import connected_components
+    from airflow_kafka_spark_spark.ext.similarity import semantic_dedup_pairs
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    dim = 12
+    rows, clusters = [], []
+    next_id = 0
+    for _ in range(3):  # three planted clusters of 4 near-identical docs
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        members = []
+        for _ in range(4):
+            v = center + 0.0005 * rng.normal(size=dim)
+            rows.append((next_id, [float(x) for x in v]))
+            members.append(next_id)
+            next_id += 1
+        clusters.append(members)
+    isolated = set()
+    for _ in range(20):  # spread singletons
+        v = rng.normal(size=dim)
+        rows.append((next_id, [float(x) for x in v]))
+        isolated.add(next_id)
+        next_id += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    pairs = semantic_dedup_pairs(emb, threshold=0.99, n_lists=4).select(
+        F.col("vec1").alias("doc1"), F.col("vec2").alias("doc2")
+    )
+    cc = connected_components(pairs).collect()
+    by_doc = {r["doc_id"]: r for r in cc}
+    # isolated docs form no pairs, so CC never sees them (nothing dropped)
+    assert isolated.isdisjoint(by_doc)
+    for members in clusters:
+        got = [by_doc[m] for m in members if m in by_doc]
+        # the whole planted cluster must be resolved...
+        assert len(got) == len(members), members
+        # ...to a single component with exactly one keeper
+        assert len({r["component"] for r in got}) == 1
+        assert sum(1 for r in got if r["is_keeper"]) == 1
