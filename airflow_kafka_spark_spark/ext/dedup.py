@@ -503,3 +503,94 @@ def strip_duplicate_chunks(
             "removed_chunks"
         ),
     )
+
+
+def incremental_dedup_gate(
+    docs: DataFrame,
+    batch_pct: int = 20,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup gate: classify each INCOMING
+    document against the STANDING corpus as ``exact`` (fingerprint
+    already present), ``near`` (n-gram Jaccard ≥ ``threshold`` with some
+    corpus doc), or ``new``. This is the shape a continuously-ingesting
+    100 TB pipeline actually runs — the self-join dedups (jaccard_pairs
+    et al.) re-score the whole corpus; the gate scores only the delta.
+
+    The incoming batch is carved deterministically here (md5 bucket <
+    ``batch_pct``, same portable bucketing as hash_sample/mixture_sample)
+    so the oracle can replay the split; production callers pass two
+    frames' worth of data through the same logic with their own split.
+
+    Scale design: the exact tier is a broadcast-ready semi-join on the
+    md5 fingerprint (batch side is the small delta). The near tier is
+    the standard inverted-index join — batch shingles against corpus
+    shingles, equi-join on shingle — so candidates scale with shared-
+    shingle density, and the batch side of every join is delta-sized,
+    never corpus-sized. No self-join anywhere.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    batch = docs.filter(bucket < batch_pct)
+    corpus = docs.filter(bucket >= batch_pct)
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    fp = F.md5(norm.cast("binary"))
+    batch_fp = batch.select(F.col(id_col), fp.alias("fingerprint"))
+    corpus_fp = corpus.select(fp.alias("fingerprint")).distinct()
+    exact_ids = (
+        batch_fp.join(corpus_fp, "fingerprint", "left_semi")
+        .select(id_col)
+        .withColumn("__exact", F.lit(1))
+    )
+
+    def sized_shingles(frame: DataFrame) -> DataFrame:
+        sh = _doc_shingles(frame, text_col, n)
+        return sh.select(
+            id_col, F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+        )
+
+    inv_b = sized_shingles(batch)
+    inv_c = sized_shingles(corpus)
+    common = (
+        inv_b.alias("b")
+        .join(inv_c.alias("c"), F.col("b.shingle") == F.col("c.shingle"))
+        .groupBy(
+            F.col(f"b.{id_col}").alias("batch_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+            F.col("b.n_sh").alias("n1"),
+            F.col("c.n_sh").alias("n2"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    ).cast("double")
+    near_ids = (
+        common.filter(jac >= threshold)
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+
+    return (
+        batch.select(id_col)
+        .join(exact_ids, id_col, "left")
+        .join(near_ids, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__exact") == 1, F.lit("exact"))
+            .when(F.col("__near") == 1, F.lit("near"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

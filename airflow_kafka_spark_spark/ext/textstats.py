@@ -449,3 +449,105 @@ def mixture_sample(
     return docs.join(F.broadcast(rates), source_col, "inner").filter(
         bucket < F.col("rate_pct")
     )
+
+
+def charlm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-bigram corpus-likelihood quality score — the KenLM-style
+    "does this look like the corpus?" gate of a pretraining pipeline
+    (docs full of rare character sequences — mojibake, binary spill,
+    wrong-script text — score low), with the LM reduced to its
+    deterministic core: unigram-of-bigrams relative frequency.
+
+    Two passes, both shuffle-light at 100 TB: (1) train — explode char
+    bigrams (JVM ``sequence``/``substring``, no Python) and hash-agg
+    count them; the model is vocab-sized (≤ charset², a few k rows) so
+    it BROADCASTS back; (2) score — re-explode, broadcast-join the
+    model, one hash-agg per doc. Cross-engine bit-stability: the per-
+    bigram probability is a single IEEE double division (exact in both
+    engines), quantized to decimal(12,9) BEFORE the order-insensitive
+    decimal sum — no float accumulation, no log() (libm log differs
+    across engines in the last ulp; relative frequency carries the same
+    signal deterministically).
+
+    Docs shorter than 2 chars have no bigrams and are absent from the
+    output (inner-join semantics, same as the SQL oracle).
+    """
+    # materialize lower(text) in its OWN projection: inlined into the
+    # bigram lambda it would re-lowercase the whole document once per
+    # position — O(len²) per doc. Multiple references to a non-cheap
+    # alias block Catalyst's CollapseProject, so the hoist survives
+    # optimization. Bigrams come from split-to-chars + shifted zip_with
+    # concat, NOT per-position substring(t, i, 2): UTF8 substring scans
+    # from the string start each call (O(i)), which is quadratic again —
+    # the zip_with form halves the measured stage time at sf0.1.
+    lowered = docs.select("doc_id", F.lower(F.col(text_col)).alias("__t"))
+    chars = F.split(F.col("__t"), "")
+    tail_len = F.greatest(F.size(chars) - 1, F.lit(0))
+    pref = F.slice(chars, 1, tail_len)
+    suff = F.slice(chars, 2, tail_len)
+    bgs = F.zip_with(pref, suff, lambda a, b: F.concat(a, b))
+    bg = lowered.select("doc_id", F.explode(bgs).alias("bigram"))
+
+    model = bg.groupBy("bigram").agg(F.count("*").alias("c"))
+    total = model.agg(F.sum("c").alias("total"))
+    p = F.col("c").cast("double") / F.col("total").cast("double")
+    model_p = (
+        model.crossJoin(F.broadcast(total))
+        .select("bigram", F.round(p, 9).cast("decimal(12,9)").alias("p9"))
+    )
+
+    return (
+        bg.join(F.broadcast(model_p), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("p9").cast("double") / F.count("*").cast("double"), 6
+            ).alias("char_lm_score"),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame, coverage: float = 0.9, text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary coverage curve: the smallest frequency-ranked word set
+    whose cumulative share of corpus tokens reaches ``coverage`` — the
+    tokenizer-design / OOV-budget question ("how many words cover 90% of
+    the corpus?") asked before any vocab induction.
+
+    The explode + count is the scalable part (map-side combine, one
+    shuffle on word); the ranking windows then run over the AGGREGATED
+    vocab — corpus-size-independent (vocab grows ~log of corpus), so the
+    single-partition global sort is a post-aggregation detail, not a
+    scale hazard. Ties rank deterministically by (count desc, word).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("word").asc()]
+    w_cum = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum = F.sum("cnt").over(w_cum)
+    total = F.sum("cnt").over(w_all)
+    ranked = counts.select(
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+        "word",
+        "cnt",
+        (F.col("cnt").cast("double") / total.cast("double")).alias("__share"),
+        (cum.cast("double") / total.cast("double")).alias("__cum"),
+    )
+    return ranked.filter(F.col("__cum") <= F.lit(coverage)).select(
+        "rank",
+        "word",
+        "cnt",
+        F.round("__share", 6).alias("share"),
+        F.round("__cum", 6).alias("cum_share"),
+    )

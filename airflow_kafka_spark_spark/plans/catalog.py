@@ -3728,6 +3728,261 @@ FROM r WHERE rn = 1
 """
 
 
+def q_charlm_quality(spark, sf_dir):
+    """Char-bigram corpus-likelihood quality score (ext.textstats.
+    charlm_scores): the train-broadcast-score LM gate of a pretraining
+    pipeline, reduced to deterministic relative frequency."""
+    from ..ext.textstats import charlm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = charlm_scores(docs)
+    return out.select(
+        "doc_id", "n_bigrams", (F.col("char_lm_score") + F.lit(0.0)).alias("char_lm_score")
+    )
+
+
+SQL_CHARLM_QUALITY = """
+WITH nrm AS (SELECT doc_id, lower(text) AS t FROM documents),
+bg AS (
+  -- range(1, len) is end-exclusive: positions 1 .. len-1, empty for len < 2
+  SELECT doc_id, substr(t, CAST(i AS INTEGER), 2) AS bigram
+  FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS i FROM nrm)
+),
+model AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1),
+tot AS (SELECT SUM(c) AS total FROM model)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(ROUND(
+         CAST(SUM(CAST(ROUND(CAST(model.c AS DOUBLE) / CAST(tot.total AS DOUBLE), 9)
+                       AS DECIMAL(12,9))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS char_lm_score
+FROM bg JOIN model USING (bigram) CROSS JOIN tot
+GROUP BY bg.doc_id
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (ext.textstats.vocab_coverage): smallest
+    frequency-ranked word set covering 90% of corpus tokens."""
+    from ..ext.textstats import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, coverage=0.9)
+
+
+SQL_VOCAB_COVERAGE = """
+WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+counts AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS total FROM counts),
+ranked AS (
+  SELECT word, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts
+)
+SELECT CAST(rank AS BIGINT) AS rank, word, cnt,
+       CAST(ROUND(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS DOUBLE)
+         + CAST(0 AS DOUBLE) AS share,
+       CAST(ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS DOUBLE)
+         + CAST(0 AS DOUBLE) AS cum_share
+FROM ranked CROSS JOIN tot
+WHERE CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.9
+"""
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Batch-vs-corpus dedup gate (ext.dedup.incremental_dedup_gate):
+    classify a 20% incoming delta against the standing 80% corpus as
+    exact / near (Jaccard >= 0.5) / new — the continuously-ingesting
+    pipeline's dedup shape (delta-sized joins, no self-join)."""
+    from ..ext.dedup import incremental_dedup_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_dedup_gate(docs, batch_pct=20, threshold=0.5)
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH b AS (SELECT doc_id, text FROM documents
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20),
+c AS (SELECT doc_id, text FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 >= 20),
+btoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM b),
+bsh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      ELSE [array_to_string(t, ' ')]
+    END AS shingles
+  FROM btoks
+),
+ctoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM c),
+csh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_distinct(list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      ELSE [array_to_string(t, ' ')]
+    END AS shingles
+  FROM ctoks
+),
+binv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM bsh),
+cinv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM csh),
+common AS (
+  SELECT binv.doc_id AS batch_id, cinv.doc_id AS corpus_id,
+         binv.n_sh AS n1, cinv.n_sh AS n2, COUNT(*) AS n_common
+  FROM binv JOIN cinv USING (shingle)
+  GROUP BY 1, 2, 3, 4
+),
+near AS (SELECT DISTINCT batch_id AS doc_id FROM common
+         WHERE CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE) >= 0.5),
+bfp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g')) AS fp FROM b),
+cfp AS (SELECT DISTINCT md5(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g')) AS fp FROM c),
+exact AS (SELECT bfp.doc_id FROM bfp JOIN cfp USING (fp))
+SELECT b.doc_id,
+       CASE WHEN b.doc_id IN (SELECT doc_id FROM exact) THEN 'exact'
+            WHEN b.doc_id IN (SELECT doc_id FROM near) THEN 'near'
+            ELSE 'new' END AS status
+FROM b
+"""
+
+
+def q_quality_deciles(spark, sf_dir):
+    """Per-language quality deciles: NTILE(10) binning over a quality
+    proxy (n_chars; ties broken by doc_id) + per-bin stats — the
+    "filter the bottom N% per language" knob of corpus curation,
+    computed as one window + one agg on the same (lang) partitioning."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dec = (
+        F.ntile(10)
+        .over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+        .cast("long")
+    )
+    per = docs.select("lang", "n_chars", dec.alias("decile"))
+    return per.groupBy("lang", "decile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_chars"),
+    )
+
+
+SQL_QUALITY_DECILES = """
+WITH d AS (
+  SELECT lang, n_chars,
+         NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+  FROM documents
+)
+SELECT lang, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+         + CAST(0 AS DOUBLE) AS avg_chars
+FROM d GROUP BY lang, decile
+"""
+
+
+def q_session_sequences(spark, sf_dir):
+    """Sessionized event-sequence export: gaps-and-islands sessionization
+    (30-min inactivity, lag + running sum — the oracle-replayable twin
+    of session_window) then the ordered event-type string per session —
+    the behavioral-sequence extraction a sequence-model training set
+    runs over clickstreams. One Exchange on user_id serves the lag
+    window, the session-id prefix sum, AND the final per-session agg
+    (same partitioning); the in-session ordering is array_sort over
+    collected (ts, event_id, type) structs — deterministic, no second
+    shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        F.col("ts") <= prev + F.expr("INTERVAL 30 MINUTES"), F.lit(0)
+    ).otherwise(F.lit(1))
+    sess = ev.select(
+        "user_id", "ts", "event_id", "event_type", new_s.alias("__new")
+    ).withColumn(
+        "session_seq",
+        F.sum("__new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"],
+        ),
+        "|",
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+        F.count("*").alias("n_events"),
+        seq.alias("event_seq"),
+    )
+
+
+SQL_SESSION_SEQUENCES = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+       strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+       COUNT(*) AS n_events,
+       string_agg(event_type, '|' ORDER BY ts, event_id) AS event_seq
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_key_skew_profile(spark, sf_dir):
+    """Key-skew diagnostic: top-10 heaviest keys with their share of all
+    events — the pre-join profiling step that decides whether a key
+    needs salting/AQE skew handling at 100 TB. One hash agg on the key;
+    the ranking windows run over the aggregated key-cardinality frame."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    order = [F.col("n_events").desc(), F.col("user_id").asc()]
+    total = F.sum("n_events").over(Window.partitionBy())
+    ranked = counts.select(
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+        "user_id",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / total.cast("double"), 6
+        ).alias("share"),
+    )
+    return ranked.filter(F.col("rank") <= 10)
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH counts AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+tot AS (SELECT SUM(n_events) AS total FROM counts),
+ranked AS (
+  SELECT user_id, n_events,
+         ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS BIGINT) AS rank, user_id, n_events,
+       CAST(ROUND(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6) AS DOUBLE)
+         + CAST(0 AS DOUBLE) AS share
+FROM ranked CROSS JOIN tot
+WHERE rank <= 10
+"""
+
+
 # Dict order = the order the driver measures entries in. If its budget
 # truncates the run (r1 stopped at 50), the tail goes unmeasured — so the
 # highest-stakes groups come first: reference parity, then the
@@ -3853,6 +4108,14 @@ CATALOG: dict[str, Query] = {
     "unpivot_melt": Query(q_unpivot_melt, SQL_UNPIVOT_MELT),
     "value_histogram": Query(q_value_histogram, SQL_VALUE_HISTOGRAM),
     "embedding_centroids": Query(q_embedding_centroids, SQL_EMBEDDING_CENTROIDS),
+    # round-5 pipeline additions: LM-gate scoring, vocab budgeting,
+    # incremental dedup, quality binning, sequence export, skew profiling
+    "charlm_quality": Query(q_charlm_quality, SQL_CHARLM_QUALITY),
+    "vocab_coverage": Query(q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "quality_deciles": Query(q_quality_deciles, SQL_QUALITY_DECILES),
+    "session_sequences": Query(q_session_sequences, SQL_SESSION_SEQUENCES),
+    "key_skew_profile": Query(q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
 }
 
 

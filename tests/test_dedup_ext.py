@@ -454,3 +454,51 @@ def test_semantic_dedup_to_components_one_survivor_per_cluster(spark):
         # ...to a single component with exactly one keeper
         assert len({r["component"] for r in got}) == 1
         assert sum(1 for r in got if r["is_keeper"]) == 1
+
+
+def test_incremental_dedup_gate_classifies_planted_docs(spark):
+    """Plant controlled docs on both sides of the md5 split and pin each
+    status tier: an exact textual copy of a corpus doc -> 'exact', a
+    one-word-changed copy -> 'near' (Jaccard >= 0.5 on 3-shingles), an
+    unrelated doc -> 'new'. The split itself is the deterministic md5
+    bucket, so find ids for each side first."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.dedup import incremental_dedup_gate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota OMEGA"
+    other = "one two three four five six seven eight nine ten"
+    # pick ids landing in batch (<20) and corpus (>=20) buckets
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    ids = spark.range(0, 200).select(F.col("id").alias("doc_id"), bucket.alias("b"))
+    rows = {r["doc_id"]: r["b"] for r in ids.collect()}
+    batch_ids = [i for i, b in sorted(rows.items()) if b < 20]
+    corpus_ids = [i for i, b in sorted(rows.items()) if b >= 20]
+    assert len(batch_ids) >= 3 and len(corpus_ids) >= 1
+
+    docs = spark.createDataFrame(
+        [
+            (corpus_ids[0], base),      # standing corpus doc
+            (batch_ids[0], base),       # exact copy in the batch
+            (batch_ids[1], near),       # near-dup in the batch
+            (batch_ids[2], other),      # unrelated batch doc
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup_gate(docs, batch_pct=20, threshold=0.5).collect()
+    }
+    assert got == {
+        batch_ids[0]: "exact",
+        batch_ids[1]: "near",
+        batch_ids[2]: "new",
+    }

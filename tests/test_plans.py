@@ -357,3 +357,43 @@ def test_asof_forward_single_shuffle(spark):
     s = _explain(CATALOG["asof_forward"].fn(spark, SF_DIR))
     assert "NestedLoop" not in s and "CartesianProduct" not in s
     assert s.count("Exchange") <= 3, s
+
+
+def test_charlm_model_joins_broadcast(spark):
+    """The char-bigram model is vocab-sized: BOTH the total scalar and
+    the model must broadcast back to the corpus-sized bigram stream —
+    any sort-merge join here would shuffle the corpus twice."""
+    s = _explain(CATALOG["charlm_quality"].fn(spark, SF_DIR))
+    assert s.count("BroadcastHashJoin") + s.count("BroadcastNestedLoop") >= 2, s
+    assert "SortMergeJoin" not in s, s
+
+
+def test_dedup_incremental_no_cartesian_delta_joins(spark):
+    """Batch-vs-corpus gate: inverted-index equi-joins only — no
+    cartesian/nested-loop anywhere despite the two-frame comparison."""
+    s = _explain(CATALOG["dedup_incremental"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s and "NestedLoop" not in s, s
+
+
+def test_session_sequences_single_user_exchange(spark):
+    """Sessionize (lag window) + session-id prefix sum + per-session agg
+    all run on one hash partitioning by user_id: exactly one Exchange
+    over the events scan (the grouping keys are a superset of the
+    window partitioning, so the aggregate reuses the sort/partition)."""
+    s = _explain(CATALOG["session_sequences"].fn(spark, SF_DIR))
+    assert s.count("Exchange") == 1, s
+
+
+def test_vocab_coverage_windows_after_aggregation(spark):
+    """The global-ordering windows must consume the AGGREGATED vocab
+    (word counts), not corpus rows: plan order is scan → word
+    HashAggregate (partial+final, its own Exchange) → ONE more Exchange
+    feeding the windows — and the scan reads only the text column."""
+    s = _explain(CATALOG["vocab_coverage"].fn(spark, SF_DIR), mode="formatted")
+    assert s.count("Exchange") >= 2
+    # the window Exchange sits ABOVE the aggregate in the operator list
+    # (formatted mode numbers operators bottom-up: scan is (1))
+    agg_pos = s.find("HashAggregate")
+    assert agg_pos != -1 and s.find("Window") != -1
+    read = s.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "doc_id" not in read, read
