@@ -1,0 +1,133 @@
+"""Graph primitives over derived co-occurrence graphs.
+
+The reference has no graph surface (its only iterative structure is the
+per-key ordered series, ``/root/reference/spark/stock_analysis.py:166-191``);
+these operators extend the engine's §2.12 suite with the two standard
+distributed-graph building blocks missing from
+``ext.dedup.connected_components``: basket→edge expansion and triangle
+counting / clustering coefficient — the relationship-mining step a
+training-data pipeline runs over entity co-occurrence (duplicate
+clusters, link graphs, product baskets).
+
+Scale design:
+
+- ``basket_pairs`` builds co-occurrence edges without self-joining the
+  fact table: ONE shuffle to collect each basket (hash agg on the basket
+  id), then the C(n,2) pair expansion is a higher-order-function
+  transform over the sorted item array — map-side, no second shuffle.
+  The naive formulation (fact ⨝ fact on basket id) shuffles the fact
+  table twice and squares skewed baskets inside the join; here a
+  mega-basket is visible as one row and ``max_basket_size`` caps it
+  explicitly (same skew posture as ``max_shingle_df`` in ext.dedup —
+  honest lower-bound semantics, dropped baskets are the caller's knob).
+- ``triangle_stats`` orients every edge from its lower-``(degree, id)``
+  endpoint to the higher one before the wedge join — the node-iterator
+  bound (Schank & Wagner 2005; the MapReduce variant is Suri &
+  Vassilvitskii, WWW 2011): each wedge is generated at its
+  lowest-degree vertex, so per-vertex fan-out is O(sqrt(m)) on any
+  graph and the deg² wedge blow-up a celebrity node causes in the
+  unoriented formulation never materializes. Every join is an equi-join
+  (on a node or a node pair); the triangle count is
+  orientation-independent, so the DuckDB oracle verifies with the plain
+  ``a<b<c`` formulation and must agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges ``(src < dst)`` between
+    items sharing a basket. ``max_basket_size`` drops larger baskets
+    (quadratic-inflation cap; a 10k-item basket alone emits ~50M pairs).
+    """
+    baskets = df.groupBy(basket_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("__items")
+    )
+    if max_basket_size is not None:
+        baskets = baskets.filter(F.size("__items") <= max_basket_size)
+    pairs = F.expr(
+        "flatten(transform(__items, (x, i) -> "
+        "transform(slice(__items, i + 2, size(__items)), "
+        "y -> struct(x AS src, y AS dst))))"
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("__e"))
+        .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected simple graph, one output row:
+    ``(n_nodes, n_edges, n_triangles, clustering)``.
+
+    ``edges`` must be distinct with ``src < dst`` (what ``basket_pairs``
+    emits); self-loops are rejected by the canonicalization filter.
+
+    Plan: degree agg (one shuffle on node) → joint-degree attach (two
+    equi-joins of the edge list against the degree table — broadcast
+    when the node set is small, AQE decides) → orient each edge
+    low→high ``(degree, id)`` rank → wedge equi-join on the middle node
+    → closure equi-join on the ``(u, w)`` pair. The DAG orientation
+    makes each triangle a single directed path u→v→w plus one closing
+    edge u→w, so no post-hoc deduplication divide-by-3 is needed.
+    ``clustering = 3·triangles / Σ C(deg, 2)`` (wedge total from the
+    degree table — exact integer arithmetic below 2^53).
+    """
+    e = edges.select(src, dst).filter(F.col(src) != F.col(dst)).distinct()
+    deg = (
+        e.select(F.col(src).alias("n"))
+        .unionAll(e.select(F.col(dst).alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias(src), F.col("deg").alias("__sd")), src)
+        .join(deg.select(F.col("n").alias(dst), F.col("deg").alias("__dd")), dst)
+    )
+    lower_first = (F.col("__sd") < F.col("__dd")) | (
+        (F.col("__sd") == F.col("__dd")) & (F.col(src) < F.col(dst))
+    )
+    o = ed.select(
+        F.when(lower_first, F.col(src)).otherwise(F.col(dst)).alias("u"),
+        F.when(lower_first, F.col(dst)).otherwise(F.col(src)).alias("v"),
+    )
+    wedges = o.join(
+        o.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+    )
+    tri = wedges.join(
+        o.select(F.col("u"), F.col("v").alias("w")), ["u", "w"]
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("CAST(deg * (deg - 1) / 2 AS BIGINT)")).alias("__wedges"),
+    )
+    return (
+        n_tri.crossJoin(n_edges)
+        .crossJoin(deg_stats)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            (
+                F.round(
+                    F.lit(3.0)
+                    * F.col("n_triangles").cast("double")
+                    / F.col("__wedges").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("clustering"),
+        )
+    )

@@ -551,3 +551,36 @@ def vocab_coverage(
         F.round("__share", 6).alias("share"),
         F.round("__cum", 6).alias("cum_share"),
     )
+
+
+def merge_pair_counts(
+    docs: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """Adjacent-token-pair census — the inner statistic of one BPE merge
+    iteration (Sennrich et al. 2016: count all symbol bigrams, merge the
+    most frequent). Output: the ``top_n`` pairs as ``(pair, n)``,
+    ordered by count desc then pair asc (total order, so the cut is
+    deterministic).
+
+    Scale design: the pair expansion is a map-side higher-order
+    ``transform`` over each document's token array (no explode-then-
+    self-join, no window); the census is ONE hash aggregate on the pair
+    string with map-side combine — at 100 TB the shuffle carries only
+    the per-partition partial counts of the (vocab²-bounded, Zipf-
+    concentrated) pair space, not the corpus. Top-n is a TakeOrdered,
+    not a global sort.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)
+    d = docs.select(toks.alias("__t"))
+    pairs = F.when(
+        F.size("__t") >= 2,
+        F.expr(
+            "transform(slice(__t, 1, size(__t) - 1), (x, i) -> concat(x, ' ', __t[i + 1]))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    c = (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(top_n)

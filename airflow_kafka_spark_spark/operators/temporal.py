@@ -331,3 +331,63 @@ def cohort_retention(
     return enriched.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct(key_col).alias("users")
     )
+
+
+def densify_daily(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key daily calendar densification + forward fill — the
+    time-series gap-fill (``asfreq('D')`` + ``ffill`` in pandas,
+    ``time_bucket_gapfill`` + ``locf`` in TimescaleDB). For every key,
+    emits one row per calendar day between the key's first and last
+    observation: ``(keys..., day, value_ffill, is_gap)`` where
+    ``value_ffill`` carries the last observation at-or-before the day
+    and ``is_gap=1`` marks synthesized days.
+
+    The day's representative value is the LAST observation of the day
+    by ``order_cols`` (default ``[ts_col]``; pass a tiebreaker column
+    for total order — forward fill is only deterministic under one).
+
+    Scale design:
+    - daily last observation: one hash aggregate ``max_by(value,
+      struct(order))`` on ``(key, day)`` — no per-row window sort over
+      the raw facts;
+    - the calendar is ``explode(sequence(d0, d1))`` over the per-key
+      span rows, generated AFTER aggregation — the raw fact table is
+      never inflated, and output size is bounded by span-days per key
+      (a key with a 10-year span and one event is the pathological
+      case: 3 653 rows from 1 — bound spans upstream if that matters);
+    - the calendar←daily join is an equi-join on ``(key, day)``, the
+      same keys the daily aggregate just shuffled on;
+    - forward fill is ``last(ignorenulls)`` over ONE window on the key
+      ordered by day (rows frame, running).
+    """
+    order_cols = order_cols or [ts_col]
+    day = F.col(ts_col).cast("date")
+    daily = df.groupBy(*key_cols, day.alias("day")).agg(
+        F.expr(
+            f"max_by({value_col}, struct({', '.join(order_cols)}))"
+        ).alias("day_value")
+    )
+    spans = daily.groupBy(*key_cols).agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    cal = spans.select(
+        *key_cols, F.explode(F.sequence("__d0", "__d1")).alias("day")
+    )
+    joined = cal.join(daily, [*key_cols, "day"], "left")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *key_cols,
+        "day",
+        F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("day_value").isNull().cast("int").alias("is_gap"),
+    )

@@ -3988,6 +3988,287 @@ WHERE rank <= 10
 # highest-stakes groups come first: reference parity, then the
 # LLM-pipeline extensions (graded first-class), then temporal, then the
 # wide relational battery.
+def q_gap_fill_daily(spark, sf_dir):
+    """Daily calendar gap fill + forward fill over each user's event
+    series (operators.temporal.densify_daily) — the time_bucket_gapfill
+    / asfreq+ffill primitive. Day value = the user's LAST event value of
+    the day by (ts, event_id) via ONE max_by hash agg (no raw-row window
+    sort); the calendar explodes from per-key span rows AFTER
+    aggregation, so the fact table is never inflated."""
+    from ..operators.temporal import densify_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    out = densify_daily(ev, ["user_id"], "ts", "value", order_cols=["ts", "event_id"])
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        _r6(F.col("value_ffill")).alias("value_ffill"),
+        "is_gap",
+    )
+
+
+SQL_GAP_FILL_DAILY = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+dlast AS (SELECT user_id, day, value FROM daily WHERE rn = 1),
+spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM dlast GROUP BY user_id),
+cal AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+),
+j AS (
+  SELECT c.user_id, c.day, d.value AS day_value
+  FROM cal c LEFT JOIN dlast d ON c.user_id = d.user_id AND c.day = d.day
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       CAST(ROUND(last_value(day_value IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING), 6)
+            AS DOUBLE) + CAST(0 AS DOUBLE) AS value_ffill,
+       CAST(CASE WHEN day_value IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+FROM j
+"""
+
+
+def q_rolling_revenue(spark, sf_dir):
+    """30-day rolling revenue per customer: a numeric RANGE frame over
+    epoch-day (29 PRECEDING..CURRENT), decimal-exact sum — the
+    time-interval rolling window §2.6's ROWS frames can't express (days
+    with multiple orders are peers; absent days still shrink the
+    window). One Exchange on o_custkey; the frame is O(1) sliding-sum
+    inside WindowExec, not a per-row rescan."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    dayn = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(dayn)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("day"),
+        _r6(
+            F.sum(F.col("o_totalprice").cast("decimal(22,6)")).over(w).cast("double")
+        ).alias("rev_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+SQL_ROLLING_REVENUE = """
+SELECT o_orderkey, o_custkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+       CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) OVER w AS DOUBLE), 6)
+            AS DOUBLE) + CAST(0 AS DOUBLE) AS rev_30d,
+       COUNT(*) OVER w AS n_orders_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """Entity resolution: match deterministically-corrupted part names
+    (one char deleted in the second half, position md5-derived) back to
+    the distinct-name dictionary via ext.fuzzy.blocked_fuzzy_join —
+    3-char-prefix blocking keeps it an equi-join (the deletion position
+    >= len/2+1 > 3 guarantees the block key survives corruption, so
+    recall is 1.0 here by construction), and the thresholded
+    levenshtein verifies candidates in O(d·len)."""
+    from ..ext.fuzzy import blocked_fuzzy_join
+
+    part = load_table(spark, sf_dir, "part")
+    clean = part.select(F.col("p_name")).distinct()
+    name = F.col("p_name")
+    ln = F.length(name)
+    half = F.floor(ln / F.lit(2)).cast("int")
+    off = (
+        F.conv(F.substring(F.md5(name.cast("binary")), 1, 8), 16, 10).cast("long")
+        % (ln - half).cast("long")
+    ).cast("int")
+    # delete 1-based position (half + 1 + off) ∈ [half+1, len]
+    prefix_len = half + off
+    dirty = part.select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.concat(
+            name.substr(F.lit(1), prefix_len),
+            name.substr(prefix_len + F.lit(2), ln),
+        ).alias("q_name"),
+    )
+    out = blocked_fuzzy_join(clean, dirty, "p_name", "q_name", max_dist=1)
+    return out.select(
+        "p_name", "dirty_id", "q_name", F.col("dist").cast("int").alias("dist")
+    )
+
+
+SQL_FUZZY_MATCH = """
+WITH clean AS (SELECT DISTINCT p_name FROM part),
+dirty AS (
+  SELECT p_partkey AS dirty_id, p_name,
+         (len(p_name) // 2)
+           + CAST(('0x' || substr(md5(p_name), 1, 8))::BIGINT
+                  % (len(p_name) - (len(p_name) // 2)) AS BIGINT) AS prefix_len
+  FROM part
+),
+d2 AS (
+  SELECT dirty_id,
+         substr(p_name, 1, CAST(prefix_len AS INT))
+           || substr(p_name, CAST(prefix_len + 2 AS INT), len(p_name)) AS q_name
+  FROM dirty
+)
+SELECT c.p_name, d.dirty_id, d.q_name,
+       CAST(levenshtein(c.p_name, d.q_name) AS INTEGER) AS dist
+FROM clean c JOIN d2 d
+  ON lower(substr(c.p_name, 1, 3)) = lower(substr(d.q_name, 1, 3))
+WHERE levenshtein(c.p_name, d.q_name) <= 1
+"""
+
+
+def q_bpe_merge_pairs(spark, sf_dir):
+    """Top-50 adjacent-token-pair census over the corpus
+    (ext.textstats.merge_pair_counts) — one BPE merge iteration's
+    statistic. Map-side HOF pair expansion, one hash agg on the pair
+    string, TakeOrdered top-n."""
+    from ..ext.textstats import merge_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return merge_pair_counts(docs, top_n=50)
+
+
+SQL_BPE_MERGE_PAIRS = """
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS tok
+  FROM documents
+),
+p AS (
+  SELECT unnest(list_zip(tok[1:len(tok)-1], tok[2:len(tok)])) AS z
+  FROM t WHERE len(tok) >= 2
+),
+c AS (SELECT z[1] || ' ' || z[2] AS pair, COUNT(*) AS n FROM p GROUP BY 1)
+SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 50
+"""
+
+
+def q_winsorized_stats(spark, sf_dir):
+    """Per-group winsorized aggregates: clamp l_extendedprice to its
+    group's exact [p05, p95] (percentile_disc — picks actual data
+    values, so both engines agree bit-exactly with no interpolation
+    arithmetic), then decimal-exact sum/avg of the clamped column plus
+    clamp-tail counts. Two passes over the fact table: a tiny per-group
+    percentile agg (sort-based, grouped), broadcast back, then one
+    map-side clamp + hash agg — the robust-scaling step an outlier-laden
+    metrics pipeline runs before averaging."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("lo"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("hi"),
+    )
+    j = li.join(F.broadcast(pct), "l_returnflag")
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    agg = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_extendedprice") < F.col("lo")).cast("long")).alias("n_lo"),
+        F.sum((F.col("l_extendedprice") > F.col("hi")).cast("long")).alias("n_hi"),
+        _r6(F.min("lo")).alias("p05"),
+        _r6(F.min("hi")).alias("p95"),
+        decimal_sum(clamped).alias("w_sum"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "n_lo",
+        "n_hi",
+        "p05",
+        "p95",
+        (F.col("w_sum") + F.lit(0.0)).alias("w_sum"),
+        _r6(F.col("w_sum") / F.col("n_rows").cast("double")).alias("w_avg"),
+    )
+
+
+SQL_WINSORIZED_STATS = """
+WITH pct AS (
+  SELECT l_returnflag,
+         CAST(quantile_disc(l_extendedprice, 0.05) AS DOUBLE) AS lo,
+         CAST(quantile_disc(l_extendedprice, 0.95) AS DOUBLE) AS hi
+  FROM lineitem GROUP BY l_returnflag
+),
+j AS (
+  SELECT l.l_returnflag, l.l_extendedprice, p.lo, p.hi,
+         LEAST(GREATEST(l.l_extendedprice, p.lo), p.hi) AS cl
+  FROM lineitem l JOIN pct p ON l.l_returnflag = p.l_returnflag
+),
+agg AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+         CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+         CAST(ROUND(MIN(lo), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS p05,
+         CAST(ROUND(MIN(hi), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS p95,
+         CAST(ROUND(SUM(CAST(cl AS DECIMAL(22,6))), 6) AS DOUBLE) AS w_sum
+  FROM j GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows, n_lo, n_hi, p05, p95,
+       w_sum + CAST(0 AS DOUBLE) AS w_sum,
+       CAST(ROUND(w_sum / CAST(n_rows AS DOUBLE), 6) AS DOUBLE)
+         + CAST(0 AS DOUBLE) AS w_avg
+FROM agg
+"""
+
+
+def q_triangle_count(spark, sf_dir):
+    """Triangle count + global clustering over the part co-occurrence
+    graph (parts sharing an order): ext.graph.basket_pairs (one shuffle,
+    map-side C(n,2) expansion — no fact-table self-join) feeding
+    ext.graph.triangle_stats (degree-oriented wedge join — per-vertex
+    fan-out O(sqrt(m)), no celebrity-node deg² blow-up). The oracle
+    verifies with the plain a<b<c SQL formulation; counts must agree
+    exactly because the triangle count is orientation-independent."""
+    from ..ext.graph import basket_pairs, triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = basket_pairs(li, "l_orderkey", "l_partkey")
+    return triangle_stats(edges)
+
+
+SQL_TRIANGLE_COUNT = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT src AS n FROM edges UNION ALL SELECT dst AS n FROM edges)
+  GROUP BY n
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT t FROM tri) AS n_triangles,
+       CAST(ROUND(3.0 * (SELECT t FROM tri)
+                  / CAST((SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg)
+                         AS DOUBLE), 6) AS DOUBLE)
+         + CAST(0 AS DOUBLE) AS clustering
+"""
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
@@ -4116,6 +4397,12 @@ CATALOG: dict[str, Query] = {
     "quality_deciles": Query(q_quality_deciles, SQL_QUALITY_DECILES),
     "session_sequences": Query(q_session_sequences, SQL_SESSION_SEQUENCES),
     "key_skew_profile": Query(q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
+    "gap_fill_daily": Query(q_gap_fill_daily, SQL_GAP_FILL_DAILY),
+    "rolling_revenue_30d": Query(q_rolling_revenue, SQL_ROLLING_REVENUE),
+    "fuzzy_match_join": Query(q_fuzzy_match, SQL_FUZZY_MATCH),
+    "bpe_merge_pairs": Query(q_bpe_merge_pairs, SQL_BPE_MERGE_PAIRS),
+    "winsorized_stats": Query(q_winsorized_stats, SQL_WINSORIZED_STATS),
+    "triangle_count": Query(q_triangle_count, SQL_TRIANGLE_COUNT, headline=True),
 }
 
 

@@ -397,3 +397,47 @@ def test_vocab_coverage_windows_after_aggregation(spark):
     assert agg_pos != -1 and s.find("Window") != -1
     read = s.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in read and "doc_id" not in read, read
+
+
+def test_fuzzy_match_is_blocked_equi_join(spark):
+    """The fuzzy join must plan as a hash equi-join on the block key —
+    never a cartesian/nested-loop over the levenshtein predicate."""
+    s = _explain(CATALOG["fuzzy_match_join"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s and "NestedLoop" not in s, s
+    assert "levenshtein" in s.lower(), s  # residual predicate present
+
+
+def test_triangle_count_equi_joins_only(spark):
+    """Wedge + closure joins are equi-joins; the only nested-loop shapes
+    allowed are the 1-row stat combines at the very top (bounded
+    broadcast, same posture as value_histogram)."""
+    s = _explain(CATALOG["triangle_count"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s, s
+    assert s.count("BroadcastNestedLoopJoin") <= 2, s
+
+
+def test_gap_fill_calendar_after_aggregation(spark):
+    """The calendar explode must sit above the daily aggregate (span
+    rows), not over the raw fact table: the plan's Generate consumes
+    the aggregated span frame, and the raw scan feeds exactly one
+    max_by hash aggregate — no window over raw facts."""
+    s = _explain(CATALOG["gap_fill_daily"].fn(spark, SF_DIR))
+    assert "Generate explode" in s or "Generate" in s, s
+    assert "max_by" in s, s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s, s
+
+
+def test_rolling_revenue_single_window_exchange(spark):
+    """One Exchange on o_custkey serves both frame aggregates (sum +
+    count share the RANGE frame in one Window operator)."""
+    s = _explain(CATALOG["rolling_revenue_30d"].fn(spark, SF_DIR))
+    assert s.count("Exchange") == 1, s
+    assert s.count("Window") == 1, s
+
+
+def test_winsorize_broadcasts_percentiles(spark):
+    """The per-group percentile frame joins back via broadcast — the
+    fact table is never shuffled for the clamp."""
+    s = _explain(CATALOG["winsorized_stats"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in s, s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s, s

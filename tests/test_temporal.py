@@ -232,3 +232,47 @@ def test_asof_bad_direction_rejected(spark):
     left = _ts(spark, [(1, "2024-01-01 09:30:00", "x")], "k int, ts string, tag string")
     with pytest.raises(ValueError):
         asof_join(left, left, ["k"], "ts", "ts", ["tag"], direction="nearest")
+
+
+def test_densify_daily_forward_fill(spark):
+    from airflow_kafka_spark_spark.operators.temporal import densify_daily
+
+    ev = _ts(
+        spark,
+        [
+            # key 1: two obs on day 1 (last-by-(ts,eid) wins), gap days
+            # 2-3, obs on day 4
+            (1, "2024-01-01 09:00:00", 10, 1.0),
+            (1, "2024-01-01 18:00:00", 11, 2.0),
+            (1, "2024-01-04 08:00:00", 12, 9.0),
+            # key 2: single observation → single-day span, no gaps
+            (2, "2024-01-02 12:00:00", 13, 5.0),
+        ],
+        "k int, ts string, eid int, v double",
+    )
+    out = densify_daily(ev, ["k"], "ts", "v", order_cols=["ts", "eid"])
+    rows = {
+        (r["k"], str(r["day"])): (r["value_ffill"], r["is_gap"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "2024-01-01"): (2.0, 0),  # day's LAST obs, not first
+        (1, "2024-01-02"): (2.0, 1),  # gap, carried forward
+        (1, "2024-01-03"): (2.0, 1),
+        (1, "2024-01-04"): (9.0, 0),
+        (2, "2024-01-02"): (5.0, 0),
+    }
+
+
+def test_densify_daily_same_ts_tiebreak(spark):
+    """Two observations at the identical timestamp: the order_cols
+    tiebreaker (eid) decides the day value deterministically."""
+    from airflow_kafka_spark_spark.operators.temporal import densify_daily
+
+    ev = _ts(
+        spark,
+        [(1, "2024-01-01 09:00:00", 2, 7.0), (1, "2024-01-01 09:00:00", 1, 3.0)],
+        "k int, ts string, eid int, v double",
+    )
+    out = densify_daily(ev, ["k"], "ts", "v", order_cols=["ts", "eid"])
+    assert out.collect()[0]["value_ffill"] == 7.0
