@@ -73,13 +73,20 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     ``edges`` must be distinct with ``src < dst`` (what ``basket_pairs``
     emits); self-loops are rejected by the canonicalization filter.
 
-    Plan: degree agg (one shuffle on node) → joint-degree attach (two
-    equi-joins of the edge list against the degree table — broadcast
-    when the node set is small, AQE decides) → orient each edge
-    low→high ``(degree, id)`` rank → wedge equi-join on the middle node
-    → closure equi-join on the ``(u, w)`` pair. The DAG orientation
-    makes each triangle a single directed path u→v→w plus one closing
-    edge u→w, so no post-hoc deduplication divide-by-3 is needed.
+    Plan (compact-forward / Latapy 2008, the adjacency-array variant of
+    the node-iterator): degree agg (one shuffle on node) → joint-degree
+    attach (two equi-joins of the edge list against the degree table) →
+    orient each edge low→high ``(degree, id)`` rank → collect each
+    node's OUT-adjacency as a sorted array (one shuffle; the
+    orientation bounds every out-list by O(sqrt(m)), so no celebrity
+    node can blow an array up) → attach both endpoints' out-lists to
+    each oriented edge (two more equi-joins on a node key) → the
+    per-edge triangle count is ``size(array_intersect(out(u),
+    out(v)))``, a map-side JVM set intersection. The wedge set is never
+    materialized as rows: the naive oriented wedge join shuffles
+    Σ C(outdeg, 2) rows (~30M at sf0.1 on the part co-occurrence graph,
+    8.3 s), while this form shuffles only the edge list with O(sqrt(m))
+    array payloads and intersects inside the scan.
     ``clustering = 3·triangles / Σ C(deg, 2)`` (wedge total from the
     degree table — exact integer arithmetic below 2^53).
     """
@@ -101,13 +108,30 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(lower_first, F.col(src)).otherwise(F.col(dst)).alias("u"),
         F.when(lower_first, F.col(dst)).otherwise(F.col(src)).alias("v"),
     )
-    wedges = o.join(
-        o.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+    adj = o.groupBy(F.col("u").alias("__n")).agg(
+        F.array_sort(F.collect_list("v")).alias("__nbrs")
     )
-    tri = wedges.join(
-        o.select(F.col("u"), F.col("v").alias("w")), ["u", "w"]
+    with_adj = (
+        o.join(adj.select(F.col("__n").alias("u"), F.col("__nbrs").alias("__au")), "u")
+        # a sink node (no out-edges) has no adj row → empty list
+        .join(
+            adj.select(F.col("__n").alias("v"), F.col("__nbrs").alias("__av")),
+            "v",
+            "left",
+        )
     )
-    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    # slice(__au, 1, 0) = a typed empty array for sink nodes (no out-list)
+    per_edge = F.size(
+        F.array_intersect(
+            F.col("__au"),
+            F.coalesce(F.col("__av"), F.slice(F.col("__au"), 1, 0)),
+        )
+    )
+    n_tri = with_adj.agg(
+        F.coalesce(F.sum(per_edge.cast("long")), F.lit(0).cast("long")).alias(
+            "n_triangles"
+        )
+    )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     deg_stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
