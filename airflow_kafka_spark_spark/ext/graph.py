@@ -155,3 +155,99 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             ).alias("clustering"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over the directed edge list, a FIXED number of unrolled
+    iterations, bit-reproducible across engines and partitionings.
+
+    Floating-point PageRank is not reproducible under Spark's
+    nondeterministic aggregation order (double addition does not
+    associate) — and even per-row ROUND(double, 12) quantization turned
+    out to differ between engines by 1 ulp of the grid (Spark rounds
+    the exact binary expansion via BigDecimal; DuckDB's round disagrees
+    on some values — observed 2/20 rows off by 1e-12 in the first
+    formulation of this operator). So NO floating point exists anywhere
+    in the iteration: ranks are scaled BIGINT fixed-point in units of
+    ``10^-scale`` — per-edge contribution is integer floor-division
+    ``rank_s div out_deg``, the damping update is
+    ``((100-damping_pct)·10^scale) div (100·N) + (damping_pct·inflow)
+    div 100`` — all exact integer ops, identical in any engine, so the
+    unrolled-CTE SQL oracle must agree BIT for bit, not digit for
+    digit. Floor quantization leaks ≤ out_deg·10^-scale of mass per
+    node per iteration (ranks sum to slightly under 1) — at scale 12
+    that is noise for ranking, and replayability is worth far more.
+
+    Dangling nodes (no out-edges) leak their mass — the classic
+    simplification (their redistribution term would need a global
+    scalar join per iteration); documented rather than hidden, fine for
+    co-occurrence graphs where every node has degree >= 1.
+
+    Scale design: per iteration, ONE equi-join of the rank table onto
+    the edge list's src (rank table is node-sized — broadcast when it
+    fits, AQE decides) and ONE hash aggregate on dst. The loop is
+    driver-side unrolling of a fixed small count; each iteration's plan
+    chains onto the last (no action, no materialization) — for deep
+    iteration counts, localCheckpoint periodically as
+    ext.dedup.connected_components does.
+
+    Output: ``(n, rank_s, rank)`` — the exact scaled-BIGINT rank and
+    its double rendering ``rank_s / 10^scale`` (one deterministic
+    division by an exactly-representable power of ten).
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be 0-100, got {damping_pct}")
+    unit = 10**scale
+    nodes = (
+        edges.select(F.col(src).alias("n"))
+        .unionAll(edges.select(F.col(dst).alias("n")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col(src).alias("n")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    rank = nodes.crossJoin(n_nodes).select(
+        "n",
+        F.expr(f"CAST({unit} AS BIGINT) div __n").alias("rank_s"),
+        "__n",
+    )
+    teleport = F.expr(
+        f"CAST({(100 - damping_pct) * unit} AS BIGINT) div (100 * __n)"
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(rank.select(F.col("n").alias(src), "rank_s"), src)
+            .join(out_deg.select(F.col("n").alias(src), "out_deg"), src)
+            .select(
+                F.col(dst).alias("n"),
+                F.expr("rank_s div out_deg").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("n").agg(F.sum("c").alias("inflow"))
+        rank = (
+            nodes.crossJoin(n_nodes)
+            .join(inflow, "n", "left")
+            .select(
+                "n",
+                (
+                    teleport
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inflow, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).alias("rank_s"),
+                "__n",
+            )
+        )
+    return rank.select(
+        "n",
+        "rank_s",
+        (F.col("rank_s").cast("double") / F.lit(float(unit))).alias("rank"),
+    )

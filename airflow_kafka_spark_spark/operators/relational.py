@@ -368,3 +368,134 @@ def scd2_intervals(
     ).withColumn("valid_to", F.lead("valid_from").over(w)).withColumn(
         "is_current", F.col("valid_to").isNull()
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    y_scale: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form OLS) with
+    cross-engine-exact moments: ``(keys..., n, slope, intercept, r2)``.
+
+    ``x_col`` must be integral (e.g. epoch-day); ``y_col`` is double,
+    quantized to ``y_scale`` decimals (exact decimal cast → scaled
+    BIGINT). All five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    exact integers — Σx/Σy/Σxy/Σx² in BIGINT, Σy² through a
+    DECIMAL(38,0) product (y_scaled² can exceed 2^63) — so the sums are
+    order-insensitive and identical in any engine. Only the final
+    slope/intercept/r² divisions run in double (single operations on
+    exact operands, deterministic), then round to 6.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — the n·Σxy combination
+    is formed in DECIMAL(38,0) (it overflows BIGINT at ~1e18).
+    Degenerate groups (single point / constant x) emit NULL slope — a
+    LEAST-squares line does not exist there; surfacing NULL beats a
+    fabricated 0. r² = num² / (denx·deny) computed in double; NULL when
+    y is constant (deny = 0).
+
+    Scale design: ONE map-side projection (quantize + products) and ONE
+    hash aggregate with map-side combine per group — the same shape as
+    q1; no window, no second pass. The regression of 100 TB of
+    (key, x, y) facts costs one shuffle of five numbers per group.
+    """
+    y_dec = F.col(y_col).cast(f"decimal(22,{y_scale})")
+    y_s = (y_dec * F.lit(10**y_scale)).cast("decimal(20,0)").cast("long")
+    x = F.col(x_col).cast("long")
+    proj = df.select(
+        *key_cols,
+        x.alias("__x"),
+        y_s.alias("__y"),
+        (x * y_s).alias("__xy"),
+        (x * x).alias("__xx"),
+        (y_s.cast("decimal(19,0)") * y_s.cast("decimal(19,0)")).alias("__yy"),
+    )
+    agg = proj.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum("__xy").alias("__sxy"),
+        F.sum("__xx").alias("__sxx"),
+        F.sum("__yy").alias("__syy"),
+    )
+    d38 = "decimal(38,0)"
+    n_d = F.col("n").cast(d38)
+    num = (n_d * F.col("__sxy").cast(d38) - F.col("__sx").cast(d38) * F.col("__sy").cast(d38)).cast("double")
+    denx = (n_d * F.col("__sxx").cast(d38) - F.col("__sx").cast(d38) * F.col("__sx").cast(d38)).cast("double")
+    deny = (n_d * F.col("__syy") - F.col("__sy").cast(d38) * F.col("__sy").cast(d38)).cast("double")
+    unscale = F.lit(float(10**y_scale))
+    slope = F.when(denx > 0, F.col("__num") / F.col("__denx") / unscale)
+    mean_x = F.col("__sx").cast("double") / F.col("n").cast("double")
+    mean_y = F.col("__sy").cast("double") / F.col("n").cast("double") / unscale
+    r2 = F.when(
+        (F.col("__denx") > 0) & (F.col("__deny") > 0),
+        F.col("__num") * F.col("__num") / (F.col("__denx") * F.col("__deny")),
+    )
+    return (
+        agg.withColumn("__num", num)
+        .withColumn("__denx", denx)
+        .withColumn("__deny", deny)
+        .withColumn("__slope", slope)
+        .select(
+            *key_cols,
+            "n",
+            (F.round(F.col("__slope"), 6) + F.lit(0.0)).alias("slope"),
+            (
+                F.round(mean_y - F.col("__slope") * mean_x, 6) + F.lit(0.0)
+            ).alias("intercept"),
+            (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
+        )
+    )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_buckets: int = 32,
+    bucket_key: Column | None = None,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not dominated by any other —
+    minimize ``x_col``, maximize ``y_col``; p' dominates p when
+    ``p'.x <= p.x and p'.y >= p.y`` with at least one strict.
+
+    The 2-D skyline is a sort problem, not a quadratic join. Any
+    dominator with ``y' > y`` has ``x' <= x``, so it is visible to the
+    running RANGE maximum ``M_le = max(y) over (order by x, <= current
+    x incl. peers)``: ``M_le > y`` flags it. The only other dominators
+    have ``y' == y`` exactly and strictly smaller x — flagged by
+    ``min(x) over (partition by y) < x``. (A strict-less-than-x RANGE
+    frame is NOT expressible — ``-1 PRECEDING`` means ``x' <= x-1`` on
+    continuous values — hence the same-y second window instead.)
+    Duplicate ``(x, y)`` rows do not dominate each other and all
+    survive, matching the set definition.
+
+    A global x-ordering is a single-partition window — a scale-killer.
+    Skylines decompose: ``sky(A ∪ B) = sky(sky(A) ∪ sky(B))``, so phase
+    1 computes the local skyline inside ``n_buckets`` hash buckets
+    (parallel windows, partitioned), and phase 2 re-runs the same
+    windows globally over the survivors — a frontier-sized frame (the
+    frontier of n points is typically O(log n) under independence;
+    adversarial inputs degrade phase 2, not correctness). The output is
+    identical to the one-pass global skyline — the DuckDB oracle checks
+    with the single global formulation.
+    """
+    if bucket_key is None:
+        bucket_key = F.pmod(F.xxhash64(F.col(x_col), F.col(y_col)), F.lit(n_buckets))
+
+    def _skyline(frame: DataFrame, part_cols: list[str]) -> DataFrame:
+        w_le = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col(x_col))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_same_y = Window.partitionBy(*part_cols, y_col)
+        m_le = F.max(F.col(y_col)).over(w_le)
+        min_x_same_y = F.min(F.col(x_col)).over(w_same_y)
+        dominated = (m_le > F.col(y_col)) | (min_x_same_y < F.col(x_col))
+        return frame.withColumn("__dom", dominated).filter(~F.col("__dom")).drop("__dom")
+
+    local = _skyline(df.withColumn("__b", bucket_key), ["__b"]).drop("__b")
+    return _skyline(local, [])

@@ -4269,6 +4269,178 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
 """
 
 
+def q_ols_trend(spark, sf_dir):
+    """Per-user linear trend of event value over epoch-day
+    (operators.relational.grouped_ols): closed-form OLS from five
+    integer-exact moments in ONE map projection + ONE hash aggregate —
+    the q1 shape; only the final slope/intercept/r² divisions are
+    double (single deterministic ops on exact operands)."""
+    from ..operators.relational import grouped_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).alias("x"),
+        "value",
+    )
+    return grouped_ols(d, ["user_id"], "x", "value")
+
+
+SQL_OLS_TREND = """
+WITH p AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         CAST(CAST(value AS DECIMAL(22,6)) * 1000000 AS BIGINT) AS ys
+  FROM events
+),
+a AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(ys) AS sy, SUM(x * ys) AS sxy,
+         SUM(x * x) AS sxx, SUM(CAST(ys AS HUGEINT) * ys) AS syy
+  FROM p GROUP BY user_id
+),
+d AS (
+  SELECT user_id, n,
+         CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+         CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS denx,
+         CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS deny,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean_y
+  FROM a
+),
+s AS (
+  SELECT user_id, n, mean_x, mean_y, num, denx, deny,
+         CASE WHEN denx > 0 THEN num / denx / 1000000.0 END AS slope
+  FROM d
+)
+SELECT user_id, n,
+       CAST(ROUND(slope, 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS slope,
+       CAST(ROUND(mean_y - slope * mean_x, 6) AS DOUBLE)
+         + CAST(0 AS DOUBLE) AS intercept,
+       CAST(ROUND(CASE WHEN denx > 0 AND deny > 0
+                       THEN num * num / (denx * deny) END, 6) AS DOUBLE)
+         + CAST(0 AS DOUBLE) AS r2
+FROM s
+"""
+
+
+def q_pagerank(spark, sf_dir):
+    """3-iteration PageRank over the symmetrized part co-occurrence
+    graph (ext.graph.pagerank): scaled-BIGINT fixed point, integer
+    floor-division everywhere — no FP in the iteration at all, so the
+    unrolled-CTE oracle must agree bit for bit (ROUND(double,12)
+    quantization already diverged 1 ulp between engines) — the
+    determinism contract most distributed PageRanks silently lack.
+    Top-20 by (rank desc, node)."""
+    from ..ext.graph import basket_pairs, pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = basket_pairs(li, "l_orderkey", "l_partkey")
+    both = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(both, iterations=3)
+    return (
+        pr.orderBy(F.col("rank_s").desc(), F.col("n").asc())
+        .limit(20)
+        .select("n", "rank_s", "rank")
+    )
+
+
+SQL_PAGERANK = """
+WITH edges0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT src, dst FROM edges0
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges0
+),
+nodes AS (SELECT DISTINCT src AS n FROM edges),
+outdeg AS (SELECT src AS n, COUNT(*) AS d FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+r0 AS (
+  SELECT n, CAST(1000000000000 AS BIGINT) // cnt AS rank_s
+  FROM nodes CROSS JOIN nn
+),
+c1 AS (
+  SELECT e.dst AS n, r.rank_s // d.d AS c
+  FROM edges e JOIN r0 r ON e.src = r.n JOIN outdeg d ON e.src = d.n
+),
+i1 AS (SELECT n, SUM(c) AS inflow FROM c1 GROUP BY n),
+r1 AS (
+  SELECT nodes.n,
+         CAST(15000000000000 // (100 * cnt)
+              + (85 * COALESCE(inflow, 0)) // 100 AS BIGINT) AS rank_s
+  FROM nodes LEFT JOIN i1 ON nodes.n = i1.n CROSS JOIN nn
+),
+c2 AS (
+  SELECT e.dst AS n, r.rank_s // d.d AS c
+  FROM edges e JOIN r1 r ON e.src = r.n JOIN outdeg d ON e.src = d.n
+),
+i2 AS (SELECT n, SUM(c) AS inflow FROM c2 GROUP BY n),
+r2 AS (
+  SELECT nodes.n,
+         CAST(15000000000000 // (100 * cnt)
+              + (85 * COALESCE(inflow, 0)) // 100 AS BIGINT) AS rank_s
+  FROM nodes LEFT JOIN i2 ON nodes.n = i2.n CROSS JOIN nn
+),
+c3 AS (
+  SELECT e.dst AS n, r.rank_s // d.d AS c
+  FROM edges e JOIN r2 r ON e.src = r.n JOIN outdeg d ON e.src = d.n
+),
+i3 AS (SELECT n, SUM(c) AS inflow FROM c3 GROUP BY n),
+r3 AS (
+  SELECT nodes.n,
+         CAST(15000000000000 // (100 * cnt)
+              + (85 * COALESCE(inflow, 0)) // 100 AS BIGINT) AS rank_s
+  FROM nodes LEFT JOIN i3 ON nodes.n = i3.n CROSS JOIN nn
+)
+SELECT n, rank_s,
+       CAST(rank_s AS DOUBLE) / 1000000000000.0 AS rank
+FROM r3 ORDER BY rank_s DESC, n LIMIT 20
+"""
+
+
+def q_pareto_frontier(spark, sf_dir):
+    """2-D Pareto frontier over parts (minimize retail price, maximize
+    size) via operators.relational.pareto_frontier_2d — the two-phase
+    bucketed skyline (local skylines in parallel windows, global pass
+    over the frontier-sized survivors); the oracle checks with the
+    one-pass global formulation, which must emit the identical set."""
+    from ..operators.relational import pareto_frontier_2d
+
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("x"),
+        F.col("p_size").cast("long").alias("y"),
+    )
+    out = pareto_frontier_2d(pts, "x", "y")
+    return out.select("p_partkey", _r6(F.col("x")).alias("x"), "y")
+
+
+SQL_PARETO_FRONTIER = """
+WITH pts AS (
+  SELECT p_partkey, p_retailprice AS x, CAST(p_size AS BIGINT) AS y FROM part
+),
+w AS (
+  SELECT p_partkey, x, y,
+         MAX(y) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS m_le,
+         MIN(x) OVER (PARTITION BY y) AS min_x
+  FROM pts
+)
+SELECT p_partkey, CAST(ROUND(x, 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS x, y
+FROM w
+WHERE NOT (m_le > y OR min_x < x)
+"""
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
@@ -4403,6 +4575,9 @@ CATALOG: dict[str, Query] = {
     "bpe_merge_pairs": Query(q_bpe_merge_pairs, SQL_BPE_MERGE_PAIRS),
     "winsorized_stats": Query(q_winsorized_stats, SQL_WINSORIZED_STATS),
     "triangle_count": Query(q_triangle_count, SQL_TRIANGLE_COUNT, headline=True),
+    "ols_trend": Query(q_ols_trend, SQL_OLS_TREND),
+    "pagerank": Query(q_pagerank, SQL_PAGERANK),
+    "pareto_frontier": Query(q_pareto_frontier, SQL_PARETO_FRONTIER),
 }
 
 

@@ -112,3 +112,126 @@ def test_merge_pair_counts_top_n_deterministic_cut(spark):
     out = merge_pair_counts(docs, top_n=2).collect()
     # all pairs tie at n=1 → lexicographic pair order decides the cut
     assert [r["pair"] for r in out] == ["x w", "y x"]
+
+
+def _pagerank_reference(edges, iterations=3, damping_pct=85, scale=12):
+    """Pure-Python replica of the integer fixed-point recurrence —
+    pagerank's determinism contract is that any correct implementation
+    of the same integer math agrees bit for bit."""
+    unit = 10**scale
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: unit // n for v in nodes}
+    for _ in range(iterations):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += rank[s] // out[s]
+        rank = {
+            v: ((100 - damping_pct) * unit) // (100 * n)
+            + (damping_pct * inflow[v]) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_integer_reference_bit_for_bit(spark):
+    from airflow_kafka_spark_spark.ext.graph import pagerank
+
+    # asymmetric digraph with a sink-ish node and a popular hub
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (5, 1), (1, 3), (2, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["n"]: r["rank_s"] for r in pagerank(df).collect()}
+    assert got == _pagerank_reference(edges)
+
+
+def test_pagerank_mass_conserved_up_to_floor_leak(spark):
+    from airflow_kafka_spark_spark.ext.graph import pagerank
+
+    edges = [(a, b) for a in range(6) for b in range(6) if a != b]
+    rows = pagerank(spark.createDataFrame(edges, "src int, dst int")).collect()
+    total = sum(r["rank_s"] for r in rows)
+    assert total <= 10**12
+    assert total >= 10**12 - 6 * 10 * 3  # n·(out_deg+teleport) floor leaks/iter
+    # complete graph → perfect symmetry, all ranks identical
+    assert len({r["rank_s"] for r in rows}) == 1
+
+
+def test_grouped_ols_exact_line(spark):
+    from airflow_kafka_spark_spark.operators.relational import grouped_ols
+
+    rows = [("a", x, 2.0 * x + 1.0) for x in range(10)]
+    rows += [("b", x, 5.0) for x in range(4)]       # constant y
+    rows += [("c", 7, 3.0)]                          # single point
+    rows += [("d", 1, 1.0), ("d", 1, 3.0)]           # constant x
+    df = spark.createDataFrame(rows, "k string, x int, y double")
+    got = {r["k"]: r for r in grouped_ols(df, ["k"], "x", "y").collect()}
+    assert got["a"]["slope"] == 2.0 and got["a"]["intercept"] == 1.0
+    assert got["a"]["r2"] == 1.0
+    assert got["b"]["slope"] == 0.0 and got["b"]["intercept"] == 5.0
+    assert got["b"]["r2"] is None                    # deny = 0
+    assert got["c"]["slope"] is None                 # no line from 1 point
+    assert got["d"]["slope"] is None                 # constant x
+
+
+def test_grouped_ols_matches_numpy(spark):
+    import numpy as np
+
+    from airflow_kafka_spark_spark.operators.relational import grouped_ols
+
+    rng = np.random.RandomState(7)
+    xs = rng.randint(0, 1000, size=200)
+    ys = 0.37 * xs + 11.0 + rng.randn(200) * 5.0
+    ys = np.round(ys, 6)  # the operator quantizes y at 6 dp anyway
+    df = spark.createDataFrame(
+        [("g", int(x), float(y)) for x, y in zip(xs, ys)],
+        "k string, x int, y double",
+    )
+    row = grouped_ols(df, ["k"], "x", "y").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert abs(row["slope"] - slope) < 1e-6
+    assert abs(row["intercept"] - intercept) < 1e-4
+    assert abs(row["r2"] - r * r) < 1e-6
+
+
+def test_pareto_frontier_known_case(spark):
+    from airflow_kafka_spark_spark.operators.relational import pareto_frontier_2d
+
+    pts = [
+        (1, 1.0, 10),   # frontier
+        (2, 2.0, 10),   # dominated: same y, larger x
+        (3, 2.0, 20),   # frontier
+        (4, 1.5, 10),   # dominated by 1 (same y, larger x)
+        (5, 2.0, 20),   # duplicate of 3 — both survive
+        (6, 3.0, 19),   # dominated by 3/5 (larger x, smaller y)
+        (7, 0.5, 1),    # frontier (cheapest)
+    ]
+    df = spark.createDataFrame(pts, "id int, x double, y long")
+    got = sorted(r["id"] for r in pareto_frontier_2d(df, "x", "y").collect())
+    assert got == [1, 3, 5, 7]
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    import numpy as np
+
+    from airflow_kafka_spark_spark.operators.relational import pareto_frontier_2d
+
+    rng = np.random.RandomState(11)
+    pts = [
+        (i, float(round(rng.uniform(0, 10), 2)), int(rng.randint(0, 20)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(pts, "id int, x double, y long")
+    got = sorted(r["id"] for r in pareto_frontier_2d(df, "x", "y").collect())
+    expect = sorted(
+        i
+        for i, x, y in pts
+        if not any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for _, x2, y2 in pts
+        )
+    )
+    assert got == expect

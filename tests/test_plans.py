@@ -441,3 +441,28 @@ def test_winsorize_broadcasts_percentiles(spark):
     s = _explain(CATALOG["winsorized_stats"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in s, s
     assert "CartesianProduct" not in s and "NestedLoop" not in s, s
+
+
+def test_ols_trend_single_aggregate(spark):
+    """Five exact moments in one map projection + one hash aggregate —
+    the q1 shape: exactly one Exchange, no window, no join."""
+    s = _explain(CATALOG["ols_trend"].fn(spark, SF_DIR))
+    assert s.count("Exchange") == 1, s
+    assert "Window" not in s and "Join" not in s, s
+
+
+def test_pagerank_equi_joins_only(spark):
+    """Each unrolled iteration is one rank-attach equi-join + one hash
+    aggregate; the only nested-loop shapes are the 1-row node-count
+    broadcasts."""
+    s = _explain(CATALOG["pagerank"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s, s
+
+
+def test_pareto_two_phase_no_global_first_pass(spark):
+    """Phase 1 windows must be partitioned (bucketed local skylines);
+    only the frontier-sized phase-2 windows may be global. No join at
+    all — the skyline is windows + filters."""
+    s = _explain(CATALOG["pareto_frontier"].fn(spark, SF_DIR))
+    assert "Join" not in s, s
+    assert "CartesianProduct" not in s, s
