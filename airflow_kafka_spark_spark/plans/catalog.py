@@ -4441,6 +4441,49 @@ WHERE NOT (m_le > y OR min_x < x)
 """
 
 
+def q_hll_rolling_distinct(spark, sf_dir):
+    """Mergeable distinct counts: per-day HLL sketch partials
+    (Datasketches HLL, built into Spark 4) unioned into a 7-day rolling
+    distinct-user count WITHOUT rescanning the fact table — the
+    sketch-partial analogue of streaming/rollup.py's decimal monoid,
+    for the one aggregate (COUNT DISTINCT) that has no exact mergeable
+    partial. Plan: one hash agg over the facts builds a day-sized
+    sketch table; each day's sketch fans out map-side to the ≤7 windows
+    it covers (explode of a 7-element array over day-count rows, not
+    fact rows); one second agg unions sketches per window. At 100 TB
+    the fact table is read ONCE; the rolling layer works on
+    days × 1.5 kB sketches. Rows-only (sketch estimates are
+    engine-specific); the error bound vs exact is pinned in pytest
+    (test_graph_fuzzy: ±5% at lgK=12 on sf0.001/sf0.01 cardinalities,
+    far inside the published HLL envelope)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("users_exact_day"),
+    )
+    # day d's sketch contributes to windows ending on d .. d+6
+    fanned = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "win_end"
+        ),
+        "sk",
+    )
+    rolled = fanned.groupBy("win_end").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("users_est_7d")
+    )
+    out = (
+        daily.join(rolled, daily["day"] == rolled["win_end"])
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "users_exact_day",
+            F.hll_sketch_estimate("sk").alias("users_est_day"),
+            "users_est_7d",
+        )
+    )
+    return out.orderBy("day")
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
@@ -4578,6 +4621,8 @@ CATALOG: dict[str, Query] = {
     "ols_trend": Query(q_ols_trend, SQL_OLS_TREND),
     "pagerank": Query(q_pagerank, SQL_PAGERANK),
     "pareto_frontier": Query(q_pareto_frontier, SQL_PARETO_FRONTIER),
+    # sketch estimates engine-specific → rows-only; error bound in pytest
+    "hll_rolling_distinct": Query(q_hll_rolling_distinct, None),
 }
 
 

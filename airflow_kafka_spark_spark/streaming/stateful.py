@@ -100,3 +100,77 @@ def running_macd(deltas: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class RunningMacdProcessor(StatefulProcessor):
+    """StatefulProcessor for transformWithStateInPandas (Spark 4's
+    successor to applyInPandasWithState): same delta-feed MACD
+    continuation, same bit-exactness contract, expressed against the
+    new typed-state API (named ValueState handles instead of one
+    positional state tuple; per-state TTL and timers become available
+    for free when needed).
+
+    Deliberately reuses ``_continue_ema`` so all three surfaces — batch
+    kernel, applyInPandasWithState, transformWithState — share one
+    recurrence implementation (tests pin the equality).
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("macd", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n_prev, e12_prev, e26_prev, sig_prev = self._state.get()
+        else:
+            n_prev, e12_prev, e26_prev, sig_prev = 0, None, None, None
+
+        pdf = pd.concat(list(rows)).sort_values("date_str")
+        close = pdf["close"].to_numpy(dtype=np.float64)
+        e12 = _continue_ema(close, 12, e12_prev)
+        e26 = _continue_ema(close, 26, e26_prev)
+        line = e12 - e26
+        sig = _continue_ema(line, 9, sig_prev)
+
+        n_total = n_prev + len(close)
+        self._state.update(
+            (n_total, float(e12[-1]), float(e26[-1]), float(sig[-1]))
+        )
+        yield pd.DataFrame(
+            {
+                "symbol": key[0],
+                "date_str": pdf["date_str"].to_numpy(),
+                "close": close,
+                "ema12": e12,
+                "ema26": e26,
+                "macd_line": line,
+                "macd_signal": sig,
+                "macd_histogram": line - sig,
+                "n_rows": np.int64(n_total),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_macd_tws(deltas: DataFrame) -> DataFrame:
+    """``running_macd`` on the transformWithStateInPandas API (Spark 4).
+
+    Identical semantics and bit-identical output to
+    :func:`running_macd`; requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``...state.RocksDBStateStoreProvider``) — transformWithState does
+    not run on the default HDFS-backed provider.
+    """
+    return deltas.groupBy("symbol").transformWithStateInPandas(
+        statefulProcessor=RunningMacdProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -235,3 +235,41 @@ def test_pareto_frontier_matches_bruteforce(spark):
         )
     )
     assert got == expect
+
+
+def test_hll_rolling_distinct_error_bound(spark):
+    """The sketch-merge rolling distinct must sit within ±5% of the
+    exact 7-day rolling distinct (HLL lgK=12 published error is ~1.6%;
+    5% leaves slack for small-cardinality bias) and the daily estimate
+    within the same bound of the exact daily count."""
+    from airflow_kafka_spark_spark.plans.catalog import CATALOG
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    rows = CATALOG["hll_rolling_distinct"].fn(spark, SF_DIR).collect()
+    assert rows, "no output days"
+
+    ev = load_table(spark, SF_DIR, "events")
+    pairs = {
+        (str(r["d"]), r["user_id"])
+        for r in ev.select(
+            F.col("ts").cast("date").alias("d"), "user_id"
+        ).distinct().collect()
+    }
+    days = sorted({d for d, _ in pairs})
+    import datetime
+
+    def exact_7d(day_str):
+        end = datetime.date.fromisoformat(day_str)
+        lo = end - datetime.timedelta(days=6)
+        return len(
+            {u for d, u in pairs if lo <= datetime.date.fromisoformat(d) <= end}
+        )
+
+    assert [r["day"] for r in rows] == days  # one row per active day
+    for r in rows:
+        exact_day = len({u for d, u in pairs if d == r["day"]})
+        assert r["users_exact_day"] == exact_day
+        assert abs(r["users_est_day"] - exact_day) <= max(2, 0.05 * exact_day)
+        e7 = exact_7d(r["day"])
+        assert abs(r["users_est_7d"] - e7) <= max(2, 0.05 * e7), (r["day"], e7, r)

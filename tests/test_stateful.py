@@ -141,3 +141,146 @@ def test_state_recovers_across_query_restart(spark):
         assert row["macd_line"] == pytest.approx(line[d], abs=0.0)
         assert row["macd_signal"] == pytest.approx(sig[d], abs=0.0)
     assert by_date["2024-01-30"]["n_rows"] == 30
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas state-server protocol needs the "
+    "protobuf package, absent from this container (pip installs are "
+    "unavailable) — the processor body is covered by "
+    "test_tws_processor_semantics_without_protocol below",
+)
+def test_transform_with_state_matches_batch_kernel(spark):
+    """transformWithStateInPandas (Spark 4 API, RocksDB provider): two
+    micro-batches through running_macd_tws == the batch kernel run,
+    bit for bit — same contract the applyInPandasWithState path pins."""
+    from airflow_kafka_spark_spark.streaming.stateful import running_macd_tws
+
+    rng = np.random.default_rng(23)
+    closes = {s: rng.uniform(10, 100, size=30) for s in ("AAA", "BBB")}
+
+    workdir = tempfile.mkdtemp()
+    src = os.path.join(workdir, "in")
+    os.makedirs(src)
+    for i, lo, hi in ((0, 0, 15), (1, 15, 30)):
+        rows = [
+            (s, f"2024-01-{d + 1:02d}", float(closes[s][d]))
+            for s in closes
+            for d in range(lo, hi)
+        ]
+        tmp = os.path.join(workdir, f"tmp{i}")
+        spark.createDataFrame(
+            rows, "symbol string, date_str string, close double"
+        ).coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(src, f"batch{i}.parquet")
+        os.rename(os.path.join(tmp, part), dest)
+        t = time.time() - 100 + i * 10
+        os.utime(dest, (t, t))
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("symbol string, date_str string, close double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            running_macd_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_macd")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+    got = spark.sql("select * from tws_macd").toPandas()
+    for s, series in closes.items():
+        sub = got[got.symbol == s].sort_values("date_str")
+        assert len(sub) == 30
+        line, sig, hist = macd_columns(series)
+        assert np.array_equal(sub["ema12"].to_numpy(), ema_recurrence(series, 12))
+        assert np.array_equal(sub["macd_signal"].to_numpy(), sig)
+        assert np.array_equal(sub["macd_histogram"].to_numpy(), hist)
+        assert sub["n_rows"].iloc[-1] == 30
+
+
+def test_tws_processor_semantics_without_protocol():
+    """Drive RunningMacdProcessor directly with a fake typed-state
+    handle — the processor body (state load, recurrence continuation,
+    state save, output frame) is exercised without the protobuf wire
+    protocol the sandbox lacks. Two chunks == one batch kernel run,
+    bit for bit."""
+    import pandas as pd
+
+    from airflow_kafka_spark_spark.streaming.stateful import RunningMacdProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def clear(self):
+            self._v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+
+    rng = np.random.default_rng(5)
+    series = rng.uniform(10, 100, size=40)
+    proc = RunningMacdProcessor()
+    proc.init(FakeHandle())
+    outs = []
+    for lo, hi in ((0, 25), (25, 40)):
+        pdf = pd.DataFrame(
+            {
+                "date_str": [f"2024-01-{d + 1:02d}" for d in range(lo, hi)],
+                "close": series[lo:hi],
+            }
+        )
+        outs.extend(proc.handleInputRows(("AAA",), iter([pdf]), None))
+    got = pd.concat(outs).sort_values("date_str")
+    line, sig, hist = macd_columns(series)
+    assert np.array_equal(got["ema12"].to_numpy(), ema_recurrence(series, 12))
+    assert np.array_equal(got["macd_signal"].to_numpy(), sig)
+    assert np.array_equal(got["macd_histogram"].to_numpy(), hist)
+    assert got["n_rows"].iloc[-1] == 40
