@@ -499,3 +499,133 @@ def pareto_frontier_2d(
 
     local = _skyline(df.withColumn("__b", bucket_key), ["__b"]).drop("__b")
     return _skyline(local, [])
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC-style snapshot diff: one row per key that changed between two
+    snapshots — ``change = 'added' | 'removed' | 'changed'`` plus both
+    sides' compared payloads (NULL on the absent side). Unchanged keys
+    are dropped. ``old``/``new`` must be unique per key (pre-aggregate
+    otherwise — diffing multisets is a different operator).
+
+    Plan: ONE full outer equi-join on the key; the change class falls
+    out of null-ness of the two sides' presence flags and a struct
+    comparison of the compared payloads (JVM-side struct equality —
+    null-safe via <=>). At 100 TB this is the canonical reconciliation
+    shape: both snapshots shuffle once on the key; no window, no
+    collect. For repeated diffing of bucketed lake tables, write both
+    sides with sources.sinks.write_bucketed_table on the key and the
+    join plans with zero Exchange.
+    """
+    compare_cols = compare_cols or [
+        c for c in new.columns if c not in key_cols
+    ]
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("__in_old"),
+        F.struct(*compare_cols).alias("__old_payload"),
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("__in_new"),
+        F.struct(*compare_cols).alias("__new_payload"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("__old_payload").eqNullSafe(F.col("__new_payload")),
+            F.lit("changed"),
+        )
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *key_cols,
+            "change",
+            *[
+                F.col(f"__old_payload.{c}").alias(f"old_{c}")
+                for c in compare_cols
+            ],
+            *[
+                F.col(f"__new_payload.{c}").alias(f"new_{c}")
+                for c in compare_cols
+            ],
+        )
+    )
+
+
+def quality_checks(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    foreign_keys: list[tuple[list[str], DataFrame, list[str]]] | None = None,
+) -> DataFrame:
+    """Declarative data-quality audit (the dbt-tests / Deequ shape):
+    one output row per check — ``(check, violations)`` — computed in as
+    few passes as Spark can fuse:
+
+    - ``not_null`` columns and ``ranges`` (inclusive bounds) fold into
+      ONE aggregate over a single scan (conditional counts);
+    - each ``unique`` key list is one hash aggregate (count keys seen
+      more than once — the duplicate-KEY count, not the row excess);
+    - each ``foreign_keys`` entry ``(cols, dim_df, dim_cols)`` is a
+      left-anti join counting orphan fact rows (broadcast when the dim
+      is small — AQE decides).
+
+    Returns a DataFrame so the audit composes (union audits of many
+    tables, write to a lake, alert on ``violations > 0``) instead of
+    collecting booleans into the driver.
+    """
+    checks: list[DataFrame] = []
+    single_pass: list[F.Column] = []
+    for c in not_null or []:
+        single_pass.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"not_null:{c}")
+        )
+    for c, (lo, hi) in (ranges or {}).items():
+        bad = ~F.col(c).between(F.lit(lo), F.lit(hi)) | F.col(c).isNull()
+        single_pass.append(F.sum(bad.cast("long")).alias(f"range:{c}"))
+    if single_pass:
+        wide = df.agg(*single_pass)
+        checks.append(
+            wide.unpivot([], wide.columns, "check", "violations")
+        )
+    for key in unique or []:
+        checks.append(
+            df.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .agg(
+                F.lit("unique:" + ",".join(key)).alias("check"),
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("violations"),
+            )
+        )
+    for cols, dim, dim_cols in foreign_keys or []:
+        orphan = df.join(
+            dim.select(
+                *[F.col(dc).alias(c) for c, dc in zip(cols, dim_cols)]
+            ).distinct(),
+            cols,
+            "left_anti",
+        )
+        checks.append(
+            orphan.agg(
+                F.lit("fk:" + ",".join(cols)).alias("check"),
+                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("violations"),
+            )
+        )
+    if not checks:
+        raise ValueError("quality_checks: no checks requested")
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -4484,6 +4484,94 @@ def q_hll_rolling_distinct(spark, sf_dir):
     return out.orderBy("day")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot reconciliation
+    (operators.relational.table_diff): per-customer order rollups as of
+    1998-01-01 vs the full history — one full-outer equi-join on the
+    key, change class from presence flags + null-safe struct equality.
+    Customers whose first order is after the cutoff surface as 'added';
+    'removed' is structurally impossible here (rollups only grow) and
+    the oracle proves zero such rows."""
+    from ..operators.relational import table_diff
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def rollup(frame):
+        return frame.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            decimal_sum(F.col("o_totalprice")).alias("total"),
+        )
+
+    old = rollup(o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date")))
+    new = rollup(o)
+    return table_diff(old, new, ["o_custkey"], ["n_orders", "total"])
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(22,6))), 6) AS DOUBLE) AS total
+  FROM orders WHERE o_orderdate < DATE '1998-01-01' GROUP BY o_custkey
+),
+new AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(22,6))), 6) AS DOUBLE) AS total
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT COALESCE(o.o_custkey, n.o_custkey) AS o_custkey,
+         CASE WHEN o.o_custkey IS NULL THEN 'added'
+              WHEN n.o_custkey IS NULL THEN 'removed'
+              WHEN o.n_orders IS DISTINCT FROM n.n_orders
+                   OR o.total IS DISTINCT FROM n.total THEN 'changed'
+         END AS change,
+         o.n_orders AS old_n_orders, o.total AS old_total,
+         n.n_orders AS new_n_orders, n.total AS new_total
+  FROM old o FULL OUTER JOIN new n ON o.o_custkey = n.o_custkey
+)
+SELECT o_custkey, change, old_n_orders, old_total, new_n_orders, new_total
+FROM j WHERE change IS NOT NULL
+"""
+
+
+def q_dq_audit(spark, sf_dir):
+    """Declarative data-quality audit over orders
+    (operators.relational.quality_checks): not-null + range checks fold
+    into one conditional-count aggregate over a single scan; the unique
+    check is one hash agg on the key; the FK check is a broadcast
+    anti-join against customer. Output (check, violations) — composable
+    rows, not driver-side booleans. The fixture data is clean, so the
+    oracle proves the same all-zero audit."""
+    from ..operators.relational import quality_checks
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return quality_checks(
+        o,
+        not_null=["o_custkey", "o_totalprice"],
+        unique=[["o_orderkey"]],
+        ranges={"o_totalprice": (0.0, 1e9)},
+        foreign_keys=[(["o_custkey"], c, ["c_custkey"])],
+    )
+
+
+SQL_DQ_AUDIT = """
+SELECT 'not_null:o_custkey' AS check, CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS violations FROM orders
+UNION ALL
+SELECT 'not_null:o_totalprice', CAST(COUNT(*) FILTER (o_totalprice IS NULL) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'range:o_totalprice',
+       CAST(COUNT(*) FILTER (o_totalprice IS NULL OR o_totalprice < 0.0 OR o_totalprice > 1000000000.0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'fk:o_custkey', CAST(COUNT(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
@@ -4623,6 +4711,8 @@ CATALOG: dict[str, Query] = {
     "pareto_frontier": Query(q_pareto_frontier, SQL_PARETO_FRONTIER),
     # sketch estimates engine-specific → rows-only; error bound in pytest
     "hll_rolling_distinct": Query(q_hll_rolling_distinct, None),
+    "snapshot_diff": Query(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "dq_audit": Query(q_dq_audit, SQL_DQ_AUDIT),
 }
 
 

@@ -273,3 +273,79 @@ def test_hll_rolling_distinct_error_bound(spark):
         assert abs(r["users_est_day"] - exact_day) <= max(2, 0.05 * exact_day)
         e7 = exact_7d(r["day"])
         assert abs(r["users_est_7d"] - e7) <= max(2, 0.05 * e7), (r["day"], e7, r)
+
+
+def test_table_diff_all_change_classes(spark):
+    from airflow_kafka_spark_spark.operators.relational import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0), (5, None, None)],
+        "k int, s string, v double",
+    )
+    got = {r["k"]: r for r in table_diff(old, new, ["k"]).collect()}
+    assert set(got) == {2, 3, 4, 5}          # key 1 unchanged → dropped
+    assert got[2]["change"] == "changed"
+    assert (got[2]["old_s"], got[2]["new_s"]) == ("b", "B")
+    assert got[3]["change"] == "removed" and got[3]["new_s"] is None
+    assert got[4]["change"] == "added" and got[4]["old_s"] is None
+    assert got[5]["change"] == "added"        # null payload still added
+
+
+def test_table_diff_null_payloads_not_equal_trap(spark):
+    """NULL == NULL must compare as equal inside the payload struct (the
+    null-safe <=>): a key with identical all-NULL payloads is unchanged."""
+    from airflow_kafka_spark_spark.operators.relational import table_diff
+
+    old = spark.createDataFrame([(1, None)], "k int, v double")
+    new = spark.createDataFrame([(1, None)], "k int, v double")
+    assert table_diff(old, new, ["k"]).count() == 0
+
+
+def test_quality_checks_seeded_violations(spark):
+    from airflow_kafka_spark_spark.operators.relational import quality_checks
+
+    fact = spark.createDataFrame(
+        [
+            (1, 1, 10.0),
+            (1, 1, 20.0),      # duplicate key 1 (counts once as a dup KEY)
+            (2, 9, -5.0),      # orphan custkey 9, negative value
+            (3, 2, None),      # null value → not_null + range violations
+            (None, 1, 1.0),    # null key col
+        ],
+        "k int, cust int, v double",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "c int")
+    got = {
+        r["check"]: r["violations"]
+        for r in quality_checks(
+            fact,
+            not_null=["k", "v"],
+            unique=[["k"]],
+            ranges={"v": (0.0, 100.0)},
+            foreign_keys=[(["cust"], dim, ["c"])],
+        ).collect()
+    }
+    assert got == {
+        "not_null:k": 1,
+        "not_null:v": 1,
+        "range:v": 2,       # the NULL and the -5.0
+        "unique:k": 1,      # one duplicated KEY (not row excess)
+        "fk:cust": 1,
+    }
+
+
+def test_quality_checks_clean_table_all_zero(spark):
+    from airflow_kafka_spark_spark.operators.relational import quality_checks
+
+    fact = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double")
+    got = {
+        r["check"]: r["violations"]
+        for r in quality_checks(
+            fact, not_null=["k"], unique=[["k"]], ranges={"v": (0.0, 10.0)}
+        ).collect()
+    }
+    assert got == {"not_null:k": 0, "range:v": 0, "unique:k": 0}

@@ -466,3 +466,19 @@ def test_pareto_two_phase_no_global_first_pass(spark):
     s = _explain(CATALOG["pareto_frontier"].fn(spark, SF_DIR))
     assert "Join" not in s, s
     assert "CartesianProduct" not in s, s
+
+
+def test_snapshot_diff_single_full_outer_join(spark):
+    """The CDC diff is one full-outer equi-join over the two rollups —
+    no window, no second join, no nested loop."""
+    s = _explain(CATALOG["snapshot_diff"].fn(spark, SF_DIR))
+    assert s.count("FullOuter") == 1, s
+    assert "NestedLoop" not in s and "CartesianProduct" not in s, s
+
+
+def test_dq_audit_fk_check_is_anti_join(spark):
+    """The FK check must be a (broadcast) LEFT ANTI join, and the
+    not-null/range checks fold into aggregates — no cartesian."""
+    s = _explain(CATALOG["dq_audit"].fn(spark, SF_DIR))
+    assert "LeftAnti" in s, s
+    assert "CartesianProduct" not in s and "NestedLoop" not in s, s
