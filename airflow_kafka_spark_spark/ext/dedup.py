@@ -307,6 +307,7 @@ def connected_components(
     src: str = "doc1",
     dst: str = "doc2",
     max_iter: int = 25,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Duplicate-CLUSTER resolution: connected components over near-dup
     pairs via iterative min-label propagation — each node's label
@@ -314,15 +315,22 @@ def connected_components(
     deterministic cluster id AND the canonical keeper (keep the doc whose
     id equals its label, drop the rest).
 
-    Per iteration: one join edges⋈labels + one min-aggregate — both
-    shuffle on the key, no driver-side graph. Converges in O(cluster
-    diameter) iterations; near-dup clusters are shallow (pair generation
-    links most members directly), so the default cap is generous. This is
-    the standard scalable CC shape (cf. Kiveris et al., "Connected
-    Components in MapReduce and Beyond" — the simpler neighbor-min
-    variant suffices at dup-cluster diameters). Each iteration's labels
-    are persisted and the previous generation unpersisted; the
-    convergence check is a limit(1).count() probe, not a collect.
+    Per iteration: one join edges⋈labels + one min-aggregate, PLUS a
+    pointer-jump join (each node also adopts its label's label — the
+    path-halving step), all shuffling on a node key with no driver-side
+    graph. The jump makes convergence O(log diameter) instead of
+    O(diameter) (cf. Kiveris et al., "Connected Components in MapReduce
+    and Beyond" — the neighbor-min-only variant needed one iteration
+    per hop, which was fine for shallow near-dup cliques but walked a
+    high-diameter co-purchase giant component one edge at a time).
+    Every ``checkpoint_every`` iterations the label frame is
+    localCheckpoint'd: persist() does NOT cut lineage, so without the
+    cut each iteration's plan nests the last and a ~20-iteration run
+    OOM'd the driver on plan bookkeeping alone (found by
+    examples/graph_analytics.py round 5). Exhausting ``max_iter``
+    without convergence raises instead of returning silently-partial
+    labels. The convergence check is a limit(1).count() probe, not a
+    collect.
     """
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -333,22 +341,36 @@ def connected_components(
         .persist()
     )
     labels = edges.select("u").distinct().withColumn("label", F.col("u")).persist()
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col("u").alias("v"), "label"), "v")
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # pointer jump: label(label(u)) — labels only shrink, so the
+        # label column always names a node that has its own label row
+        jump = labels.select(
+            F.col("u").alias("__p"), F.col("label").alias("jump_min")
+        )
         new_labels = (
             labels.join(nbr_min, "u", "left")
+            .join(jump, labels["label"] == F.col("__p"), "left")
             .select(
                 "u",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                    F.col("label"),
+                    F.coalesce("nbr_min", F.col("label")),
+                    F.coalesce("jump_min", F.col("label")),
                 ).alias("label"),
             )
-            .persist()
         )
+        if (it + 1) % checkpoint_every == 0:
+            # cut lineage: the nested per-iteration plan tree is what
+            # blows the driver up, not the data
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "u")
             .filter(F.col("label") != F.col("old"))
@@ -358,8 +380,16 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            "iterations — with pointer jumping this needs a graph of "
+            f"diameter ≳ 2^{max_iter}; raise max_iter (or check the "
+            "pair generation for an unexpected giant component)"
+        )
     # the final label generation stays persisted (the caller's action
     # reads it; an unpersist here would force a full lineage recompute) —
     # released via release_minhash_caches(), same lifecycle as the

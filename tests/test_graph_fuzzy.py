@@ -349,3 +349,32 @@ def test_quality_checks_clean_table_all_zero(spark):
         ).collect()
     }
     assert got == {"not_null:k": 0, "range:v": 0, "unique:k": 0}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node path graph has diameter 199: the neighbor-min-only
+    propagation walked one hop per iteration and silently returned
+    partial labels at the 25-iteration cap (the bug behind the round-5
+    graph-analytics OOM); pointer jumping converges in O(log n) and the
+    periodic localCheckpoint keeps the plan tree flat."""
+    from airflow_kafka_spark_spark.ext.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc1 long, doc2 long"
+    )
+    out = connected_components(chain).collect()
+    assert len(out) == 200
+    assert {r["component"] for r in out} == {0}
+    assert sum(r["is_keeper"] for r in out) == 1
+
+
+def test_connected_components_raises_when_cap_hits(spark):
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc1 long, doc2 long"
+    )
+    with _pytest.raises(RuntimeError, match="not converged"):
+        connected_components(chain, max_iter=2)
