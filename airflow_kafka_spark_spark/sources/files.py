@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -107,3 +108,35 @@ def write_orc_table(df: DataFrame, path: str, partition_cols: list[str] | None =
 
 def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-asset ingestion for the multimodal path: Spark's ``binaryFile``
+    source over a directory (recursive), yielding
+    ``(path, modificationTime, length, content binary)`` — the frame
+    ext.multimodal's decoders consume (opaque ``binary`` column + typed
+    metadata).
+
+    ``glob`` filters filenames (``pathGlobFilter``, e.g. ``"*.png"``) at
+    LISTING time — unmatched files are never opened. ``max_bytes``
+    filters on the ``length`` metadata column BEFORE ``content`` is
+    read: binaryFile supports predicate pushdown on length, so a
+    corpus's pathological 5 GB outlier never reaches an executor's
+    memory (each content cell must fit in one row — cap it, chunk
+    oversized assets upstream).
+    """
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

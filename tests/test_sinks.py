@@ -235,3 +235,45 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
         q.explain(mode="formatted")
     s = buf.getvalue()
     assert "PushedFilters" in s and "l_quantity" in s.split("PushedFilters:")[1].splitlines()[0], s
+
+
+def test_binary_file_source_feeds_image_decode(spark, tmp_path):
+    """binaryFile dir scan → ext.multimodal.decode_image_meta: real PNG
+    files on disk round-trip through the raw-asset ingestion path with
+    dimensions intact; the glob filter excludes foreign files at
+    listing time and max_bytes drops the oversized asset via the
+    length metadata column."""
+    from airflow_kafka_spark_spark.ext.multimodal import decode_image_meta, make_png
+    from airflow_kafka_spark_spark.sources.files import read_binary_dir
+
+    d = tmp_path / "assets" / "sub"
+    d.mkdir(parents=True)
+    (d / "a.png").write_bytes(make_png(17, 9, seed=1))
+    (d / "b.png").write_bytes(make_png(5, 31, seed=2))
+    big = make_png(64, 64, seed=3)
+    (d / "big.png").write_bytes(big)
+    (d / "notes.txt").write_bytes(b"not an image")
+
+    df = read_binary_dir(
+        spark, str(tmp_path / "assets"), glob="*.png", max_bytes=len(big) - 1
+    )
+    rows = df.select("path", "length", "content").collect()
+    assert sorted(r["path"].rsplit("/", 1)[-1] for r in rows) == ["a.png", "b.png"]
+
+    from pyspark.sql import functions as F
+
+    payloads = df.select(
+        # binaryFile has no numeric id — derive one from the filename
+        F.xxhash64(F.element_at(F.split("path", "/"), -1)).alias("doc_id"),
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("content").alias("payload"),
+    )
+    ids = {r["name"]: r["doc_id"] for r in payloads.collect()}
+    meta = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in decode_image_meta(
+            payloads.select("doc_id", "payload"), decoder="png"
+        ).collect()
+    }
+    assert meta[ids["a.png"]] == (17, 9)
+    assert meta[ids["b.png"]] == (5, 31)
