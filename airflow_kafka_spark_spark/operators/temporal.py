@@ -53,8 +53,16 @@ def asof_join(
     ``right`` must be unique per (key, ts) for deterministic results —
     pre-aggregate it if not.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest":
+        if not inclusive:
+            raise ValueError("direction='nearest' requires inclusive=True")
+        return _asof_nearest(
+            left, right, key_cols, left_ts, right_ts, right_value_cols
+        )
     left_payload = [c for c in left.columns if c not in key_cols]
     if direction == "backward":
         l_side, r_side = (1, 0) if inclusive else (0, 1)
@@ -101,6 +109,92 @@ def asof_join(
             *key_cols,
             *left_payload,
             *[F.col("__r")[c].alias(c) for c in right_value_cols],
+        )
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """``asof_join(direction="nearest")``: attach the right row whose ts
+    is CLOSEST to the left ts in either direction (|Δt| minimized; an
+    exact-ts match is distance 0; equal distances break toward the
+    backward candidate — deterministic and documented).
+
+    Still ONE shuffle: the union-merge frame is ordered ``(ts, side)``
+    with right rows before left rows at equal ts, so a single window
+    pass yields BOTH carries — the backward candidate via
+    ``last(ignorenulls)`` over the preceding-inclusive frame (sees the
+    distance-0 match) and the forward candidate via
+    ``first(ignorenulls)`` over the strictly-following frame (equal-ts
+    rows sort before the left row, so it only sees strictly-later
+    rights — which is correct, the tie already went backward). The
+    closer candidate wins by day-time-interval comparison (no epoch
+    casts — NTZ-safe).
+    """
+    left_payload = [c for c in left.columns if c not in key_cols]
+    r_struct = F.struct(
+        F.col(right_ts).alias("__rts"), *right_value_cols
+    )
+    r_struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
+    l = left.select(
+        *key_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(True).alias("__is_left"),
+        *left_payload,
+        F.lit(None).cast(r_struct_type).alias("__r"),
+    )
+    r = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(False).alias("__is_left"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_payload
+        ],
+        r_struct.alias("__r"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy("__ts", "__side")
+    back = F.last("__r", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = F.first("__r", ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    merged = (
+        l.unionByName(r)
+        .withColumn("__back", back)
+        .withColumn("__fwd", fwd)
+    )
+    nearer_back = (
+        F.col("__fwd").isNull()
+        | (
+            F.col("__back").isNotNull()
+            & (
+                (F.col("__ts") - F.col("__back.__rts"))
+                <= (F.col("__fwd.__rts") - F.col("__ts"))
+            )
+        )
+    )
+    chosen = F.when(nearer_back, F.col("__back")).otherwise(F.col("__fwd"))
+    return (
+        merged.filter(F.col("__is_left"))
+        .withColumn("__chosen", chosen)
+        .select(
+            *key_cols,
+            *left_payload,
+            *[F.col("__chosen")[c].alias(c) for c in right_value_cols],
+            F.when(F.col("__chosen").isNull(), F.lit(None).cast("string"))
+            .when(nearer_back, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("asof_direction"),
         )
     )
 
@@ -390,4 +484,111 @@ def densify_daily(
         "day",
         F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("day_value").isNull().cast("int").alias("is_gap"),
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    max_span: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-overlap join per key: pairs whose ``[start, end]``
+    intervals intersect (inclusive ends: ``l_start <= r_end AND
+    r_start <= l_end``) — the genomics/temporal "range intersects
+    range" operator ``bucketed_range_join`` (point-in-range) cannot
+    express.
+
+    Scale shape: both sides bucketize on ``floor(epoch / max_span)``.
+    An interval no longer than ``max_span`` covers at most two buckets,
+    and any overlapping pair shares at least one covered bucket (a
+    common time point's bucket). Each side explodes to its ≤2 covered
+    buckets and the join is a plain EQUI-join on ``(key, bucket)``; the
+    duplicate hit when a pair shares two buckets is eliminated without
+    a distinct: a pair is emitted only from the bucket containing
+    ``greatest(l_start, r_start)`` — a bucket both sides demonstrably
+    cover. No nested loop, no cartesian, 2× bounded fan-out.
+
+    Intervals longer than ``max_span`` (or inverted, end < start) can
+    cover buckets outside their explode set and would SILENTLY drop
+    matches — they fail loudly per row instead (chunk long intervals
+    upstream). Timestamps follow bucketed_range_join's NTZ/LTZ metric
+    rules (wall-clock field extraction for NTZ — DST-safe; instant
+    micros for LTZ; mixed NTZ-ness rejected).
+    """
+    if how != "inner":
+        raise ValueError("interval_overlap_join supports how='inner' only")
+    from pyspark.sql import types as T
+
+    ntz = {
+        isinstance(left.schema[left_start].dataType, T.TimestampNTZType),
+        isinstance(left.schema[left_end].dataType, T.TimestampNTZType),
+        isinstance(right.schema[right_start].dataType, T.TimestampNTZType),
+        isinstance(right.schema[right_end].dataType, T.TimestampNTZType),
+    }
+    if len(ntz) != 1:
+        raise ValueError(
+            "interval_overlap_join: all four interval columns must agree "
+            "on NTZ-ness (mixed types would compare by an implicit "
+            "session-timezone cast)"
+        )
+    if ntz.pop():
+        epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        span_us = _wallclock_micros(epoch_ntz + F.expr(f"INTERVAL {max_span}"))
+        metric = _wallclock_micros
+    else:
+        t0 = F.timestamp_micros(F.lit(0))
+        span_us = F.unix_micros(
+            (t0 + F.expr(f"INTERVAL {max_span}")).cast(T.TimestampType())
+        ) - F.unix_micros(t0.cast(T.TimestampType()))
+
+        def metric(c):
+            return F.unix_micros(c.cast(T.TimestampType()))
+
+    def guarded(frame, start, end, tag):
+        ok = (F.col(end) >= F.col(start)) & (
+            metric(F.col(end)) - metric(F.col(start)) <= span_us
+        )
+        return frame.filter(
+            F.assert_true(
+                ok,
+                f"interval_overlap_join: {tag} interval inverted or longer "
+                f"than max_span={max_span!r} — chunk long intervals "
+                "upstream, matches would silently drop otherwise",
+            ).isNull()
+        )
+
+    l = guarded(left, left_start, left_end, "left").withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(metric(F.col(left_start)) / span_us),
+                F.floor(metric(F.col(left_end)) / span_us),
+            )
+        ),
+    )
+    r = guarded(right, right_start, right_end, "right").withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(metric(F.col(right_start)) / span_us),
+                F.floor(metric(F.col(right_end)) / span_us),
+            )
+        ),
+    )
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    emit_here = F.col("__bucket") == F.floor(
+        metric(F.greatest(F.col(left_start), F.col(right_start))) / span_us
+    )
+    return (
+        l.join(r, [*key_cols, "__bucket"])
+        .filter(overlap & emit_here)
+        .drop("__bucket")
     )

@@ -1240,6 +1240,140 @@ FROM events e ASOF LEFT JOIN purchases p
 """
 
 
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join: every event attaches the user's CLOSEST
+    purchase in either direction (|Δt| minimized, ties backward) — one
+    union-merge shuffle computes both directional carries in a single
+    window pass (operators.temporal._asof_nearest). The oracle builds
+    the same answer from DuckDB's backward + forward ASOF joins and a
+    distance CASE."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(
+            F.max("event_id").alias("near_purchase_event_id"),
+            F.max("value").alias("pv"),
+        )
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="pts",
+        right_value_cols=["near_purchase_event_id", "pv"],
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        "event_type",
+        "near_purchase_event_id",
+        _r6("pv").alias("near_purchase_value"),
+        "asof_direction",
+    )
+
+
+SQL_ASOF_NEAREST = f"""
+WITH purchases AS (
+  SELECT user_id, ts AS pts,
+         MAX(event_id) AS pid, MAX(value) AS pv
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+b AS (
+  SELECT e.event_id, e.user_id, e.ts, e.event_type,
+         p.pts AS bts, p.pid AS bid, p.pv AS bv
+  FROM events e ASOF LEFT JOIN purchases p
+    ON e.user_id = p.user_id AND e.ts >= p.pts
+),
+f AS (
+  SELECT e.event_id, p.pts AS fts, p.pid AS fid, p.pv AS fv
+  FROM events e ASOF LEFT JOIN purchases p
+    ON e.user_id = p.user_id AND e.ts < p.pts
+),
+j AS (
+  SELECT b.*, f.fts, f.fid, f.fv,
+         CASE WHEN b.bts IS NULL AND f.fts IS NULL THEN NULL
+              WHEN f.fts IS NULL THEN TRUE
+              WHEN b.bts IS NULL THEN FALSE
+              ELSE (b.ts - b.bts) <= (f.fts - b.ts)
+         END AS use_back
+  FROM b JOIN f ON b.event_id = f.event_id
+)
+SELECT event_id, user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, event_type,
+       CASE WHEN use_back THEN bid ELSE fid END AS near_purchase_event_id,
+       ROUND(CASE WHEN use_back THEN bv ELSE fv END, 6)
+         + CAST(0 AS DOUBLE) AS near_purchase_value,
+       CASE WHEN use_back IS NULL THEN NULL
+            WHEN use_back THEN 'backward' ELSE 'forward' END AS asof_direction
+FROM j
+"""
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (operators.temporal.interval_overlap_join):
+    purchase attention windows [ts, ts+10m] × click dwell windows
+    [ts, ts+5m] per user — overlapping-pairs count per purchase, via
+    the bucketized equi-join (≤2 covering buckets per interval,
+    emit-at-max-start dedup; no nested loop). The oracle runs the plain
+    inequality join."""
+    from ..operators.temporal import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("p_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("c_end"),
+    )
+    matched = interval_overlap_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        "p_start",
+        "p_end",
+        "c_start",
+        "c_end",
+        max_span="10 minutes",
+    )
+    counts = matched.groupBy("p_event_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )
+    return purchases.join(counts, "p_event_id", "left").select(
+        F.col("p_event_id").alias("event_id"),
+        F.coalesce("n_overlaps", F.lit(0)).cast("long").alias("n_overlaps"),
+    )
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH p AS (
+  SELECT user_id, event_id AS p_event_id, ts AS p_start,
+         ts + INTERVAL 10 MINUTE AS p_end
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts AS c_start, ts + INTERVAL 5 MINUTE AS c_end
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT p.p_event_id, COUNT(*) AS n_overlaps
+  FROM p JOIN c ON p.user_id = c.user_id
+               AND p.p_start <= c.c_end AND c.c_start <= p.p_end
+  GROUP BY p.p_event_id
+)
+SELECT p.p_event_id AS event_id,
+       CAST(COALESCE(m.n_overlaps, 0) AS BIGINT) AS n_overlaps
+FROM p LEFT JOIN m ON p.p_event_id = m.p_event_id
+"""
+
+
 def q_range_join_clicks(spark, sf_dir):
     """Bounded range join: clicks within the 10 minutes preceding each
     purchase, per user — equi-join on a coarse time bucket + residual
@@ -4713,6 +4847,8 @@ CATALOG: dict[str, Query] = {
     "hll_rolling_distinct": Query(q_hll_rolling_distinct, None),
     "snapshot_diff": Query(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "dq_audit": Query(q_dq_audit, SQL_DQ_AUDIT),
+    "asof_nearest": Query(q_asof_nearest, SQL_ASOF_NEAREST),
+    "interval_overlap": Query(q_interval_overlap, SQL_INTERVAL_OVERLAP),
 }
 
 

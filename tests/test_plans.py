@@ -482,3 +482,19 @@ def test_dq_audit_fk_check_is_anti_join(spark):
     s = _explain(CATALOG["dq_audit"].fn(spark, SF_DIR))
     assert "LeftAnti" in s, s
     assert "CartesianProduct" not in s and "NestedLoop" not in s, s
+
+
+def test_asof_nearest_single_shuffle(spark):
+    """Both directional carries come from ONE union-merge window pass:
+    no range join, bounded Exchange count (purchase pre-agg + window)."""
+    s = _explain(CATALOG["asof_nearest"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in s and "CartesianProduct" not in s, s
+    assert s.count("Window") == 1, s
+
+
+def test_interval_overlap_is_equi_join(spark):
+    """The interval×interval overlap must run as a hash/sort-merge
+    equi-join on (key, bucket) — never a nested loop over the overlap
+    predicate."""
+    s = _explain(CATALOG["interval_overlap"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in s and "CartesianProduct" not in s, s

@@ -276,3 +276,123 @@ def test_densify_daily_same_ts_tiebreak(spark):
     )
     out = densify_daily(ev, ["k"], "ts", "v", order_cols=["ts", "eid"])
     assert out.collect()[0]["value_ffill"] == 7.0
+
+
+def test_asof_nearest(spark):
+    left = _ts(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "a"),   # back 09:58 (2m) vs fwd 10:03 (3m) → back
+            (1, "2024-01-01 10:02:00", "b"),   # back 09:58 (4m) vs fwd 10:03 (1m) → fwd
+            (1, "2024-01-01 09:58:00", "c"),   # exact match → distance 0, backward
+            (1, "2024-01-01 09:00:00", "d"),   # only fwd exists
+            (2, "2024-01-01 12:00:00", "e"),   # no right rows at all
+        ],
+        "k int, ts string, tag string",
+    )
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 09:58:00", 1.0), (1, "2024-01-01 10:03:00", 2.0)],
+        "k int, rts string, rv double",
+    )
+    out = asof_join(left, right, ["k"], "ts", "rts", ["rv"], direction="nearest")
+    got = {r["tag"]: (r["rv"], r["asof_direction"]) for r in out.collect()}
+    assert got == {
+        "a": (1.0, "backward"),
+        "b": (2.0, "forward"),
+        "c": (1.0, "backward"),
+        "d": (1.0, "forward"),
+        "e": (None, None),
+    }
+
+
+def test_asof_nearest_tie_breaks_backward(spark):
+    left = _ts(spark, [(1, "2024-01-01 10:00:00", "x")], "k int, ts string, tag string")
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 09:59:00", 1.0), (1, "2024-01-01 10:01:00", 2.0)],
+        "k int, rts string, rv double",
+    )
+    row = asof_join(left, right, ["k"], "ts", "rts", ["rv"], direction="nearest").collect()[0]
+    assert (row["rv"], row["asof_direction"]) == (1.0, "backward")
+
+
+def test_asof_nearest_rejects_exclusive(spark):
+    left = _ts(spark, [(1, "2024-01-01 10:00:00", "x")], "k int, ts string, tag string")
+    right = _ts(spark, [(1, "2024-01-01 09:59:00", 1.0)], "k int, rts string, rv double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inclusive"):
+        asof_join(left, right, ["k"], "ts", "rts", ["rv"], direction="nearest", inclusive=False)
+
+
+def test_interval_overlap_join_boundaries(spark):
+    from airflow_kafka_spark_spark.operators.temporal import interval_overlap_join
+
+    left = _ts(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", "L1"),
+            (1, "2024-01-01 12:00:00", "2024-01-01 12:05:00", "L2"),
+        ],
+        "k int, ls string, le string, ltag string",
+    )
+    right = _ts(
+        spark,
+        [
+            (1, "2024-01-01 10:10:00", "2024-01-01 10:20:00", "R1"),  # touches L1 end (inclusive)
+            (1, "2024-01-01 10:10:01", "2024-01-01 10:20:00", "R2"),  # 1s past L1 → no
+            (1, "2024-01-01 09:55:00", "2024-01-01 10:01:00", "R3"),  # overlaps L1 start
+            (1, "2024-01-01 11:59:00", "2024-01-01 12:06:00", "R4"),  # contains L2
+            (2, "2024-01-01 10:05:00", "2024-01-01 10:06:00", "R5"),  # other key
+        ],
+        "k int, rs string, re string, rtag string",
+    )
+    out = interval_overlap_join(
+        left, right, ["k"], "ls", "le", "rs", "re", max_span="15 minutes"
+    )
+    got = {(r["ltag"], r["rtag"]) for r in out.collect()}
+    assert got == {("L1", "R1"), ("L1", "R3"), ("L2", "R4")}
+
+
+def test_interval_overlap_no_duplicate_across_buckets(spark):
+    """A pair whose shared region covers two buckets must emit exactly
+    once (the emit-at-max-start bucket rule, not a distinct)."""
+    from airflow_kafka_spark_spark.operators.temporal import interval_overlap_join
+
+    left = _ts(
+        spark,
+        [(1, "2024-01-01 10:00:00", "2024-01-01 10:09:00", "L")],
+        "k int, ls string, le string, ltag string",
+    )
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 10:01:00", "2024-01-01 10:08:00", "R")],
+        "k int, rs string, re string, rtag string",
+    )
+    out = interval_overlap_join(
+        left, right, ["k"], "ls", "le", "rs", "re", max_span="10 minutes"
+    )
+    assert out.count() == 1
+
+
+def test_interval_overlap_rejects_overlong_interval(spark):
+    from airflow_kafka_spark_spark.operators.temporal import interval_overlap_join
+
+    left = _ts(
+        spark,
+        [(1, "2024-01-01 10:00:00", "2024-01-01 11:00:00", "L")],
+        "k int, ls string, le string, ltag string",
+    )
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 10:00:00", "2024-01-01 10:01:00", "R")],
+        "k int, rs string, re string, rtag string",
+    )
+    out = interval_overlap_join(
+        left, right, ["k"], "ls", "le", "rs", "re", max_span="10 minutes"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="longer"):
+        out.collect()
