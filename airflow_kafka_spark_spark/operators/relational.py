@@ -35,6 +35,19 @@ def decimal_sum(col: Column | str, scale: int = 6, precision: int = 22) -> Colum
 
     SQL equivalent (DuckDB):
     ``CAST(ROUND(SUM(CAST(x AS DECIMAL(p,s))), 6) AS DOUBLE)``.
+
+    Contract boundary: the per-ELEMENT double→decimal cast is only
+    engine-identical when the value is not an exact tie at the target
+    scale. Source data with ≤scale decimals (prices, quantities) never
+    ties; DERIVED values can — dividing by a power of two yields exact
+    ...5 digits (e.g. 33.3053125 at scale 6), where Spark casts
+    half-UP but DuckDB casts half-EVEN (observed: catalog
+    try_functions, 277/58741 rows) — and ROUND(double, 6) itself
+    differs by 1 ulp on a few rows (different rounding
+    implementations). For derived doubles, quantize with pure IEEE ops
+    instead: ``floor(x * 10^s)`` as BIGINT (multiply + floor are
+    bit-identical in every engine, no tie semantics), sum as longs,
+    rescale once — see catalog q_try_functions.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(

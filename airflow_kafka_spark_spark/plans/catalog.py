@@ -4706,6 +4706,84 @@ FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o
 """
 
 
+def q_variant_json(spark, sf_dir):
+    """Spark 4 VariantType round-trip: build a JSON document per event
+    (string + int fields only — double JSON rendering is not
+    cross-engine-stable), ``parse_json`` it into a VARIANT, extract
+    typed fields back out with ``variant_get`` (including a missing
+    path → NULL, the semi-structured-data contract), then roll up. The
+    oracle reaches the same values by plain json_extract over the raw
+    props — the variant layer must be value-transparent."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.from_json("props", EVENT_PROPS_SCHEMA)["k"].alias("k"),
+        )
+    )
+    v = F.parse_json(doc)
+    rows = ev.select(
+        F.variant_get(v, "$.t", "string").alias("t"),
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.variant_get(v, "$.missing", "int").alias("missing"),
+    )
+    return rows.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum(F.col("missing").isNull().cast("long")).alias("n_missing_null"),
+    )
+
+
+SQL_VARIANT_JSON = """
+SELECT event_type AS t, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n_missing_null
+FROM events GROUP BY event_type
+"""
+
+
+def q_try_functions(spark, sf_dir):
+    """ANSI-error-safe battery: ``try_divide`` (÷0 → NULL, not a crash
+    or ±Inf), ``try_cast`` (unparseable → NULL), ``try_element_at``
+    (out-of-bounds → NULL) — the functions a pipeline uses so ONE dirty
+    row cannot kill a 100 TB job. Aggregated per linestatus: null
+    counts per failure mode + decimal-exact sum of the surviving
+    divisions (NULLs excluded from both engines' SUMs identically)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 10)
+    bad_cast = F.expr("try_cast(l_returnflag AS INT)")
+    oob = F.try_element_at(F.array(F.col("l_partkey")), F.lit(5))
+    # Arbitrary-quotient doubles are outside decimal_sum's contract
+    # boundary (see its docstring): price / power-of-two divisors yield
+    # exact .5 ties at the 6th decimal where the engines' decimal casts
+    # round differently (half-up vs half-even, 277/58741 rows), and
+    # even ROUND(x, 6) differs by 1 ulp on a handful of rows (the
+    # engines implement double rounding differently). So quantize with
+    # pure IEEE ops both engines share bit-for-bit: floor(x · 1e6) as
+    # BIGINT (one multiply + one floor — no tie semantics anywhere),
+    # sum exactly as longs, and rescale once at the end.
+    scaled = F.floor(ratio * F.lit(1e6)).cast("long")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(ratio.isNull().cast("long")).alias("n_div_null"),
+        F.sum(bad_cast.isNull().cast("long")).alias("n_cast_null"),
+        F.sum(oob.isNull().cast("long")).alias("n_oob_null"),
+        _r6(F.sum(scaled).cast("double") / F.lit(1e6)).alias("sum_ratio"),
+    )
+
+
+SQL_TRY_FUNCTIONS = """
+SELECT l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN l_quantity - 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+       CAST(COUNT(*) AS BIGINT) AS n_cast_null,
+       CAST(COUNT(*) AS BIGINT) AS n_oob_null,
+       CAST(ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice / NULLIF(l_quantity - 10, 0) * 1e6)
+                           AS BIGINT)) AS DOUBLE) / 1e6, 6) AS DOUBLE)
+         + CAST(0 AS DOUBLE) AS sum_ratio
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
@@ -4849,6 +4927,8 @@ CATALOG: dict[str, Query] = {
     "dq_audit": Query(q_dq_audit, SQL_DQ_AUDIT),
     "asof_nearest": Query(q_asof_nearest, SQL_ASOF_NEAREST),
     "interval_overlap": Query(q_interval_overlap, SQL_INTERVAL_OVERLAP),
+    "variant_json": Query(q_variant_json, SQL_VARIANT_JSON),
+    "try_functions": Query(q_try_functions, SQL_TRY_FUNCTIONS),
 }
 
 
