@@ -4784,6 +4784,58 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+def q_grid_radius_join(spark, sf_dir):
+    """2-D proximity self-join (operators.spatial.grid_radius_join):
+    parts as points in (retail price, 4·size) space, pairs within
+    euclidean radius 2 — grid-cell equi-join + residual exact distance,
+    never a nested loop. Canonical id1 < id2 direction; distance
+    quantized floor-scaled for the cross-engine hash (sqrt of the same
+    double is the same double, but the 6-dp boundary still needs the
+    tie-free quantizer — see decimal_sum's contract boundary)."""
+    from ..operators.spatial import grid_radius_join
+
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_partkey"),
+        F.col("p_retailprice").alias("x"),
+        (F.col("p_size").cast("double") * 4.0).alias("y"),
+    )
+    a = pts.select(
+        F.col("p_partkey").alias("id1"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+    )
+    b = pts.select(
+        F.col("p_partkey").alias("id2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    out = grid_radius_join(a, b, ("x1", "y1"), ("x2", "y2"), radius=2.0)
+    return out.filter(F.col("id1") < F.col("id2")).select(
+        "id1",
+        "id2",
+        (
+            F.floor(F.col("dist") * F.lit(1e6)).cast("long").cast("double")
+            / F.lit(1e6)
+        ).alias("dist"),
+    )
+
+
+SQL_GRID_RADIUS_JOIN = """
+WITH pts AS (
+  SELECT p_partkey, p_retailprice AS x, CAST(p_size AS DOUBLE) * 4.0 AS y
+  FROM part
+)
+SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+       CAST(CAST(FLOOR(SQRT((a.x - b.x) * (a.x - b.x)
+                            + (a.y - b.y) * (a.y - b.y)) * 1e6)
+                 AS BIGINT) AS DOUBLE) / 1e6 AS dist
+FROM pts a JOIN pts b
+  ON a.p_partkey < b.p_partkey
+ AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0
+"""
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
@@ -4929,6 +4981,7 @@ CATALOG: dict[str, Query] = {
     "interval_overlap": Query(q_interval_overlap, SQL_INTERVAL_OVERLAP),
     "variant_json": Query(q_variant_json, SQL_VARIANT_JSON),
     "try_functions": Query(q_try_functions, SQL_TRY_FUNCTIONS),
+    "grid_radius_join": Query(q_grid_radius_join, SQL_GRID_RADIUS_JOIN),
 }
 
 

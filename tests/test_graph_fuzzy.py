@@ -378,3 +378,51 @@ def test_connected_components_raises_when_cap_hits(spark):
     )
     with _pytest.raises(RuntimeError, match="not converged"):
         connected_components(chain, max_iter=2)
+
+
+def test_grid_radius_join_exact_vs_bruteforce(spark):
+    import numpy as np
+
+    from airflow_kafka_spark_spark.operators.spatial import grid_radius_join
+
+    rng = np.random.RandomState(3)
+    pts = [(i, float(rng.uniform(0, 20)), float(rng.uniform(0, 20))) for i in range(150)]
+    a = spark.createDataFrame(pts, "id1 int, x1 double, y1 double")
+    b = spark.createDataFrame(pts, "id2 int, x2 double, y2 double")
+    out = grid_radius_join(a, b, ("x1", "y1"), ("x2", "y2"), radius=1.5)
+    got = {(r["id1"], r["id2"]) for r in out.filter("id1 < id2").collect()}
+    expect = {
+        (i, j)
+        for i, x1, y1 in pts
+        for j, x2, y2 in pts
+        if i < j and (x1 - x2) ** 2 + (y1 - y2) ** 2 <= 1.5**2
+    }
+    assert got == expect and len(expect) > 0
+
+
+def test_grid_radius_join_boundary_and_cell_edges(spark):
+    """Points exactly radius apart (inclusive) and pairs straddling a
+    cell boundary must both match; just-over-radius must not."""
+    from airflow_kafka_spark_spark.operators.spatial import grid_radius_join
+
+    a = spark.createDataFrame(
+        [(1, 0.99, 0.0), (2, 5.0, 5.0)], "id1 int, x1 double, y1 double"
+    )
+    b = spark.createDataFrame(
+        [(10, 1.99, 0.0),   # exactly 1.0 from id1, next cell → match
+         (11, 2.01, 0.0),   # 1.02 away → no
+         (12, 5.0, 6.0)],   # exactly radius from id2 → match
+        "id2 int, x2 double, y2 double",
+    )
+    out = grid_radius_join(a, b, ("x1", "y1"), ("x2", "y2"), radius=1.0)
+    got = {(r["id1"], r["id2"]) for r in out.collect()}
+    assert got == {(1, 10), (2, 12)}
+
+
+def test_grid_radius_join_rejects_bad_radius(spark):
+    from airflow_kafka_spark_spark.operators.spatial import grid_radius_join
+    import pytest as _pytest
+
+    a = spark.createDataFrame([(1, 0.0, 0.0)], "id1 int, x1 double, y1 double")
+    with _pytest.raises(ValueError, match="radius"):
+        grid_radius_join(a, a, ("x1", "y1"), ("x1", "y1"), radius=0.0)

@@ -498,3 +498,10 @@ def test_interval_overlap_is_equi_join(spark):
     predicate."""
     s = _explain(CATALOG["interval_overlap"].fn(spark, SF_DIR))
     assert "NestedLoop" not in s and "CartesianProduct" not in s, s
+
+
+def test_grid_radius_join_is_equi_join(spark):
+    """The radius predicate must run as a residual on a grid-cell
+    equi-join — never a nested loop over the distance condition."""
+    s = _explain(CATALOG["grid_radius_join"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in s and "CartesianProduct" not in s, s
