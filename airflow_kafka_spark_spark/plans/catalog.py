@@ -4836,6 +4836,55 @@ FROM pts a JOIN pts b
 """
 
 
+def q_hierarchy_rollup(spark, sf_dir):
+    """Hierarchical subtree roll-up (ext.graph.transitive_closure): a
+    binary management tree derived from customer ids (parent =
+    (id-1) div 2), expanded to all (descendant, ancestor, depth) pairs
+    by path DOUBLING — O(log depth) join rounds instead of the
+    recursive CTE's O(depth) — then per-ancestor descendant counts,
+    max depth, and decimal-exact subtree balance. The oracle is the
+    recursive CTE itself, so the doubling expansion is checked against
+    the canonical SQL semantics."""
+    from ..ext.graph import transitive_closure
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = cust.filter(F.col("c_custkey") >= 1).select(
+        F.col("c_custkey").alias("child"),
+        F.expr("(c_custkey - 1) div 2").alias("parent"),
+    )
+    # depth ~= log2(n_customers): 11 at sf0.01, 14 at sf0.1; 24 covers
+    # corpora to ~16M customers at the cost of ONE extra doubling round
+    closure = transitive_closure(edges, max_depth=24)
+    return (
+        closure.join(
+            cust.select(F.col("c_custkey").alias("child"), "c_acctbal"), "child"
+        )
+        .groupBy(F.col("parent").alias("ancestor"))
+        .agg(
+            F.count(F.lit(1)).alias("n_desc"),
+            F.max("depth").alias("max_depth"),
+            (decimal_sum(F.col("c_acctbal")) + F.lit(0.0)).alias("subtree_bal"),
+        )
+    )
+
+
+SQL_HIERARCHY_ROLLUP = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS child, (c_custkey - 1) // 2 AS ancestor, 1 AS depth
+  FROM customer WHERE c_custkey >= 1
+  UNION ALL
+  SELECT a.child, (a.ancestor - 1) // 2, a.depth + 1
+  FROM anc a WHERE a.ancestor >= 1
+)
+SELECT anc.ancestor, COUNT(*) AS n_desc,
+       CAST(MAX(anc.depth) AS INTEGER) AS max_depth,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(22,6))), 6) AS DOUBLE)
+         + CAST(0 AS DOUBLE) AS subtree_bal
+FROM anc JOIN customer c ON anc.child = c.c_custkey
+GROUP BY anc.ancestor
+"""
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
@@ -4982,6 +5031,7 @@ CATALOG: dict[str, Query] = {
     "variant_json": Query(q_variant_json, SQL_VARIANT_JSON),
     "try_functions": Query(q_try_functions, SQL_TRY_FUNCTIONS),
     "grid_radius_join": Query(q_grid_radius_join, SQL_GRID_RADIUS_JOIN),
+    "hierarchy_rollup": Query(q_hierarchy_rollup, SQL_HIERARCHY_ROLLUP),
 }
 
 

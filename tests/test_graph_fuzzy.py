@@ -426,3 +426,38 @@ def test_grid_radius_join_rejects_bad_radius(spark):
     a = spark.createDataFrame([(1, 0.0, 0.0)], "id1 int, x1 double, y1 double")
     with _pytest.raises(ValueError, match="radius"):
         grid_radius_join(a, a, ("x1", "y1"), ("x1", "y1"), radius=0.0)
+
+
+def test_transitive_closure_chain_depths(spark):
+    from airflow_kafka_spark_spark.ext.graph import transitive_closure
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "child int, parent int"
+    )
+    out = transitive_closure(chain, max_depth=16)
+    got = {(r["child"], r["parent"]): r["depth"] for r in out.collect()}
+    assert got[(0, 10)] == 10 and got[(3, 7)] == 4 and got[(9, 10)] == 1
+    assert len(got) == sum(range(1, 11))  # every (i, j>i) pair exactly once
+
+
+def test_transitive_closure_dag_shortest_depth(spark):
+    from airflow_kafka_spark_spark.ext.graph import transitive_closure
+
+    # two routes 1→4: 1→2→3→4 (3 hops) and 1→4 (1 hop) → depth 1
+    dag = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "child int, parent int"
+    )
+    out = {(r["child"], r["parent"]): r["depth"] for r in transitive_closure(dag).collect()}
+    assert out[(1, 4)] == 1 and out[(1, 3)] == 2
+
+
+def test_transitive_closure_depth_cap_raises(spark):
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.graph import transitive_closure
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "child int, parent int"
+    )
+    with _pytest.raises(RuntimeError, match="max_depth"):
+        transitive_closure(chain, max_depth=4)
