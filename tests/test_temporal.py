@@ -231,7 +231,7 @@ def test_asof_bad_direction_rejected(spark):
 
     left = _ts(spark, [(1, "2024-01-01 09:30:00", "x")], "k int, ts string, tag string")
     with pytest.raises(ValueError):
-        asof_join(left, left, ["k"], "ts", "ts", ["tag"], direction="nearest")
+        asof_join(left, left, ["k"], "ts", "ts", ["tag"], direction="sideways")
 
 
 def test_densify_daily_forward_fill(spark):
