@@ -3,6 +3,8 @@
 operators a 100 TB pretraining-corpus build actually chains, in order.
 
     raw docs
+      → schema audit           (relational.quality_checks — refuse to
+                                train on a corpus failing its contract)
       → quality gate           (ext.textstats.with_text_stats rule filter)
       → exact dedup            (md5 fingerprint, keep min doc_id)
       → near-dup resolution    (MinHash-LSH pairs → connected components
@@ -50,9 +52,25 @@ def main() -> None:
     from airflow_kafka_spark_spark.session import build_session
     from airflow_kafka_spark_spark.sources.files import load_table
 
+    from airflow_kafka_spark_spark.operators.relational import quality_checks
+
     spark = build_session(app_name="training-pipeline-example")
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
+
+    # 0. corpus contract audit: ingest bugs (null ids/text, duplicate
+    # ids, absurd lengths) surface HERE as named counts, not as silent
+    # skew twenty stages later. At 100 TB this is one scan + one hash
+    # agg; the rows compose into a lake-wide audit table instead of a
+    # driver-side boolean.
+    audit = quality_checks(
+        docs,
+        not_null=["doc_id", "text", "lang", "source"],
+        unique=[["doc_id"]],
+        ranges={"n_chars": (1.0, 1e7)},
+    )
+    bad = {r["check"]: r["violations"] for r in audit.collect() if r["violations"]}
+    assert not bad, f"corpus fails its contract: {bad}"
 
     # 1. quality gate (with_text_stats emits doc_id + stats + is_quality)
     good = with_text_stats(docs).filter(F.col("is_quality") == 1).select("doc_id")

@@ -220,3 +220,97 @@ def test_chunk_dedup_invariants(spark, texts):
         assert r["clean_text"] == " ".join(expect_kept)
         assert r["kept_chunks"] == len(expect_kept)
         assert r["kept_chunks"] + r["removed_chunks"] == len(orig)
+
+
+# ---------------------------------------------------------------------------
+# round-5 operator properties (pure-Python reference checks; Spark examples
+# are few + seeded, same budget posture as the indicator properties)
+# ---------------------------------------------------------------------------
+
+_points = st.lists(
+    st.tuples(
+        st.floats(min_value=0.0, max_value=50.0, allow_nan=False),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(pts=_points)
+@settings(max_examples=12, deadline=None)
+def test_pareto_frontier_property(spark, pts):
+    """Spark skyline == brute-force dominance filter on arbitrary point
+    sets (duplicates and total ties included by the generator)."""
+    from airflow_kafka_spark_spark.operators.relational import pareto_frontier_2d
+
+    rows = [(i, float(x), int(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id int, x double, y long")
+    got = sorted(r["id"] for r in pareto_frontier_2d(df, "x", "y", n_buckets=4).collect())
+    expect = sorted(
+        i
+        for i, x, y in rows
+        if not any(
+            x2 <= x and y2 >= y and (x2 < x or y2 > y) for _, x2, y2 in rows
+        )
+    )
+    assert got == expect
+
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(raw=_edge_lists)
+@settings(max_examples=10, deadline=None)
+def test_triangle_count_property(spark, raw):
+    """Degree-oriented adjacency-intersect count == brute-force triangle
+    enumeration on arbitrary small graphs (self-loops and duplicate
+    edges included by the generator)."""
+    from itertools import combinations
+
+    from airflow_kafka_spark_spark.ext.graph import triangle_stats
+
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in raw], "src int, dst int"
+    )
+    got = triangle_stats(df).collect()[0]["n_triangles"]
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    nodes = sorted({n for e in edges for n in e})
+    expect = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    assert got == expect
+
+
+@given(
+    old_rows=st.dictionaries(st.integers(0, 20), st.integers(-3, 3), max_size=15),
+    new_rows=st.dictionaries(st.integers(0, 20), st.integers(-3, 3), max_size=15),
+)
+@settings(max_examples=10, deadline=None)
+def test_table_diff_property(spark, old_rows, new_rows):
+    """table_diff == the set-theoretic definition: added = new\\old keys,
+    removed = old\\new keys, changed = shared keys with differing value."""
+    from airflow_kafka_spark_spark.operators.relational import table_diff
+
+    old = spark.createDataFrame(
+        [(k, v) for k, v in old_rows.items()] or [(None, None)], "k int, v int"
+    ).filter("k IS NOT NULL")
+    new = spark.createDataFrame(
+        [(k, v) for k, v in new_rows.items()] or [(None, None)], "k int, v int"
+    ).filter("k IS NOT NULL")
+    got = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
+    expect = {}
+    for k in new_rows.keys() - old_rows.keys():
+        expect[k] = "added"
+    for k in old_rows.keys() - new_rows.keys():
+        expect[k] = "removed"
+    for k in old_rows.keys() & new_rows.keys():
+        if old_rows[k] != new_rows[k]:
+            expect[k] = "changed"
+    assert got == expect
