@@ -258,6 +258,7 @@ def transitive_closure(
     src: str = "child",
     dst: str = "parent",
     max_depth: int = 32,
+    strategy: str = "doubling",
 ) -> DataFrame:
     """Transitive reachability with path length — the hierarchical query
     (org chart roll-up, BOM explosion, category-tree flattening)
@@ -265,51 +266,87 @@ def transitive_closure(
     ``(src, dst, depth)`` for every ancestor reachable in ≤ ``max_depth``
     hops; on a DAG with multiple routes, ``depth`` is the SHORTEST.
 
-    Built by path doubling, not step-by-step frontier expansion: round k
-    joins the ≤2^k-hop closure with itself, so ``ceil(log2(max_depth))``
-    join+aggregate rounds cover what naive expansion needs ``max_depth``
-    rounds for — the same O(diameter) → O(log diameter) move
-    connected_components made in round 5, applied to reachability. Each
-    round is one equi-join on the middle node + one min-depth hash
-    aggregate; lineage is cut per round with localCheckpoint (the
-    nested-plan OOM lesson from connected_components). Exceeding
-    ``max_depth`` raises loudly — silent truncation would under-report
-    ancestors.
+    Two strategies, same result (bench_scale ``closure_formulations``
+    measures both every round):
 
-    Cycles are NOT supported (a cycle makes "depth" unbounded); feed a
-    DAG. The doubling join's intermediate size is the closure itself —
-    bounded by nodes × max fan-up, fine for hierarchies (fan-up 1 in a
-    tree), quadratic only on pathological dense DAGs.
+    - ``"doubling"`` (default): round k joins the ≤2^k-hop closure with
+      itself — ``ceil(log2(max_depth))`` join+min-depth-aggregate
+      rounds. The ROUND count is bounded regardless of depth, which is
+      the scale-safety property: on a 1000-executor cluster each round
+      costs scheduler/barrier latency, and a depth-1000 lineage chain
+      at O(depth) rounds stalls on coordination alone. Total WORK is
+      higher (the join input is the whole closure, and a pair can be
+      derived via several split points before the min-depth fold).
+    - ``"frontier"``: classic one-hop expansion — O(depth) rounds over
+      a frontier that only shrinks, each output pair produced exactly
+      once, so less total work. On the sf0.1 customer tree (depth 14)
+      the two land within machine noise of each other (2.9-5.6 s
+      across runs, winner flipping with ambient load — bench_scale
+      records both every round); the real separation appears when
+      depth grows: rounds cost coordination latency at cluster scale,
+      so prefer doubling when depth is large or unknown, frontier when
+      the hierarchy is known-shallow and work-bound.
+
+    Both cut lineage per round with localCheckpoint (the nested-plan
+    OOM lesson from connected_components) and raise loudly when the
+    hierarchy outruns ``max_depth`` — silent truncation would
+    under-report ancestors. Cycles are NOT supported (a cycle makes
+    "depth" unbounded); feed a DAG.
     """
     import math
 
+    if strategy not in ("doubling", "frontier"):
+        raise ValueError(f"strategy must be doubling|frontier, got {strategy!r}")
     reach = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d"), F.lit(1).alias("depth")
     ).localCheckpoint()
-    rounds = max(1, math.ceil(math.log2(max_depth)))
-    for _ in range(rounds):
-        ext = (
-            reach.alias("a")
-            .join(
-                reach.select(
-                    F.col("__s").alias("__d"),
-                    F.col("__d").alias("__d2"),
-                    F.col("depth").alias("__depth2"),
-                ),
-                "__d",
+    if strategy == "frontier":
+        frontier = reach
+        for _ in range(max_depth - 1):
+            frontier = (
+                frontier.join(
+                    edges.select(
+                        F.col(src).alias("__d"), F.col(dst).alias("__d2")
+                    ),
+                    "__d",
+                )
+                .select(
+                    "__s",
+                    F.col("__d2").alias("__d"),
+                    (F.col("depth") + 1).alias("depth"),
+                )
+                .localCheckpoint()
             )
-            .select(
-                F.col("a.__s").alias("__s"),
-                F.col("__d2").alias("__d"),
-                (F.col("a.depth") + F.col("__depth2")).alias("depth"),
+            if not frontier.take(1):
+                break
+            reach = reach.unionByName(frontier).localCheckpoint()
+        # DAG multi-path: fold duplicates to the shortest route
+        reach = reach.groupBy("__s", "__d").agg(F.min("depth").alias("depth"))
+    else:
+        rounds = max(1, math.ceil(math.log2(max_depth)))
+        for _ in range(rounds):
+            ext = (
+                reach.alias("a")
+                .join(
+                    reach.select(
+                        F.col("__s").alias("__d"),
+                        F.col("__d").alias("__d2"),
+                        F.col("depth").alias("__depth2"),
+                    ),
+                    "__d",
+                )
+                .select(
+                    F.col("a.__s").alias("__s"),
+                    F.col("__d2").alias("__d"),
+                    (F.col("a.depth") + F.col("__depth2")).alias("depth"),
+                )
             )
-        )
-        reach = (
-            reach.unionByName(ext)
-            .groupBy("__s", "__d")
-            .agg(F.min("depth").alias("depth"))
-            .localCheckpoint()
-        )
+            reach = (
+                reach.unionByName(ext)
+                .groupBy("__s", "__d")
+                .agg(F.min("depth").alias("depth"))
+                .localCheckpoint()
+            )
     # completeness probe: any 1-hop extension of the closure that is NOT
     # already in it means max_depth was too small — fail loudly
     probe = (

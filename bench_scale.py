@@ -331,6 +331,31 @@ def main() -> None:
         pagerank(both, iterations=iters).agg(F.sum("rank_s")).collect()
         pr_results[f"{iters}_iter"] = {"sec": round(time.perf_counter() - t0, 3)}
 
+    # transitive-closure formulation face-off: path doubling (shipped,
+    # ext.graph.transitive_closure — ceil(log2(depth)) join rounds) vs
+    # the naive one-hop frontier expansion (O(depth) rounds) on the
+    # customer binary tree (depth ~14 at sf0.1) — the same
+    # O(d) → O(log d) argument connected_components made, with numbers
+    from airflow_kafka_spark_spark.ext.graph import transitive_closure
+
+    cust = load_table(spark, sf_dir, "customer")
+    h_edges = cust.filter(F.col("c_custkey") >= 1).select(
+        F.col("c_custkey").alias("child"),
+        F.expr("(c_custkey - 1) div 2").alias("parent"),
+    ).localCheckpoint()
+    closure_results = {}
+    t0 = time.perf_counter()
+    n_pairs = transitive_closure(h_edges, max_depth=24).count()
+    closure_results["doubling"] = {
+        "sec": round(time.perf_counter() - t0, 3), "pairs": n_pairs
+    }
+    t0 = time.perf_counter()
+    n_naive = transitive_closure(h_edges, max_depth=24, strategy="frontier").count()
+    closure_results["frontier"] = {
+        "sec": round(time.perf_counter() - t0, 3), "pairs": n_naive
+    }
+    assert n_naive == n_pairs, (n_naive, n_pairs)
+
     print(
         json.dumps(
             {
@@ -345,6 +370,7 @@ def main() -> None:
                 "semantic_dedup_skew": semdedup_results,
                 "triangle_formulations": tri_results,
                 "pagerank_iteration_cost": pr_results,
+                "closure_formulations": closure_results,
             }
         )
     )

@@ -461,3 +461,32 @@ def test_transitive_closure_depth_cap_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="max_depth"):
         transitive_closure(chain, max_depth=4)
+
+
+def test_transitive_closure_strategies_agree(spark):
+    from airflow_kafka_spark_spark.ext.graph import transitive_closure
+
+    dag = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (5, 6)], "child int, parent int"
+    )
+    a = {
+        (r["child"], r["parent"]): r["depth"]
+        for r in transitive_closure(dag, strategy="doubling").collect()
+    }
+    b = {
+        (r["child"], r["parent"]): r["depth"]
+        for r in transitive_closure(dag, strategy="frontier").collect()
+    }
+    assert a == b and a[(1, 4)] == 1
+
+
+def test_transitive_closure_frontier_cap_raises(spark):
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.graph import transitive_closure
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "child int, parent int"
+    )
+    with _pytest.raises(RuntimeError, match="max_depth"):
+        transitive_closure(chain, max_depth=4, strategy="frontier")
