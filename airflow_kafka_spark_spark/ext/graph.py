@@ -43,10 +43,14 @@ def basket_pairs(
     basket_col: str,
     item_col: str,
     max_basket_size: int | None = None,
+    counted: bool = False,
 ) -> DataFrame:
-    """Distinct undirected co-occurrence edges ``(src < dst)`` between
-    items sharing a basket. ``max_basket_size`` drops larger baskets
-    (quadratic-inflation cap; a 10k-item basket alone emits ~50M pairs).
+    """Undirected co-occurrence edges ``(src < dst)`` between items
+    sharing a basket — distinct pairs by default; with ``counted=True``
+    each pair also carries ``support`` (how many baskets contain it —
+    the market-basket statistic, same single extra aggregate).
+    ``max_basket_size`` drops larger baskets (quadratic-inflation cap;
+    a 10k-item basket alone emits ~50M pairs).
     """
     baskets = df.groupBy(basket_col).agg(
         F.array_sort(F.collect_set(item_col)).alias("__items")
@@ -58,11 +62,14 @@ def basket_pairs(
         "transform(slice(__items, i + 2, size(__items)), "
         "y -> struct(x AS src, y AS dst))))"
     )
-    return (
-        baskets.select(F.explode(pairs).alias("__e"))
-        .select(F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst"))
-        .distinct()
+    exploded = baskets.select(F.explode(pairs).alias("__e")).select(
+        F.col("__e.src").alias("src"), F.col("__e.dst").alias("dst")
     )
+    if counted:
+        return exploded.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+    return exploded.distinct()
 
 
 def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -584,3 +584,84 @@ def merge_pair_counts(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return c.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(top_n)
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_cond: Column,
+    text_col: str = "text",
+    smoothing: int = 1,
+) -> DataFrame:
+    """DSIR-flavored importance scoring (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — public):
+    score each document by how target-like its token distribution is,
+    where the target is the subset satisfying ``target_cond`` (e.g. the
+    quality rule) and the raw distribution is the whole corpus.
+
+    Deviation from the paper, for replayability: the canonical score is
+    a sum of log probability ratios; ``log`` is a libm call whose last
+    ulp differs across engines, so this uses the LINEAR ratio instead —
+    per token t, an integer-quantized smoothed ratio
+
+        r_t = ((10^6 · (n_target_t + s)) div (n_raw_t + s)) · N_raw div N_target
+
+    (all BIGINT floor-divisions, in exactly this association — the
+    oracle must reproduce the same op order) and the document score is
+    Σ occurrences · r_t — a monotone preference for target-like tokens
+    with zero floating point anywhere, bit-identical on any engine and
+    partitioning. ``kept`` flags docs at or above the median score
+    (exact percentile_disc — an actual data value).
+
+    Scale shape: one explode over the corpus, ONE hash aggregate for
+    the per-token raw/target counts (conditional sum — no second scan
+    for the target corpus), a broadcast-sized totals row, one equi-join
+    of the exploded tokens against the (vocab-sized) ratio table, one
+    per-doc sum. Same shuffle economics as tf-idf.
+    """
+    t = tokens(F.col(text_col))
+    ex = docs.select(
+        "doc_id",
+        target_cond.cast("long").alias("__tgt"),
+        F.explode(t).alias("__tok"),
+    )
+    # the vocab-sized stats table is consumed twice (totals + ratio);
+    # localCheckpoint materializes it once so the corpus-wide explode
+    # and aggregate don't run per consumer (and the totals cross join
+    # stops being a lineage self-join). Total corpus passes: two — the
+    # stats aggregate and the scoring join; the vocab table is tiny.
+    tok_stats = ex.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__n_raw"),
+        F.sum("__tgt").alias("__n_tgt"),
+    ).localCheckpoint()
+    totals = tok_stats.agg(
+        F.sum("__n_raw").alias("__N_raw"), F.sum("__n_tgt").alias("__N_tgt")
+    )
+    s = int(smoothing)
+    # totals derives from tok_stats, so the cross join is a self-join in
+    # lineage terms — qualify through aliases or the analyzer flags the
+    # shared attribute ids as ambiguous
+    ratio = tok_stats.alias("ts").crossJoin(totals.alias("tt")).select(
+        F.col("ts.__tok").alias("__tok"),
+        F.expr(
+            f"((1000000 * (ts.__n_tgt + {s})) div (ts.__n_raw + {s}))"
+            " * tt.__N_raw div tt.__N_tgt"
+        ).alias("__r"),
+    )
+    # scores feeds both the output and the median scalar — checkpoint
+    # (doc-count-sized) so the corpus-wide scoring join runs once
+    scores = (
+        ex.join(ratio, "__tok")
+        .groupBy("doc_id")
+        .agg(F.sum("__r").alias("dsir_score"))
+        .localCheckpoint()
+    )
+    median = scores.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY dsir_score)"
+        ).alias("__m")
+    )
+    return scores.crossJoin(median).select(
+        "doc_id",
+        "dsir_score",
+        (F.col("dsir_score") >= F.col("__m")).cast("int").alias("kept"),
+    )

@@ -4885,6 +4885,250 @@ GROUP BY anc.ancestor
 """
 
 
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over order baskets: pair support
+    from ext.graph.basket_pairs(counted=True) (one shuffle, map-side
+    pair expansion), item supports one hash agg, confidence/lift from
+    exact integer counts (single double divisions — deterministic).
+    Both rule directions emit from one map-side explode; top-20 by
+    (lift desc, antecedent, consequent), min support 3."""
+    from ..ext.graph import basket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bi = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = bi.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("__N")
+    )
+    item = bi.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey", counted=True)
+    joined = (
+        pairs.join(
+            item.select(F.col("item").alias("src"), F.col("n_item").alias("n_a")),
+            "src",
+        )
+        .join(
+            item.select(F.col("item").alias("dst"), F.col("n_item").alias("n_b")),
+            "dst",
+        )
+        .crossJoin(n_baskets)
+    )
+    directed = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("antecedent"),
+                    F.col("dst").alias("consequent"),
+                    F.col("n_a").alias("n_ante"),
+                    F.col("n_b").alias("n_cons"),
+                ),
+                F.struct(
+                    F.col("dst").alias("antecedent"),
+                    F.col("src").alias("consequent"),
+                    F.col("n_b").alias("n_ante"),
+                    F.col("n_a").alias("n_cons"),
+                ),
+            )
+        ).alias("r"),
+        "support",
+        "__N",
+    ).select("r.*", "support", "__N")
+    out = directed.filter(F.col("support") >= 3).select(
+        "antecedent",
+        "consequent",
+        "support",
+        _r6(F.col("support").cast("double") / F.col("n_ante").cast("double")).alias(
+            "confidence"
+        ),
+        _r6(
+            (F.col("support") * F.col("__N")).cast("double")
+            / (F.col("n_ante") * F.col("n_cons")).cast("double")
+        ).alias("lift"),
+    )
+    return out.orderBy(
+        F.col("lift").desc(), F.col("antecedent"), F.col("consequent")
+    ).limit(20)
+
+
+SQL_ASSOC_RULES = """
+WITH bi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS N FROM bi),
+item AS (SELECT l_partkey AS item, COUNT(*) AS n_item FROM bi GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS support
+  FROM bi a JOIN bi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT src AS antecedent, dst AS consequent, support FROM pairs
+  UNION ALL
+  SELECT dst AS antecedent, src AS consequent, support FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.support,
+  CAST(ROUND(CAST(d.support AS DOUBLE) / CAST(ia.n_item AS DOUBLE), 6) AS DOUBLE)
+    + CAST(0 AS DOUBLE) AS confidence,
+  CAST(ROUND(CAST(d.support * nb.N AS DOUBLE)
+             / CAST(ia.n_item * ic.n_item AS DOUBLE), 6) AS DOUBLE)
+    + CAST(0 AS DOUBLE) AS lift
+FROM directed d
+JOIN item ia ON d.antecedent = ia.item
+JOIN item ic ON d.consequent = ic.item
+CROSS JOIN nb
+WHERE d.support >= 3
+ORDER BY lift DESC, antecedent, consequent
+LIMIT 20
+"""
+
+
+def q_pattern_match(spark, sf_dir):
+    """Behavioral-sequence pattern screening: the sessionized event-type
+    strings (same sessionization as session_sequences) matched against
+    three regex patterns — conversion (view then later purchase),
+    signup presence, consecutive errors. One sessionization pass, one
+    aggregate with three conditional counts, unpivoted to one row per
+    pattern."""
+    seqs = q_session_sequences(spark, sf_dir).select("event_seq")
+    pats = {
+        "view_then_purchase": "view.*purchase",
+        "has_signup": "signup",
+        "double_error": "error\\|error",
+    }
+    agg = seqs.agg(
+        F.count(F.lit(1)).alias("__total"),
+        *[
+            F.sum(F.col("event_seq").rlike(p).cast("long")).alias(f"__m_{k}")
+            for k, p in pats.items()
+        ],
+    )
+    stacked = agg.select(
+        "__total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("pattern"),
+                        F.col(f"__m_{k}").alias("n_matched"),
+                    )
+                    for k in pats
+                ]
+            )
+        ).alias("r"),
+    )
+    return stacked.select(
+        F.col("r.pattern").alias("pattern"),
+        F.col("__total").alias("n_sessions"),
+        F.col("r.n_matched").alias("n_matched"),
+        _r6(
+            F.col("r.n_matched").cast("double") / F.col("__total").cast("double")
+        ).alias("match_rate"),
+    )
+
+
+SQL_PATTERN_MATCH = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+seqs AS (
+  SELECT string_agg(event_type, '|' ORDER BY ts, event_id) AS event_seq
+  FROM sess GROUP BY user_id, sid
+),
+counts AS (
+  SELECT COUNT(*) AS n_sessions,
+    CAST(SUM(CASE WHEN regexp_matches(event_seq, 'view.*purchase') THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+    CAST(SUM(CASE WHEN regexp_matches(event_seq, 'signup') THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+    CAST(SUM(CASE WHEN regexp_matches(event_seq, 'error\\|error') THEN 1 ELSE 0 END) AS BIGINT) AS m3
+  FROM seqs
+)
+SELECT p.pattern, c.n_sessions, p.n_matched,
+       CAST(ROUND(CAST(p.n_matched AS DOUBLE) / CAST(c.n_sessions AS DOUBLE), 6)
+            AS DOUBLE) + CAST(0 AS DOUBLE) AS match_rate
+FROM counts c, (
+  SELECT 'view_then_purchase' AS pattern, m1 AS n_matched FROM counts
+  UNION ALL SELECT 'has_signup', m2 FROM counts
+  UNION ALL SELECT 'double_error', m3 FROM counts
+) p
+"""
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-flavored importance scoring (ext.textstats.dsir_importance):
+    target = the quality-rule subset, raw = the whole corpus; per-token
+    integer-quantized linear probability ratios (no log — libm's last
+    ulp is not cross-engine), per-doc occurrence-weighted sums, kept =
+    at-or-above the exact median. All-BIGINT arithmetic: the oracle
+    reproduces the score bit for bit."""
+    from ..ext.textstats import dsir_importance, tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = _toks(F.col("text"))
+    n_tokens = F.size(t)
+    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n_tokens.cast(
+        "double"
+    )
+    stop_ratio = (
+        F.size(F.filter(t, lambda x: x.isin("the", "a", "and", "of", "to"))).cast(
+            "double"
+        )
+        / n_tokens.cast("double")
+    )
+    quality = (
+        (n_tokens >= 10)
+        & (n_tokens <= 10_000)
+        & (distinct_ratio >= 0.2)
+        & (stop_ratio <= 0.5)
+    )
+    return dsir_importance(docs, quality)
+
+
+SQL_DSIR_IMPORTANCE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+flagged AS (
+  SELECT doc_id, t,
+    CASE WHEN len(t) >= 10 AND len(t) <= 10000
+          AND CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.2
+          AND CAST(len(list_filter(t, x -> list_contains(['the','a','and','of','to'], x))) AS DOUBLE)
+              / CAST(len(t) AS DOUBLE) <= 0.5
+         THEN 1 ELSE 0 END AS tgt
+  FROM toks
+),
+ex AS (SELECT doc_id, tgt, unnest(t) AS tok FROM flagged),
+tok_stats AS (
+  SELECT tok, COUNT(*) AS n_raw, CAST(SUM(tgt) AS BIGINT) AS n_tgt
+  FROM ex GROUP BY tok
+),
+totals AS (
+  SELECT CAST(SUM(n_raw) AS BIGINT) AS total_raw, CAST(SUM(n_tgt) AS BIGINT) AS total_tgt
+  FROM tok_stats
+),
+ratio AS (
+  SELECT tok,
+         ((1000000 * (n_tgt + 1)) // (n_raw + 1)) * total_raw // total_tgt AS r
+  FROM tok_stats CROSS JOIN totals
+),
+scores AS (
+  SELECT ex.doc_id, CAST(SUM(ratio.r) AS BIGINT) AS dsir_score
+  FROM ex JOIN ratio ON ex.tok = ratio.tok
+  GROUP BY ex.doc_id
+),
+med AS (SELECT quantile_disc(dsir_score, 0.5) AS m FROM scores)
+SELECT doc_id, dsir_score,
+       CAST(CASE WHEN dsir_score >= m THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM scores CROSS JOIN med
+"""
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
@@ -5032,6 +5276,9 @@ CATALOG: dict[str, Query] = {
     "try_functions": Query(q_try_functions, SQL_TRY_FUNCTIONS),
     "grid_radius_join": Query(q_grid_radius_join, SQL_GRID_RADIUS_JOIN),
     "hierarchy_rollup": Query(q_hierarchy_rollup, SQL_HIERARCHY_ROLLUP),
+    "assoc_rules": Query(q_assoc_rules, SQL_ASSOC_RULES),
+    "pattern_match": Query(q_pattern_match, SQL_PATTERN_MATCH),
+    "dsir_importance": Query(q_dsir_importance, SQL_DSIR_IMPORTANCE),
 }
 
 

@@ -505,3 +505,24 @@ def test_grid_radius_join_is_equi_join(spark):
     equi-join — never a nested loop over the distance condition."""
     s = _explain(CATALOG["grid_radius_join"].fn(spark, SF_DIR))
     assert "NestedLoop" not in s and "CartesianProduct" not in s, s
+
+
+def test_assoc_rules_no_cartesian(spark):
+    """Pair supports come from the basket expansion (one shuffle), item
+    supports broadcast back — the only nested-loop shape allowed is the
+    1-row basket-count scalar."""
+    s = _explain(CATALOG["assoc_rules"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s, s
+    assert s.count("BroadcastNestedLoopJoin") <= 1, s
+
+
+def test_dsir_single_token_agg_no_second_scan(spark):
+    """Raw and target token counts fold into ONE conditional-count
+    aggregate (sum of the target flag) — no separate filtered scan of
+    the target corpus — and the vocab stats table is checkpointed, so
+    the plan hangs off a leaf, not a repeated corpus explode."""
+    s = _explain(CATALOG["dsir_importance"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s, s
+    # the checkpointed vocab table appears as a scan leaf; the only
+    # remaining corpus explode is the scoring join's
+    assert s.count("Generate explode") <= 1, s
