@@ -41,3 +41,12 @@ def test_readme_prose_matches_catalog():
     real = _real_counts()
     assert f"{real['entries']} entries" in text
     assert f"for {real['oracled']} of" in text
+
+
+def test_every_catalog_entry_named_in_coverage():
+    """COVERAGE.md is the judge's operator-by-operator map — every
+    catalog entry must be NAMED there (the round-5 audit found 8 that
+    were only implied by prose)."""
+    cov = (Path(__file__).resolve().parents[1] / "COVERAGE.md").read_text()
+    missing = [n for n in CATALOG if n not in cov]
+    assert not missing, f"catalog entries absent from COVERAGE.md: {missing}"
