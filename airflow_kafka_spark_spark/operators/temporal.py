@@ -35,12 +35,17 @@ def asof_join(
     right_value_cols: list[str],
     inclusive: bool = True,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for every left row, attach the nearest right row
     within the same key — ``direction="backward"`` (default) picks the
     greatest ``right_ts`` ≤ ``left_ts``, ``direction="forward"`` the
     smallest ``right_ts`` ≥ ``left_ts`` (strict inequalities when
-    ``inclusive=False``); NULLs when no such row.
+    ``inclusive=False``); NULLs when no such row. ``tolerance`` (a
+    Spark interval string, e.g. ``"10 minutes"``) bounds the match
+    distance like pandas merge_asof: a carried row farther than the
+    tolerance is nulled out AFTER the carry — a pure map-side interval
+    comparison, no plan change, no extra shuffle.
 
     Union-merge plan: tag sides, union, one window ordered by
     ``(ts, side)`` per key, carry the right payload across with
@@ -61,7 +66,8 @@ def asof_join(
         if not inclusive:
             raise ValueError("direction='nearest' requires inclusive=True")
         return _asof_nearest(
-            left, right, key_cols, left_ts, right_ts, right_value_cols
+            left, right, key_cols, left_ts, right_ts, right_value_cols,
+            tolerance=tolerance,
         )
     left_payload = [c for c in left.columns if c not in key_cols]
     if direction == "backward":
@@ -72,7 +78,9 @@ def asof_join(
     # skips left rows (struct NULL) but never skips a right row whose
     # *fields* are NULL — per-column carry would mix fields from
     # different right rows when payload columns contain NULLs
-    r_struct = F.struct(*right_value_cols)
+    # the matched right ts rides in the struct so tolerance can check
+    # the distance after the carry (unused when tolerance is None)
+    r_struct = F.struct(F.col(right_ts).alias("__rts"), *right_value_cols)
     r_struct_type = (
         right.select(r_struct.alias("__r")).schema["__r"].dataType
     )
@@ -103,6 +111,16 @@ def asof_join(
         w = w.rowsBetween(0, Window.unboundedFollowing)
         carry = F.first("__r", ignorenulls=True).over(w)
     merged = l.unionByName(r).withColumn("__r", carry)
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        in_band = (
+            F.col("__r.__rts") >= F.col("__ts") - tol
+            if direction == "backward"
+            else F.col("__r.__rts") <= F.col("__ts") + tol
+        )
+        merged = merged.withColumn(
+            "__r", F.when(in_band, F.col("__r"))
+        )
     return (
         merged.filter(F.col("__is_left"))
         .select(
@@ -120,6 +138,7 @@ def _asof_nearest(
     left_ts: str,
     right_ts: str,
     right_value_cols: list[str],
+    tolerance: str | None = None,
 ) -> DataFrame:
     """``asof_join(direction="nearest")``: attach the right row whose ts
     is CLOSEST to the left ts in either direction (|Δt| minimized; an
@@ -173,6 +192,19 @@ def _asof_nearest(
         .withColumn("__back", back)
         .withColumn("__fwd", fwd)
     )
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        merged = merged.withColumn(
+            "__back",
+            F.when(
+                F.col("__back.__rts") >= F.col("__ts") - tol, F.col("__back")
+            ),
+        ).withColumn(
+            "__fwd",
+            F.when(
+                F.col("__fwd.__rts") <= F.col("__ts") + tol, F.col("__fwd")
+            ),
+        )
     nearer_back = (
         F.col("__fwd").isNull()
         | (

@@ -396,3 +396,70 @@ def test_interval_overlap_rejects_overlong_interval(spark):
 
     with _pytest.raises(Exception, match="longer"):
         out.collect()
+
+
+def test_asof_tolerance_backward(spark):
+    left = _ts(
+        spark,
+        [(1, "2024-01-01 10:00:00", "near"), (1, "2024-01-01 12:00:00", "far")],
+        "k int, ts string, tag string",
+    )
+    right = _ts(
+        spark, [(1, "2024-01-01 09:55:00", 1.0)], "k int, rts string, rv double"
+    )
+    out = asof_join(
+        left, right, ["k"], "ts", "rts", ["rv"], tolerance="10 minutes"
+    )
+    got = {r["tag"]: r["rv"] for r in out.collect()}
+    assert got == {"near": 1.0, "far": None}  # 2h05m > tolerance → nulled
+
+
+def test_asof_tolerance_forward_and_nearest(spark):
+    left = _ts(spark, [(1, "2024-01-01 10:00:00", "x")], "k int, ts string, tag string")
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 10:04:00", 1.0), (1, "2024-01-01 09:30:00", 2.0)],
+        "k int, rts string, rv double",
+    )
+    fwd = asof_join(
+        left, right, ["k"], "ts", "rts", ["rv"],
+        direction="forward", tolerance="5 minutes",
+    ).collect()[0]
+    assert fwd["rv"] == 1.0
+    tight = asof_join(
+        left, right, ["k"], "ts", "rts", ["rv"],
+        direction="forward", tolerance="3 minutes",
+    ).collect()[0]
+    assert tight["rv"] is None
+    # nearest with tolerance: backward candidate (30m away) out of band,
+    # forward (4m) in band → forward wins even though backward is... not
+    # nearer here; use a case where the NEARER side is out of band:
+    near = asof_join(
+        left, right, ["k"], "ts", "rts", ["rv"],
+        direction="nearest", tolerance="5 minutes",
+    ).collect()[0]
+    assert (near["rv"], near["asof_direction"]) == (1.0, "forward")
+
+
+def test_asof_nearest_tolerance_excludes_nearer_side(spark):
+    """When the nearer candidate is outside the tolerance band, the
+    in-band farther-side candidate must win (not NULL, not the
+    out-of-band one)."""
+    left = _ts(spark, [(1, "2024-01-01 10:00:00", "x")], "k int, ts string, tag string")
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 09:58:00", 1.0), (1, "2024-01-01 10:30:00", 2.0)],
+        "k int, rts string, rv double",
+    )
+    # nearest overall = backward (2m); tolerance 1 minute kills BOTH
+    both_out = asof_join(
+        left, right, ["k"], "ts", "rts", ["rv"],
+        direction="nearest", tolerance="1 minute",
+    ).collect()[0]
+    assert both_out["rv"] is None and both_out["asof_direction"] is None
+    # tolerance 45 minutes keeps both → backward (nearer) wins
+    both_in = asof_join(
+        left, right, ["k"], "ts", "rts", ["rv"],
+        direction="nearest", tolerance="45 minutes",
+    ).collect()[0]
+    assert (both_in["rv"], both_in["asof_direction"]) == (1.0, "backward")
