@@ -123,3 +123,71 @@ def start_rollup_pipeline(
     if trigger is not None:
         writer = writer.trigger(processingTime=trigger)
     return writer.start()
+
+
+def merge_batch_into_distinct_rollup(
+    rollup_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+    grain: str = "hour",
+    keys: list[str] | None = None,
+    id_col: str = "user_id",
+    lgk: int = 12,
+) -> bool:
+    """The distinct-count sibling of ``merge_batch_into_rollup``: COUNT
+    DISTINCT has no exact mergeable partial, so the stored per-bucket
+    state is a Datasketches HLL sketch (~1.5 kB at lgK=12) and the fold
+    is ``hll_union_agg`` over stored ∪ delta — same bounded-per-trigger
+    work, zero streaming state, same batch-id replay fence and atomic
+    staging swap. The table keeps both the sketch (for further merging
+    — e.g. rolling windows or lake-wide unions) and the materialized
+    ``users_est`` estimate for direct querying.
+
+    Same idempotency caveat as the sum rollup: a batch folds in once;
+    within-batch duplicate ids collapse inside the sketch, and
+    cross-batch duplicates are the POINT (the sketch union counts each
+    id once however many triggers it appears in — the property a
+    mergeable COUNT DISTINCT exists for).
+    """
+    keys = keys if keys is not None else ["event_type"]
+    spark = batch_df.sparkSession
+    staging = rollup_path.rstrip("/") + "__staging"
+    backup = rollup_path.rstrip("/") + "__backup"
+    _recover_and_clean(rollup_path, staging, backup)
+    meta_path = os.path.join(rollup_path, _META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if batch_id <= json.load(f)["last_batch_id"]:
+                return False
+
+    bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts")
+    delta = batch_df.groupBy(bucket, *keys).agg(
+        F.hll_sketch_agg(id_col, F.lit(lgk)).alias("sketch")
+    )
+    if os.path.exists(rollup_path):
+        stored = spark.read.parquet(rollup_path).select(
+            "bucket_ts", *keys, "sketch"
+        )
+        merged = (
+            stored.unionByName(delta)
+            .groupBy("bucket_ts", *keys)
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+    else:
+        merged = delta
+    merged = merged.withColumn(
+        "users_est", F.hll_sketch_estimate("sketch").cast("long")
+    )
+
+    merged.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, _META), "w") as f:
+        json.dump({"last_batch_id": batch_id}, f)
+    if os.path.exists(rollup_path):
+        _swap(rollup_path, staging, backup)
+        import shutil
+
+        shutil.rmtree(backup, ignore_errors=True)
+    else:
+        os.rename(staging, rollup_path)
+    return True

@@ -612,3 +612,45 @@ def test_quotefeed_stream_polls_cycles(spark):
     n0 = len(_json.loads(first[0]["message"])["historical_data"])
     n1 = len(_json.loads(second[0]["message"])["historical_data"])
     assert n1 == n0 + 1  # one more bar per cycle
+
+
+def test_distinct_rollup_sketch_merge_counts_cross_batch_once(spark):
+    """The HLL distinct rollup's reason to exist: a user active in BOTH
+    batches must count once per bucket after the sketch union — a sum
+    of per-batch distinct counts would double them. Two folds, then
+    per-bucket estimates within ±5% of the exact distinct over all rows
+    (and the within-batch estimate path already covered by the catalog
+    entry's bound test)."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from airflow_kafka_spark_spark.streaming.rollup import (
+        merge_batch_into_distinct_rollup,
+    )
+
+    workdir = tempfile.mkdtemp()
+    rollup = os.path.join(workdir, "droll")
+    ev = load_table(spark, SF_DIR, "events").select("ts", "event_type", "user_id")
+    # overlapping samples: most users appear in both batches
+    b1 = ev.sample(0.6, seed=1)
+    b2 = ev.sample(0.6, seed=2)
+
+    assert merge_batch_into_distinct_rollup(rollup, b1, 0, grain="day") is True
+    assert merge_batch_into_distinct_rollup(rollup, b2, 1, grain="day") is True
+    # replay fence shared with the sum rollup
+    assert merge_batch_into_distinct_rollup(rollup, b2, 1, grain="day") is False
+
+    stored = {
+        (str(r["bucket_ts"]), r["event_type"]): r["users_est"]
+        for r in spark.read.parquet(rollup).collect()
+    }
+    exact = {
+        (str(r["bucket_ts"]), r["event_type"]): r["n"]
+        for r in b1.unionByName(b2)
+        .groupBy(F.date_trunc("day", "ts").alias("bucket_ts"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(stored) == set(exact)
+    for k, est in stored.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
