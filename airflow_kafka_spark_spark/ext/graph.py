@@ -151,15 +151,21 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             "n_nodes",
             "n_edges",
             "n_triangles",
-            (
+            # wedge-free graphs (all degrees <= 1, e.g. a perfect
+            # matching) would hit 0/0 -> NULL under non-ANSI division;
+            # define clustering as 0.0 there instead
+            F.when(
+                F.col("__wedges") > 0,
                 F.round(
                     F.lit(3.0)
                     * F.col("n_triangles").cast("double")
                     / F.col("__wedges").cast("double"),
                     6,
                 )
-                + F.lit(0.0)
-            ).alias("clustering"),
+                + F.lit(0.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
         )
     )
 
@@ -278,15 +284,23 @@ def transitive_closure(
 
     - ``"doubling"`` (default): round k joins the ≤2^k-hop closure with
       itself — ``ceil(log2(max_depth))`` join+min-depth-aggregate
-      rounds. The ROUND count is bounded regardless of depth, which is
-      the scale-safety property: on a 1000-executor cluster each round
-      costs scheduler/barrier latency, and a depth-1000 lineage chain
-      at O(depth) rounds stalls on coordination alone. Total WORK is
-      higher (the join input is the whole closure, and a pair can be
-      derived via several split points before the min-depth fold).
+      rounds, then a ``depth <= max_depth`` filter (the doubled closure
+      covers up to ``2^ceil(log2(max_depth))`` hops; the filter trims
+      the overshoot for non-power-of-two ``max_depth`` so both
+      strategies return — and the completeness probe checks — the same
+      ≤ ``max_depth``-hop set). The ROUND count is bounded regardless
+      of depth, which is the scale-safety property: on a 1000-executor
+      cluster each round costs scheduler/barrier latency, and a
+      depth-1000 lineage chain at O(depth) rounds stalls on
+      coordination alone. Total WORK is higher (the join input is the
+      whole closure, and a pair can be derived via several split
+      points before the min-depth fold).
     - ``"frontier"``: classic one-hop expansion — O(depth) rounds over
-      a frontier that only shrinks, each output pair produced exactly
-      once, so less total work. On the sf0.1 customer tree (depth 14)
+      a frontier that only shrinks: each round's expansion is deduped
+      (one row per new pair) and anti-joined against the closure so
+      far, so every output pair is produced exactly once, at its BFS
+      (= minimal) depth, even on dense multi-path DAGs. Less total
+      work than doubling. On the sf0.1 customer tree (depth 14)
       the two land within machine noise of each other (2.9-5.6 s
       across runs, winner flipping with ambient load — bench_scale
       records both every round); the real separation appears when
@@ -304,12 +318,21 @@ def transitive_closure(
 
     if strategy not in ("doubling", "frontier"):
         raise ValueError(f"strategy must be doubling|frontier, got {strategy!r}")
-    reach = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__d"), F.lit(1).alias("depth")
-    ).localCheckpoint()
+    reach = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .withColumn("depth", F.lit(1))
+        .localCheckpoint()
+    )
     if strategy == "frontier":
+        # semi-naive BFS: expand one hop, dedup the round's pairs (a
+        # multi-path DAG derives the same pair via several routes —
+        # without the fold the frontier grows multiplicatively with
+        # path count), then anti-join away pairs already reached (BFS
+        # order means first arrival IS the minimal depth, so dropped
+        # re-arrivals are never shorter)
         frontier = reach
-        for _ in range(max_depth - 1):
+        for hop in range(2, max_depth + 1):
             frontier = (
                 frontier.join(
                     edges.select(
@@ -317,18 +340,15 @@ def transitive_closure(
                     ),
                     "__d",
                 )
-                .select(
-                    "__s",
-                    F.col("__d2").alias("__d"),
-                    (F.col("depth") + 1).alias("depth"),
-                )
+                .select("__s", F.col("__d2").alias("__d"))
+                .distinct()
+                .join(reach.select("__s", "__d"), ["__s", "__d"], "left_anti")
+                .withColumn("depth", F.lit(hop))
                 .localCheckpoint()
             )
             if not frontier.take(1):
                 break
             reach = reach.unionByName(frontier).localCheckpoint()
-        # DAG multi-path: fold duplicates to the shortest route
-        reach = reach.groupBy("__s", "__d").agg(F.min("depth").alias("depth"))
     else:
         rounds = max(1, math.ceil(math.log2(max_depth)))
         for _ in range(rounds):
@@ -354,6 +374,10 @@ def transitive_closure(
                 .agg(F.min("depth").alias("depth"))
                 .localCheckpoint()
             )
+        # the doubled closure covers 2^rounds >= max_depth hops; trim
+        # the overshoot so non-power-of-two max_depth returns the same
+        # set (and trips the same probe) as the frontier strategy
+        reach = reach.filter(F.col("depth") <= F.lit(max_depth))
     # completeness probe: any 1-hop extension of the closure that is NOT
     # already in it means max_depth was too small — fail loudly
     probe = (

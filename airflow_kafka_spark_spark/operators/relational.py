@@ -404,6 +404,16 @@ def grouped_ols(
 
     slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — the n·Σxy combination
     is formed in DECIMAL(38,0) (it overflows BIGINT at ~1e18).
+
+    Magnitude bound (overflow contract): Σy² accumulates in
+    DECIMAL(38,0), and non-ANSI Spark NULLs a decimal sum on overflow
+    instead of raising — so the caller must keep
+    ``n · (|y|·10^y_scale)² < 10^38``, i.e. at the default y_scale=6
+    ``|y| < 10^13 / sqrt(n)`` (|y| up to ~10^10 for a billion-row
+    group). Beyond it Spark returns NULL r2 while an engine with wider
+    integers (e.g. DuckDB's 128-bit HUGEINT) still returns a value —
+    a cross-engine divergence, not just a missing stat. Same class of
+    guard as fixed_point_group_sum documents for its partial sums.
     Degenerate groups (single point / constant x) emit NULL slope — a
     LEAST-squares line does not exist there; surfacing NULL beats a
     fabricated 0. r² = num² / (denx·deny) computed in double; NULL when

@@ -54,6 +54,14 @@ def test_triangle_stats_path_graph_no_triangles(spark):
     assert row["clustering"] == 0.0
 
 
+def test_triangle_stats_wedge_free_matching_clustering_zero(spark):
+    # perfect matching: every degree is 1, so zero wedges — clustering
+    # must be a defined 0.0, not the NULL that non-ANSI 0/0 would give
+    row = triangle_stats(_edges(spark, [(1, 2), (3, 4), (5, 6)])).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["clustering"] == 0.0 and row["clustering"] is not None
+
+
 def test_triangle_stats_skewed_star_plus_triangle(spark):
     """A star (celebrity hub 0) contributes wedges but no triangles; one
     off-star triangle must still be counted exactly once despite the
@@ -490,3 +498,59 @@ def test_transitive_closure_frontier_cap_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="max_depth"):
         transitive_closure(chain, max_depth=4, strategy="frontier")
+
+
+def test_transitive_closure_non_power_of_two_cap_both_strategies(spark):
+    """max_depth=5 on a 6-deep chain: the doubled closure covers 8 hops,
+    which used to let 'doubling' silently return >5-hop pairs while
+    'frontier' raised — both must now enforce the same <=max_depth
+    contract."""
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.graph import transitive_closure
+
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "child int, parent int"
+    )
+    for strategy in ("doubling", "frontier"):
+        with _pytest.raises(RuntimeError, match="max_depth"):
+            transitive_closure(deep, max_depth=5, strategy=strategy)
+
+    ok = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "child int, parent int"
+    )
+    results = []
+    for strategy in ("doubling", "frontier"):
+        out = transitive_closure(ok, max_depth=5, strategy=strategy)
+        got = {(r["child"], r["parent"]): r["depth"] for r in out.collect()}
+        assert max(got.values()) == 5 and len(got) == sum(range(1, 6))
+        results.append(got)
+    assert results[0] == results[1]
+
+
+def test_transitive_closure_multipath_dag_strategies_agree(spark):
+    """Layered complete-bipartite DAG: 3^k distinct paths per pair — the
+    shape where an undeduped frontier multiplies. Both strategies must
+    return one row per reachable pair at the minimal depth."""
+    from airflow_kafka_spark_spark.ext.graph import transitive_closure
+
+    layers = [[lv * 10 + i for i in range(3)] for lv in range(5)]
+    edges = [
+        (a, b)
+        for l0, l1 in zip(layers, layers[1:])
+        for a in l0
+        for b in l1
+    ]
+    dag = spark.createDataFrame(edges, "child int, parent int")
+    expected = {
+        (a, b): lv_b - lv_a
+        for lv_a, la in enumerate(layers)
+        for lv_b, lb in enumerate(layers)
+        if lv_b > lv_a
+        for a in la
+        for b in lb
+    }
+    for strategy in ("doubling", "frontier"):
+        out = transitive_closure(dag, max_depth=7, strategy=strategy)
+        got = {(r["child"], r["parent"]): r["depth"] for r in out.collect()}
+        assert got == expected, strategy
