@@ -35,6 +35,45 @@ def main() -> None:
         lambda t: t, "g bigint, id bigint"
     ).write.format("noop").mode("overwrite").save()
 
+    # Calibration probes (VERDICT r5 item 2): fixed, catalog-independent
+    # work timed every round and emitted as "calibration" in the JSON.
+    # Cross-round query deltas divide by the matching probe's ratio
+    # before being called regressions — r5's +50-90% "regression" was a
+    # uniform host-performance shift that could only be asserted, not
+    # measured. Three probes cover the three cost regimes: pure JVM
+    # codegen CPU, parquet scan+decode, and a keyed shuffle.
+    def _best_of(fn, n=3) -> float:
+        runs = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
+
+    from airflow_kafka_spark_spark.sources.files import load_table as _lt
+
+    calibration = {
+        "cpu_range_sum_sec": _best_of(
+            lambda: spark.range(50_000_000)
+            .selectExpr("sum(id % 7) AS s")
+            .collect()
+        ),
+        "parquet_scan_sec": _best_of(
+            lambda: _lt(spark, sf_dir, "lineitem")
+            .selectExpr("sum(l_quantity) AS s", "count(*) AS n")
+            .collect()
+        ),
+        "shuffle_groupby_sec": _best_of(
+            lambda: spark.range(20_000_000)
+            .selectExpr("id % 100000 AS g")
+            .groupBy("g")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        ),
+    }
+
     # $SPARK_GRAFT_BENCH_RUNS (default 2): best-of-N with per-run cache
     # clearing. One timing per query is ±25% machine-load noise; min of N
     # runs reports the engine, not the neighbors. N=3 additionally emits
@@ -104,6 +143,7 @@ def main() -> None:
         "queries": timings,
         "queries_single_run": first_run,
         "runs_per_query": n_runs,
+        "calibration": calibration,
         "faceoff_fixed_point": faceoff,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
