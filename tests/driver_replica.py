@@ -28,8 +28,34 @@ TS_TYPES = ("TIMESTAMP_NTZ", "TIMESTAMP_LTZ")
 CANON_CAP = 10_000
 
 
+def engine_tree_stamp() -> str:
+    """Git hash of the engine-source tree this replica runs against,
+    '+dirty' when the working tree has uncommitted engine changes.
+    PREFLIGHT_r{N}.txt embeds this so a preflight that predates later
+    engine commits is *provably* stale (r5 shipped one 2 engine commits
+    behind HEAD; tests/test_preflight_fresh.py closes that hole)."""
+    import subprocess
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    try:
+        tree = subprocess.run(
+            ["git", "-C", str(repo), "rev-parse", "HEAD:airflow_kafka_spark_spark"],
+            capture_output=True, text=True, check=True, timeout=30,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", str(repo), "status", "--porcelain",
+             "airflow_kafka_spark_spark"],
+            capture_output=True, text=True, check=True, timeout=30,
+        ).stdout.strip()
+        return tree + ("+dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    print(f"engine-tree: {engine_tree_stamp()}", flush=True)
     from pyspark.sql import SparkSession
 
     spark = (
