@@ -904,6 +904,80 @@ def q_approx_aggs(spark, sf_dir):
     )
 
 
+def q_approx_aggs_bounded(spark, sf_dir):
+    """Sketch error bounds as an ORACLED contract (VERDICT r5 item 5):
+    the sketch ESTIMATES are engine-specific (why ``approx_aggs`` is
+    rows-only), but the claim "the estimate is within ε of exact" is a
+    boolean DuckDB can oracle as a literal — the same rescue
+    ``simhash_md5`` used for engine-specific hashing.
+
+    One hash aggregate computes, per event_type, BOTH the sketches
+    (HLL++ distinct users, KLL-style approx p50/p95) and their exact
+    counterparts (count distinct, percentile_disc rank bands), then
+    projects booleans:
+
+    - ``hll_within_bound``: |approx − exact| ≤ max(3·rsd·exact, 2) at
+      rsd 0.02 (a 6% bound — 3σ; the DEFAULT rsd 0.05 measured 6.7%
+      off at sf0.1, a legitimate ~1.3σ miss of a tight 5% bound, so
+      the contract budgets 3σ like any sketch SLA should). Measured
+      error at rsd 0.02 is ≤ 0.4% across sf0.001/0.01/0.1 — 15×
+      margin. The additive floor keeps tiny groups from failing on
+      sub-1 absolute tolerances.
+    - ``p50_in_band`` / ``p95_in_band``: the approximate percentile
+      (a real data value from the GK sketch at accuracy 10⁴ → rank
+      error ≤ n/10⁴) lands between the exact percentile_disc values at
+      rank ± 0.02 — a rank-space band, so it is scale-free.
+
+    Exact values ride along (``n_users``) so the oracle checks more
+    than three TRUEs. Deterministic: both sketches hash/summarize the
+    same fixed data — no RNG — so the booleans are stable per dataset.
+
+    Scale: identical plan shape to ``approx_aggs`` + the exact
+    aggregates — one shuffle, partial aggregation map-side; at 100 TB
+    you would drop the exact columns and keep only the sketches (the
+    point of this entry is to certify them against exact once, at
+    gate scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.95)), 10000
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("__approx_users"),
+        F.element_at(pcts, 1).cast("double").alias("__ap50"),
+        F.element_at(pcts, 2).cast("double").alias("__ap95"),
+        F.expr("percentile_disc(0.48) WITHIN GROUP (ORDER BY value)").alias("__p48"),
+        F.expr("percentile_disc(0.52) WITHIN GROUP (ORDER BY value)").alias("__p52"),
+        F.expr("percentile_disc(0.93) WITHIN GROUP (ORDER BY value)").alias("__p93"),
+        F.expr("percentile_disc(0.97) WITHIN GROUP (ORDER BY value)").alias("__p97"),
+    )
+    tol = F.greatest(F.col("n_users") * F.lit(0.06), F.lit(2.0))
+    return agg.select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("__approx_users") - F.col("n_users")).cast("double")
+            <= tol
+        ).alias("hll_within_bound"),
+        F.col("__ap50").between(F.col("__p48"), F.col("__p52")).alias(
+            "p50_in_band"
+        ),
+        F.col("__ap95").between(F.col("__p93"), F.col("__p97")).alias(
+            "p95_in_band"
+        ),
+    )
+
+
+SQL_APPROX_AGGS_BOUNDED = """
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS n_users,
+  TRUE AS hll_within_bound,
+  TRUE AS p50_in_band,
+  TRUE AS p95_in_band
+FROM events GROUP BY event_type
+"""
+
+
 def q_topk_orders(spark, sf_dir):
     """Global top-k: ORDER BY + LIMIT → TakeOrderedAndProject."""
     od = load_table(spark, sf_dir, "orders")
@@ -5232,6 +5306,7 @@ CATALOG: dict[str, Query] = {
     "agg_event_stats": Query(q_agg_event_stats, SQL_AGG_EVENT_STATS),
     "stats_aggs": Query(q_stats_aggs, SQL_STATS_AGGS),
     "approx_aggs": Query(q_approx_aggs, None),  # sketches engine-specific
+    "approx_aggs_bounded": Query(q_approx_aggs_bounded, SQL_APPROX_AGGS_BOUNDED),
     "topk_orders": Query(q_topk_orders, SQL_TOPK_ORDERS),
     "set_ops": Query(q_set_ops, SQL_SET_OPS),
     "rollup_lineitem": Query(q_rollup_lineitem, SQL_ROLLUP),
