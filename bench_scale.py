@@ -356,6 +356,116 @@ def main() -> None:
     }
     assert n_naive == n_pairs, (n_naive, n_pairs)
 
+    # sf0.01 -> sf0.1 scaling exponents for the four operators with
+    # driver-side iteration or super-linear candidate generation
+    # (VERDICT r5 item 4): exponent = log(t_big/t_small)/log(n_big/
+    # n_small). Caveat printed with the number: the sf0.01 timings sit
+    # near the per-job fixed-overhead floor (~0.1-0.5 s of scheduling/
+    # barrier latency per round), which UNDERSTATES the exponent — read
+    # it as "observed growth between these two real scales", the
+    # trendline the next scale-up gets compared against.
+    import math
+
+    from airflow_kafka_spark_spark.ext.dedup import connected_components
+    from airflow_kafka_spark_spark.plans.catalog import CATALOG
+
+    small_dir = sf_dir.replace("sf0.1", "sf0.01")
+
+    def _timed_best2(fn):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def _edges_for(d):
+        return basket_pairs(
+            load_table(spark, d, "lineitem"), "l_orderkey", "l_partkey"
+        ).localCheckpoint()
+
+    exponent_results = {}
+    per_scale: dict[str, dict[str, dict]] = {}
+    for d, tag in ((small_dir, "sf0.01"), (sf_dir, "sf0.1")):
+        e = _edges_for(d)
+        m = e.count()
+        scale_entry = {}
+        scale_entry["triangle_count"] = {
+            "n": m, "sec": _timed_best2(lambda: triangle_stats(e).collect()),
+        }
+        und = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        scale_entry["pagerank"] = {
+            "n": m,
+            "sec": _timed_best2(
+                lambda: pagerank(und, iterations=3).agg(F.sum("rank_s")).collect()
+            ),
+        }
+        cc_pairs = e.select(
+            F.col("src").alias("doc1"), F.col("dst").alias("doc2")
+        )
+        scale_entry["connected_components"] = {
+            "n": m,
+            "sec": _timed_best2(
+                lambda: connected_components(cc_pairs).agg(
+                    F.count_distinct("component")
+                ).collect()
+            ),
+        }
+        hr = CATALOG["hierarchy_rollup"].fn
+        n_cust = load_table(spark, d, "customer").count()
+        scale_entry["hierarchy_rollup"] = {
+            "n": n_cust,
+            "sec": _timed_best2(
+                lambda: hr(spark, d).write.format("noop").mode("overwrite").save()
+            ),
+        }
+        per_scale[tag] = scale_entry
+    for op in per_scale["sf0.1"]:
+        lo, hi = per_scale["sf0.01"][op], per_scale["sf0.1"][op]
+        exponent_results[op] = {
+            "n_small": lo["n"], "sec_small": round(lo["sec"], 3),
+            "n_big": hi["n"], "sec_big": round(hi["sec"], 3),
+            "exponent": round(
+                math.log(hi["sec"] / lo["sec"]) / math.log(hi["n"] / lo["n"]), 3
+            ),
+        }
+
+    # celebrity-node skew probe for triangle_stats: attach one hub
+    # adjacent to EVERY node of the sf0.1 part graph. Degree
+    # orientation points edges from lower-degree endpoints TOWARD the
+    # hub, so the hub's own out-list stays O(sqrt m)-bounded and the
+    # per-edge array_intersect never sees a celebrity-sized array —
+    # the measured demonstration of the docstring's O(sqrt m) claim.
+    edges_01 = _edges_for(sf_dir)
+    nodes_01 = (
+        edges_01.select(F.col("src").alias("n"))
+        .unionAll(edges_01.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    hub_id = nodes_01.agg(F.max("n")).first()[0] + 1
+    celebrity = edges_01.unionAll(
+        nodes_01.select(F.col("n").alias("src"), F.lit(hub_id).alias("dst"))
+    ).localCheckpoint()
+    n_nodes_clean = nodes_01.count()
+    skew_results = {}
+    for tag, frame in (("clean", edges_01), ("celebrity_hub", celebrity)):
+        t0 = time.perf_counter()
+        row = triangle_stats(frame).collect()[0]
+        skew_results[tag] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "n_edges": frame.count(),
+            "n_triangles": row["n_triangles"],
+        }
+    # hub degree == n_nodes_clean: every clean edge now closes a
+    # triangle through the hub, so the count must grow by exactly the
+    # clean edge count
+    assert (
+        skew_results["celebrity_hub"]["n_triangles"]
+        == skew_results["clean"]["n_triangles"] + skew_results["clean"]["n_edges"]
+    ), (skew_results, n_nodes_clean)
+
     print(
         json.dumps(
             {
@@ -371,6 +481,8 @@ def main() -> None:
                 "triangle_formulations": tri_results,
                 "pagerank_iteration_cost": pr_results,
                 "closure_formulations": closure_results,
+                "scaling_exponents_sf001_to_sf01": exponent_results,
+                "triangle_celebrity_skew": skew_results,
             }
         )
     )
