@@ -83,6 +83,39 @@ def _update_macd(
     )
 
 
+def quotefeed_deltas(raw: DataFrame) -> DataFrame:
+    """Per-bar delta feed from quotefeed snapshot messages — the wiring
+    between the engine-native poll source (sources/quotefeed.py) and
+    :func:`running_macd`.
+
+    Start the stream at ``numBars=1``: cycle c's snapshot then carries
+    bars 0..c and exactly the LAST bar is new each cycle, so a
+    stateless tail projection (``element_at(historical_data, -1)``)
+    turns the snapshot stream into a pure per-bar delta feed — no
+    dedup state, no batch_id branching. This is the transport shape the
+    module docstring argues for at 100 TB: the reference re-ships the
+    full history every poll (spark/stock_analysis.py:57-78); here only
+    the new bar crosses the wire into the stateful MACD.
+
+    Note the synthetic generator's dates wrap every 28 bars
+    (sources/quotefeed._synthetic_history) — within a micro-batch each
+    symbol has exactly one bar so running_macd's in-batch sort never
+    sees the wrap; examples/tests keep cycle counts below 28 anyway so
+    date_str stays unique per bar.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.parse import parse_history_messages
+
+    msgs = parse_history_messages(raw, value_col="message")
+    last = F.element_at(F.col("historical_data"), -1)
+    return msgs.select(
+        "symbol",
+        last.getField("time").alias("date_str"),
+        last.getField("close").alias("close"),
+    )
+
+
 def running_macd(deltas: DataFrame) -> DataFrame:
     """Per-key MACD over a delta feed of ``(symbol, date_str, close)``.
 

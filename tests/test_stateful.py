@@ -284,3 +284,74 @@ def test_tws_processor_semantics_without_protocol():
     assert np.array_equal(got["macd_signal"].to_numpy(), sig)
     assert np.array_equal(got["macd_histogram"].to_numpy(), hist)
     assert got["n_rows"].iloc[-1] == 40
+
+
+def test_quotefeed_delta_feed_macd_end_to_end(spark):
+    """VERDICT r5 item 8: the engine-native quotefeed poll stream at
+    numBars=1 -> quotefeed_deltas (stateless last-bar projection) ->
+    running_macd must reproduce the batch kernel over the full history
+    bit-for-bit (examples/delta_feed_macd.py is the narrated version)."""
+    import tempfile
+
+    from airflow_kafka_spark_spark.operators.parse import (
+        explode_history,
+        parse_history_messages,
+    )
+    from airflow_kafka_spark_spark.sources.quotefeed import register_quotefeed
+    from airflow_kafka_spark_spark.streaming.stateful import quotefeed_deltas
+
+    register_quotefeed(spark)
+    raw = (
+        spark.readStream.format("quotefeed")
+        .option("symbols", "AAA,BBB")
+        .option("numBars", "1")
+        .load()
+    )
+    q = (
+        running_macd(quotefeed_deltas(raw))
+        .writeStream.format("memory")
+        .queryName("delta_macd_test")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dfm_"))
+        .start()
+    )
+    target = 2 * 8  # 2 symbols x >= 8 poll cycles
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) FROM delta_macd_test").first()[0] >= target:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM delta_macd_test").collect()
+    assert len(rows) >= target
+    by_symbol: dict[str, dict[int, object]] = {"AAA": {}, "BBB": {}}
+    for r in rows:
+        by_symbol[r["symbol"]][r["n_rows"] - 1] = r
+    for s, bars_seen in by_symbol.items():
+        n = max(bars_seen) + 1
+        assert sorted(bars_seen) == list(range(n))  # every bar exactly once
+        batch = (
+            spark.read.format("quotefeed")
+            .option("symbols", s)
+            .option("numBars", str(n))
+            .load()
+        )
+        closes = np.array(
+            [
+                b["close"]
+                for b in explode_history(
+                    parse_history_messages(batch, value_col="message")
+                ).orderBy("time").collect()
+            ],
+            dtype=np.float64,
+        )
+        line, sig, hist = macd_columns(closes)
+        for i in range(n):
+            row = bars_seen[i]
+            assert row["close"] == closes[i]
+            assert row["macd_line"] == line[i]
+            assert row["macd_signal"] == sig[i]
+            assert row["macd_histogram"] == hist[i]
