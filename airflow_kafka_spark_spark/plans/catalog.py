@@ -3899,6 +3899,72 @@ def q_ann_pq(spark, sf_dir):
     return ann_topk_pq(emb, query_vec_id=0, k=10)
 
 
+def q_ann_recall_bounded(spark, sf_dir):
+    """ANN recall certification as an ORACLED contract — the same
+    boolean-bound rescue as ``approx_aggs_bounded``: the ANN result
+    sets are quantizer-dependent (why ``ann_ivf``/``ann_pq`` are
+    rows-only), but "recall@k vs exact top-k ≥ bound" is a boolean
+    DuckDB can oracle as a literal.
+
+    For each probe query id: exact cosine top-10 (brute force,
+    broadcast query), IVF top-10 (n_probe=8 of 16 lists) and PQ top-10
+    (ADC + exact rerank of 24·k candidates), intersected in-engine;
+    recall ≥ 0.5 is the certified floor. Context that makes 0.5 an
+    honest bar: the fixture embeddings are STRUCTURELESS synthetic
+    vectors — the adversarial case for any ANN index (neighbors of a
+    random point scatter uniformly across cells; FAISS behaves the
+    same) — so 0.5 is ~100× the random-pick baseline k/n (0.005 at
+    sf0.1); measured floor across scales/queries is 0.6. On clustered
+    real embeddings recall rises, never falls. Deterministic: seeded
+    k-means sample, fixed Lloyd iterations, total orderings — no RNG
+    at eval time.
+
+    Scale: each leg is the already-certified operator (broadcast
+    1-row query, equi-join candidate pruning); the intersections are
+    joins of two k-row frames. ``n_vectors`` rides along so the
+    oracle checks a real value, not just three TRUEs."""
+    from ..ext.similarity import ann_topk_ivf, ann_topk_pq, cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 10
+    out = None
+    for qid in (0, 19):
+        exact = cosine_topk(emb, qid, k).select("vec_id")
+        ivf = ann_topk_ivf(emb, qid, k, n_probe=8).select("vec_id")
+        pq = ann_topk_pq(emb, qid, k, rerank_factor=24).select("vec_id")
+        n_ivf = exact.join(ivf, "vec_id").agg(
+            F.count(F.lit(1)).alias("__n_ivf")
+        )
+        n_pq = exact.join(pq, "vec_id").agg(F.count(F.lit(1)).alias("__n_pq"))
+        n_vec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        row = (
+            n_ivf.crossJoin(n_pq)
+            .crossJoin(n_vec)
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.lit(k).alias("k"),
+                "n_vectors",
+                (F.col("__n_ivf") >= F.lit(k) * F.lit(0.5)).alias(
+                    "ivf_recall_ok"
+                ),
+                (F.col("__n_pq") >= F.lit(k) * F.lit(0.5)).alias(
+                    "pq_recall_ok"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SQL_ANN_RECALL_BOUNDED = """
+SELECT q.query_id, 10 AS k,
+  (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+  TRUE AS ivf_recall_ok,
+  TRUE AS pq_recall_ok
+FROM (VALUES (0), (19)) AS q(query_id)
+"""
+
+
 def q_window_dedup(spark, sf_dir):
     """Windowed dedup: first event per (user, type) in each clock hour
     survives — the batch analogue of the streaming
@@ -5233,6 +5299,7 @@ CATALOG: dict[str, Query] = {
     # PQ codebooks not SQL-expressible; headline so the full
     # train→encode→ADC→rerank cost is tracked round-over-round
     "ann_pq": Query(q_ann_pq, None, headline=True),
+    "ann_recall_bounded": Query(q_ann_recall_bounded, SQL_ANN_RECALL_BOUNDED),
     "cosine_near_dup": Query(q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
     "semantic_dedup": Query(q_semantic_dedup, None),  # k-means engine-side
     "text_stats": Query(q_text_stats, SQL_TEXT_STATS, headline=True),
