@@ -526,3 +526,22 @@ def test_dsir_single_token_agg_no_second_scan(spark):
     # the checkpointed vocab table appears as a scan leaf; the only
     # remaining corpus explode is the scoring join's
     assert s.count("Generate explode") <= 1, s
+
+
+def test_approx_aggs_bounded_two_phase_distinct_only(spark):
+    """One logical aggregate: the sketches and the percentile_disc
+    bands all ride the exact count-distinct's standard two-phase plan
+    (dedup on (group, user) then final) — exactly 2 Exchanges, and no
+    join anywhere (the bound booleans are projections, not a
+    self-join against a second aggregate)."""
+    s = _explain(CATALOG["approx_aggs_bounded"].fn(spark, SF_DIR))
+    assert s.count("Exchange") == 2, s
+    assert "Join" not in s, s
+
+
+def test_ann_recall_bounded_no_cartesian_corpus_join(spark):
+    """The recall intersections are k-row joins; the only crossJoins
+    are broadcast 1-row query/scalar attaches — a corpus-sized
+    cartesian product would mean the exact leg regressed to all-pairs."""
+    s = _explain(CATALOG["ann_recall_bounded"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s, s
