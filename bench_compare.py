@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Cross-round bench comparison, normalized by the calibration probes.
+
+    python bench_compare.py BENCH_r05.json BENCH_r06.json
+
+Accepts either a raw bench.py JSON line or the driver's wrapped artifact
+({"parsed": {...}}). For every query present in both files it prints the
+raw ratio new/old; when BOTH files carry a "calibration" block (bench.py
+emits one from round 6 on), it also prints the host-shift factor (the
+median calibration ratio) and the normalized ratio raw/host — the number
+the changelog quotes, so "the machine ran loaded" is a measurement, not
+an assertion (VERDICT r5 item 2).
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+
+
+def _load(path: str) -> dict:
+    text = open(path).read().strip()
+    try:
+        data = json.loads(text)  # whole file (driver artifact, pretty-printed)
+    except json.JSONDecodeError:
+        data = json.loads(text.splitlines()[-1])  # bench.py's one-line stdout
+    return data.get("parsed", data)
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    old, new = _load(sys.argv[1]), _load(sys.argv[2])
+    host = None
+    cal_o, cal_n = old.get("calibration"), new.get("calibration")
+    if cal_o and cal_n:
+        ratios = [cal_n[k] / cal_o[k] for k in sorted(set(cal_o) & set(cal_n))]
+        host = statistics.median(ratios)
+        print(f"host-shift factor (median calibration ratio): {host:.3f}")
+        for k in sorted(set(cal_o) & set(cal_n)):
+            print(f"  {k}: {cal_o[k]:.3f}s -> {cal_n[k]:.3f}s")
+    else:
+        print("calibration absent from one side - raw ratios only")
+
+    common = sorted(set(old["queries"]) & set(new["queries"]))
+    rows = []
+    for q in common:
+        raw = new["queries"][q] / old["queries"][q]
+        rows.append((q, old["queries"][q], new["queries"][q], raw,
+                     raw / host if host else None))
+    rows.sort(key=lambda r: -(r[4] if r[4] is not None else r[3]))
+    hdr = f"{'query':28s} {'old_s':>7s} {'new_s':>7s} {'raw':>6s}"
+    print(hdr + ("  norm" if host else ""))
+    for q, o, n, raw, norm in rows:
+        line = f"{q:28s} {o:7.3f} {n:7.3f} {raw:6.2f}"
+        print(line + (f" {norm:6.2f}" if norm is not None else ""))
+    raws = [r[3] for r in rows]
+    print(f"\nmedian raw ratio over {len(common)} common queries: "
+          f"{statistics.median(raws):.3f}")
+    if host:
+        norms = [r[4] for r in rows]
+        print(f"median NORMALIZED ratio: {statistics.median(norms):.3f} "
+              "(>1 = slower than host shift explains)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
