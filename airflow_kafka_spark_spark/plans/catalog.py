@@ -4758,6 +4758,77 @@ def q_hll_rolling_distinct(spark, sf_dir):
     return out.orderBy("day")
 
 
+def q_hll_rolling_bounded(spark, sf_dir):
+    """The rolling-HLL error bound as an ORACLED contract (completing
+    the ``approx_aggs_bounded``/``ann_recall_bounded`` family): the
+    7-day rolled sketch estimates are engine-specific, but
+    "|est − exact| ≤ max(5%·exact, 2)" is a boolean DuckDB oracles as
+    a literal, next to the exact rolling distinct it CAN compute.
+
+    Exact leg without an all-pairs blowup: distinct ``(user, day)``
+    pairs (one hash agg over the facts) fan out map-side to the ≤7
+    window-ends each day covers, then one count-distinct per window —
+    the same two-shuffle shape as the sketch leg, just carrying user
+    ids instead of 1.5 kB sketches. That ordering matters at 100 TB:
+    the fan-out runs on the DEDUPED (user, day) layer, not on fact
+    rows. (In production you'd keep only the sketch leg — the exact
+    leg exists to certify it, same stance as approx_aggs_bounded.)
+    Window-ends are restricted to days present in the data, matching
+    ``hll_rolling_distinct``."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    daily_sk = ev.groupBy(day.alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    sk_rolled = (
+        daily_sk.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("win_end"),
+            "sk",
+        )
+        .groupBy("win_end")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"))
+    )
+    user_days = ev.select(day.alias("day"), "user_id").distinct()
+    exact_rolled = (
+        user_days.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("win_end"),
+            "user_id",
+        )
+        .groupBy("win_end")
+        .agg(F.count_distinct("user_id").alias("users_exact_7d"))
+    )
+    tol = F.greatest(F.col("users_exact_7d") * F.lit(0.05), F.lit(2.0))
+    return (
+        daily_sk.select(F.col("day").alias("win_end"))
+        .join(sk_rolled, "win_end")
+        .join(exact_rolled, "win_end")
+        .select(
+            F.date_format("win_end", "yyyy-MM-dd").alias("day"),
+            "users_exact_7d",
+            (
+                F.abs(F.col("__est") - F.col("users_exact_7d").cast("double"))
+                <= tol
+            ).alias("hll_7d_within_bound"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_HLL_ROLLING_BOUNDED = """
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+  (SELECT COUNT(DISTINCT e2.user_id) FROM events e2
+   WHERE CAST(e2.ts AS DATE) BETWEEN d.day - INTERVAL 6 DAY AND d.day)
+    AS users_exact_7d,
+  TRUE AS hll_7d_within_bound
+FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+ORDER BY day
+"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """CDC-style snapshot reconciliation
     (operators.relational.table_diff): per-customer order rollups as of
@@ -5410,6 +5481,7 @@ CATALOG: dict[str, Query] = {
     "pareto_frontier": Query(q_pareto_frontier, SQL_PARETO_FRONTIER),
     # sketch estimates engine-specific → rows-only; error bound in pytest
     "hll_rolling_distinct": Query(q_hll_rolling_distinct, None),
+    "hll_rolling_bounded": Query(q_hll_rolling_bounded, SQL_HLL_ROLLING_BOUNDED),
     "snapshot_diff": Query(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "dq_audit": Query(q_dq_audit, SQL_DQ_AUDIT),
     "asof_nearest": Query(q_asof_nearest, SQL_ASOF_NEAREST),
