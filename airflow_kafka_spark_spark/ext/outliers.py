@@ -60,3 +60,59 @@ def zscore_outliers(
         .filter(F.abs(z6) >= F.lit(threshold))
         .select(id_col, group_col, (z6 + F.lit(0.0)).alias("z"))
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outliers via median/MAD — the quality gate to
+    reach for when the metric itself is contaminated: one extreme row
+    inflates a z-score's mean AND stddev (masking itself), while the
+    median and the median absolute deviation have a 50% breakdown
+    point. robust_z = (x − median) / (1.4826·MAD), |robust_z| ≥ 3.5 is
+    the standard cut (1.4826 makes MAD estimate sigma under normality).
+
+    Cross-engine determinism: both medians use ``percentile_disc`` —
+    an ACTUAL data value, no interpolation (Spark percentile_disc ==
+    DuckDB quantile_disc); the deviations |x − median| are single IEEE
+    subtractions, identical everywhere, so the second percentile_disc
+    picks the same value too. The final robust_z is two FP ops on
+    exact operands, rounded to 6dp with the threshold applied to the
+    ROUNDED value, so the kept set is engine-identical. Groups whose
+    MAD is 0 (a majority-constant group — every row would divide by
+    zero) emit nothing, same stance as zscore_outliers' zero-variance
+    guard.
+
+    Scale design: two hash aggregates over the facts (median, then MAD
+    of deviations) with map-side combine, each broadcast back (group
+    count is small); the flag pass is a pure map. No window over the
+    full table, no Python. Note percentile_disc is a sort-based
+    aggregate per group — at extreme skew prefer approx_percentile for
+    the first pass and keep this as the certifier, the same
+    exact-vs-sketch split as approx_aggs_bounded.
+    """
+    v = F.col(value_col)
+    med = events.groupBy(group_col).agg(
+        F.expr(f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})")
+        .alias("__med")
+    )
+    dev = events.join(F.broadcast(med), group_col).withColumn(
+        "__dev", F.abs(v - F.col("__med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)")
+        .alias("__mad")
+    )
+    z6 = F.round(
+        (v - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")), 6
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .filter(F.col("__mad") > 0)
+        .filter(F.abs(z6) >= F.lit(threshold))
+        .select(id_col, group_col, (z6 + F.lit(0.0)).alias("robust_z"))
+    )

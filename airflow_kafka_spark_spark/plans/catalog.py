@@ -3785,6 +3785,34 @@ def q_zscore_outliers(spark, sf_dir):
     return zscore_outliers(ev, threshold=3.0)
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust median/MAD outliers (ext.outliers.mad_outliers): two
+    percentile_disc hash aggs broadcast back, pure-map robust z — the
+    contamination-proof sibling of zscore_outliers."""
+    from ..ext.outliers import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outliers(ev, threshold=2.5)
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS m
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_disc(ABS(e.value - med.m), 0.5) AS d
+  FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - med.m) / (1.4826 * mad.d), 6) + CAST(0 AS DOUBLE)
+         AS robust_z
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE mad.d > 0
+  AND ABS(ROUND((e.value - med.m) / (1.4826 * mad.d), 6)) >= 2.5
+"""
+
+
 SQL_ZSCORE_OUTLIERS = """
 WITH g AS (
   SELECT event_type,
@@ -5395,6 +5423,7 @@ CATALOG: dict[str, Query] = {
         q_containment_pairs_capped, SQL_CONTAINMENT_PAIRS_CAPPED, headline=True
     ),
     "zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS, headline=True),
+    "mad_outliers": Query(q_mad_outliers, SQL_MAD_OUTLIERS),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
     "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),

@@ -210,6 +210,37 @@ def test_zscore_flags_planted_outlier(spark):
     assert out[0]["z"] > 6
 
 
+def test_mad_outliers_survive_contamination_that_masks_zscore(spark):
+    """The reason mad_outliers exists: plant a cluster of extreme values
+    big enough to inflate the group's stddev so much that z-score masks
+    MODERATE outliers — median/MAD (50% breakdown) still flags them."""
+    from airflow_kafka_spark_spark.ext.outliers import mad_outliers, zscore_outliers
+
+    rows = (
+        [(i, "a", 10.0 + (i % 5) * 0.01) for i in range(80)]
+        + [(200 + i, "a", 25.0) for i in range(4)]  # moderate outliers
+        + [(300 + i, "a", 100000.0) for i in range(8)]  # contamination
+    )
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    z_ids = {r["event_id"] for r in zscore_outliers(df, threshold=3.0).collect()}
+    mad_ids = {r["event_id"] for r in mad_outliers(df, threshold=3.5).collect()}
+    moderate = {200, 201, 202, 203}
+    extreme = {300 + i for i in range(8)}
+    assert not (z_ids & moderate)  # z-score is blinded by the contamination
+    assert moderate <= mad_ids and extreme <= mad_ids
+    assert not (mad_ids & set(range(80)))  # inliers stay unflagged
+
+
+def test_mad_outliers_constant_majority_group_emits_nothing(spark):
+    """MAD = 0 when a majority of the group is one constant — every row
+    would divide by zero; the contract is an empty result, not NULLs."""
+    from airflow_kafka_spark_spark.ext.outliers import mad_outliers
+
+    rows = [(i, "a", 5.0) for i in range(20)] + [(99, "a", 500.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    assert mad_outliers(df).count() == 0
+
+
 def test_bm25_ranks_term_dense_doc_first(spark):
     """A doc saturated with the query term outranks one that mentions it
     once amid filler; docs without the term never appear."""
