@@ -22,6 +22,15 @@ import traceback
 
 TS_TYPES = ("TIMESTAMP_NTZ", "TIMESTAMP_LTZ")
 
+
+def err_tail(n: int = 3) -> str:
+    """Last non-blank traceback lines. `splitlines()[-1]` alone recorded
+    an EMPTY error for the one sf0.1 pagerank failure ever observed
+    (py4j tracebacks can end with a blank line), leaving nothing to
+    diagnose — keep the last few real lines instead."""
+    lines = [l for l in traceback.format_exc().splitlines() if l.strip()]
+    return " | ".join(lines[-n:])
+
 # rows-only canonicalization cap: big enough to exercise every dtype the
 # driver's pandas sort will see, small enough to bound driver transfer
 # (rows-only entries currently emit 5-16 rows; this guards future ones)
@@ -120,10 +129,10 @@ def main() -> int:
                         )
                     except Exception:
                         entry["ok"] = False
-                        entry["err_canon"] = traceback.format_exc().splitlines()[-1]
+                        entry["err_canon"] = err_tail()
             except Exception:
                 entry["ok"] = False
-                entry[f"err_{tag}"] = traceback.format_exc().splitlines()[-1]
+                entry[f"err_{tag}"] = err_tail()
         entry["sec"] = round(time.time() - t0, 2)
         results[name] = entry
         status = "ok" if entry["ok"] else "FAIL"
