@@ -204,12 +204,20 @@ def pagerank(
     co-occurrence graphs where every node has degree >= 1.
 
     Scale design: per iteration, ONE equi-join of the rank table onto
-    the edge list's src (rank table is node-sized — broadcast when it
-    fits, AQE decides) and ONE hash aggregate on dst. The loop is
-    driver-side unrolling of a fixed small count; each iteration's plan
-    chains onto the last (no action, no materialization) — for deep
-    iteration counts, localCheckpoint periodically as
-    ext.dedup.connected_components does.
+    the edge list's src and ONE hash aggregate on dst. Both rank-side
+    joins carry an explicit ``shuffle_hash`` hint: the loop is
+    deliberately BROADCAST-FREE. At real scale the rank table is
+    node-sized (not broadcastable at 10^9 nodes), and in constrained
+    drivers the broadcast BUILD is the failure mode — the AQE-chosen
+    broadcast of the node-sized rank table died with "Not enough memory
+    to build and broadcast" in a long-lived 1g-heap session (round-6
+    sf0.1 full-catalog replica leg) even though the table itself was
+    tiny. With the hint, every iteration shuffles on the same keys, so
+    Catalyst's ReusedExchange computes the edge shuffle once for all
+    iterations within the single final action. The loop is driver-side
+    unrolling of a fixed small count with no action and no
+    materialization — for deep iteration counts, localCheckpoint
+    periodically as ext.dedup.connected_components does.
 
     Output: ``(n, rank_s, rank)`` — the exact scaled-BIGINT rank and
     its double rendering ``rank_s / 10^scale`` (one deterministic
@@ -237,8 +245,14 @@ def pagerank(
     )
     for _ in range(iterations):
         contrib = (
-            edges.join(rank.select(F.col("n").alias(src), "rank_s"), src)
-            .join(out_deg.select(F.col("n").alias(src), "out_deg"), src)
+            edges.join(
+                rank.select(F.col("n").alias(src), "rank_s").hint("shuffle_hash"),
+                src,
+            )
+            .join(
+                out_deg.select(F.col("n").alias(src), "out_deg").hint("shuffle_hash"),
+                src,
+            )
             .select(
                 F.col(dst).alias("n"),
                 F.expr("rank_s div out_deg").alias("c"),
@@ -247,7 +261,7 @@ def pagerank(
         inflow = contrib.groupBy("n").agg(F.sum("c").alias("inflow"))
         rank = (
             nodes.crossJoin(n_nodes)
-            .join(inflow, "n", "left")
+            .join(inflow.hint("shuffle_hash"), "n", "left")
             .select(
                 "n",
                 (

@@ -453,10 +453,16 @@ def test_ols_trend_single_aggregate(spark):
 
 def test_pagerank_equi_joins_only(spark):
     """Each unrolled iteration is one rank-attach equi-join + one hash
-    aggregate; the only nested-loop shapes are the 1-row node-count
-    broadcasts."""
+    aggregate, and the loop is BROADCAST-FREE by hint: the node-sized
+    rank table must never be a broadcast build side (not broadcastable
+    at 10^9 nodes, and the build itself OOMed a 1g-heap driver during
+    the round-6 sf0.1 full-catalog replica leg). The only broadcast
+    shapes allowed are the 1-row node-count crossJoins
+    (IdentityBroadcastMode)."""
     s = _explain(CATALOG["pagerank"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in s, s
+    assert "BroadcastHashJoin" not in s, s
+    assert "ShuffledHashJoin" in s, s
 
 
 def test_pareto_two_phase_no_global_first_pass(spark):
