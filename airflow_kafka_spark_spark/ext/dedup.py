@@ -307,7 +307,6 @@ def connected_components(
     src: str = "doc1",
     dst: str = "doc2",
     max_iter: int = 25,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Duplicate-CLUSTER resolution: connected components over near-dup
     pairs via iterative min-label propagation — each node's label
@@ -323,14 +322,19 @@ def connected_components(
     and Beyond" — the neighbor-min-only variant needed one iteration
     per hop, which was fine for shallow near-dup cliques but walked a
     high-diameter co-purchase giant component one edge at a time).
-    Every ``checkpoint_every`` iterations the label frame is
-    localCheckpoint'd: persist() does NOT cut lineage, so without the
-    cut each iteration's plan nests the last and a ~20-iteration run
-    OOM'd the driver on plan bookkeeping alone (found by
-    examples/graph_analytics.py round 5). Exhausting ``max_iter``
-    without convergence raises instead of returning silently-partial
-    labels. The convergence check is a limit(1).count() probe, not a
-    collect.
+    The label frame is localCheckpoint'd EVERY iteration: persist()
+    does NOT cut lineage, so each uncut iteration's logical plan nests
+    the last THREE times over (neighbor-min, jump, base) — a ~20-round
+    run OOM'd the driver on plan bookkeeping alone with no cut at all
+    (examples/graph_analytics.py, round 5), and the interim
+    every-5-rounds cadence still left 3^5-way nested plans that the
+    per-round convergence probe re-planned in full. All label-side
+    joins are hinted ``shuffle_hash``: labels are node-sized (not
+    broadcastable at 10^10 docs) and the AQE-chosen broadcast BUILD of
+    such tables is the constrained-driver OOM pagerank hit at sf0.1.
+    Exhausting ``max_iter`` without convergence raises instead of
+    returning silently-partial labels. The convergence check is a
+    limit(1).count() probe, not a collect.
     """
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -344,7 +348,10 @@ def connected_components(
     converged = False
     for it in range(max_iter):
         nbr_min = (
-            edges.join(labels.select(F.col("u").alias("v"), "label"), "v")
+            edges.join(
+                labels.select(F.col("u").alias("v"), "label").hint("shuffle_hash"),
+                "v",
+            )
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
@@ -354,8 +361,8 @@ def connected_components(
             F.col("u").alias("__p"), F.col("label").alias("jump_min")
         )
         new_labels = (
-            labels.join(nbr_min, "u", "left")
-            .join(jump, labels["label"] == F.col("__p"), "left")
+            labels.join(nbr_min.hint("shuffle_hash"), "u", "left")
+            .join(jump.hint("shuffle_hash"), labels["label"] == F.col("__p"), "left")
             .select(
                 "u",
                 F.least(
@@ -365,14 +372,20 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        if (it + 1) % checkpoint_every == 0:
-            # cut lineage: the nested per-iteration plan tree is what
-            # blows the driver up, not the data
-            new_labels = new_labels.localCheckpoint()
-        else:
-            new_labels = new_labels.persist()
+        # cut lineage EVERY iteration: the convergence probe below
+        # materializes new_labels anyway, and a persist() between
+        # checkpoints leaves the LOGICAL plan nesting — labels appears
+        # three times per round (neighbor-min, jump, base), so the plan
+        # tree triples each iteration and the probe re-plans the whole
+        # 3^k tree (measured: 1000+ join nodes in the returned plan with
+        # checkpoint_every=5, and the AQE-chosen broadcasts of those
+        # node-sized label tables are the same constrained-driver build
+        # hazard pagerank hit — hence the shuffle_hash hints above too)
+        new_labels = new_labels.localCheckpoint()
         changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
+            new_labels.join(
+                labels.withColumnRenamed("label", "old").hint("shuffle_hash"), "u"
+            )
             .filter(F.col("label") != F.col("old"))
             .limit(1)
             .count()

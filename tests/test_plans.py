@@ -179,8 +179,15 @@ def test_token_shards_single_window_exchange(spark):
 
 
 def test_dedup_components_no_cartesian(spark):
+    """The returned frame must be a checkpointed-RDD scan with NO join
+    nodes above it: connected_components cuts lineage every iteration,
+    so the caller never re-plans (or re-executes) the iteration tree —
+    the every-5-rounds cadence left a 3^5-way nested plan with 1000+
+    AQE-broadcast joins of node-sized label tables in the final frame."""
     s = _explain(CATALOG["dedup_components"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in s and "NestedLoop" not in s
+    assert "Join" not in s, s
+    assert "ExistingRDD" in s, s
 
 
 def test_pii_redact_map_only(spark):
