@@ -171,16 +171,29 @@ def ann_topk_ivf(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index: tuple[DataFrame, list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF ANN: exact cosine rerank restricted to the ``n_probe``
     inverted lists whose centroids are nearest the query. The
     assignments join is an equi-join on ``list_id`` — candidate volume
     drops to ~n_probe/n_lists of the corpus, the same contract as a
-    FAISS IVF-Flat index but expressed as DataFrame joins."""
+    FAISS IVF-Flat index but expressed as DataFrame joins.
+
+    ``index`` takes a prebuilt ``ivf_assignments(...)`` result so many
+    queries share ONE coarse quantizer — the FAISS train/search split.
+    An index is built per call only when omitted (one-shot
+    convenience); any real serving path builds once and probes many
+    times. At sf0.01 the shared index is a measured ~16% of
+    ``ann_recall_bounded``'s cost (the training sample is bounded and
+    tiny); at corpus scale the per-call build is a full assignment
+    SCAN per query, which is the difference between an index and a
+    table scan."""
     import numpy as np
 
-    assigned, centroids = ivf_assignments(
-        embeddings, n_lists, vec_col=vec_col, id_col=id_col
+    assigned, centroids = (
+        index
+        if index is not None
+        else ivf_assignments(embeddings, n_lists, vec_col=vec_col, id_col=id_col)
     )
     q_row = (
         embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
@@ -471,6 +484,7 @@ def ann_topk_pq(
     rerank_factor: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ ANN with asymmetric distance computation (ADC) + exact rerank:
     the query stays un-quantized; each corpus vector's approximate L2
@@ -481,11 +495,20 @@ def ann_topk_pq(
     exact cosine rerank — the standard PQ accuracy recovery. Both
     selection steps are TakeOrdered with total orderings (ties → id), so
     results are deterministic.
+
+    ``codebooks`` takes a prebuilt ``pq_codebooks(...)`` model so many
+    queries share ONE quantizer (the FAISS train/search split — only
+    the query-specific ADC tables are rebuilt per call); omit it for
+    one-shot convenience and the model trains in-call.
     """
     import numpy as np
 
-    books = pq_codebooks(
-        embeddings, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(
+            embeddings, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col
+        )
     )
     q_row = (
         embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).first()

