@@ -102,6 +102,47 @@ def test_ivf_ann_recall(spark):
     assert recall >= 0.5, (recall, approx, exact)
 
 
+def test_ann_prebuilt_index_matches_in_call_build(spark):
+    """The train/search split must be a pure refactor: IVF with a
+    prebuilt ivf_assignments index and PQ with prebuilt codebooks must
+    return EXACTLY the rows the one-shot (train-in-call) form returns
+    — both paths train on the same deterministic sample with the same
+    seed, so any divergence is a wiring bug."""
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_ivf,
+        ann_topk_pq,
+        ivf_assignments,
+        pq_codebooks,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    index = ivf_assignments(emb, n_lists=16)
+    books = pq_codebooks(emb)
+    for qid in (0, 7):
+        one_shot = ann_topk_ivf(emb, qid, k=10, n_probe=8).collect()
+        shared = ann_topk_ivf(emb, qid, k=10, n_probe=8, index=index).collect()
+        assert one_shot == shared
+        one_shot = ann_topk_pq(emb, qid, k=10).collect()
+        shared = ann_topk_pq(emb, qid, k=10, codebooks=books).collect()
+        assert one_shot == shared
+
+
+def test_connected_components_single_edge_and_self_loop(spark):
+    """Degenerate graphs must converge in one round, not wedge: a lone
+    edge labels both endpoints with the min id; a self-loop is a
+    single-node component whose keeper is itself."""
+    from airflow_kafka_spark_spark.ext.dedup import connected_components
+
+    pairs = spark.createDataFrame([(7, 3), (9, 9)], "doc1 long, doc2 long")
+    got = {
+        r["doc_id"]: (r["component"], r["is_keeper"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {3: (3, True), 7: (3, False), 9: (9, True)}
+
+
 def test_connected_components_chain_and_isolated_pair(spark):
     """A 6-node path (needs multiple propagation rounds) plus a separate
     pair: every node must land on its component's min id, keepers are
