@@ -62,20 +62,51 @@ def main() -> None:
     quant = quantize_embeddings(emb)
     n_q = quant.count()
 
-    # 3-5. the three query paths over the deduped corpus, judged against
-    # the exact answer for one probe vector
-    probe = emb.select(F.min("vec_id")).first()[0]
-    exact = {r["vec_id"]: r["cosine"] for r in cosine_topk(emb, probe, k=10).collect()}
-    ivf = {r["vec_id"] for r in ann_topk_ivf(emb, probe, k=10).collect()}
-    pq = {r["vec_id"] for r in ann_topk_pq(emb, probe, k=10).collect()}
+    # 3-5. the three query paths over the deduped corpus — SERVING
+    # shape: train the IVF coarse quantizer and PQ codebooks ONCE, then
+    # answer every probe against the shared index (per-query training
+    # would re-scan the corpus per lookup; ann_topk_* only train
+    # in-call as a one-shot convenience). Each probe is judged against
+    # the exact brute-force answer.
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ivf_assignments,
+        pq_codebooks,
+    )
 
-    recall_ivf = len(ivf & set(exact)) / len(exact)
-    recall_pq = len(pq & set(exact)) / len(exact)
+    index = ivf_assignments(emb, n_lists=16)
+    books = pq_codebooks(emb)
+    probes = [r["vec_id"] for r in emb.orderBy("vec_id").limit(3).collect()]
+    recalls = []
+    for probe in probes:
+        exact = {r["vec_id"] for r in cosine_topk(emb, probe, k=10).collect()}
+        # n_probe=8 of 16 lists is the certified configuration
+        # (ann_recall_bounded); on these structureless synthetic
+        # vectors the default 4 probes dips below the 0.5 floor for
+        # some probes — exactly the recall/probe-count trade the knob
+        # exists for.
+        ivf = {
+            r["vec_id"]
+            for r in ann_topk_ivf(
+                emb, probe, k=10, n_probe=8, index=index
+            ).collect()
+        }
+        pq = {
+            r["vec_id"]
+            for r in ann_topk_pq(emb, probe, k=10, codebooks=books).collect()
+        }
+        recalls.append(
+            (probe, len(ivf & exact) / len(exact), len(pq & exact) / len(exact))
+        )
+
     print(
         f"vectors={n0} after_near_dup={n1} quant_rows={n_q} "
-        f"probe={probe} recall_ivf={recall_ivf:.2f} recall_pq={recall_pq:.2f}"
+        + " ".join(
+            f"probe={p}:ivf={ri:.2f}/pq={rp:.2f}" for p, ri, rp in recalls
+        )
     )
-    assert recall_ivf >= 0.5 and recall_pq >= 0.5, "ANN recall collapsed"
+    assert all(
+        ri >= 0.5 and rp >= 0.5 for _, ri, rp in recalls
+    ), f"ANN recall collapsed: {recalls}"
     spark.stop()
 
 
