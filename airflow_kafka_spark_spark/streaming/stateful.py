@@ -67,6 +67,21 @@ def _update_macd(
     sig = _continue_ema(line, 9, sig_prev)
 
     n_total = n_prev + len(close)
+    # Delta-feed contract guard: when the upstream (quotefeed_deltas)
+    # rides the snapshot length along, the cumulative bar count this
+    # state has absorbed must equal the latest snapshot's length —
+    # they diverge exactly when the stream was started with numBars>1
+    # (the first numBars-1 bars never entered state) and the MACD
+    # would silently continue from the wrong seed.
+    if "snapshot_n" in pdf.columns:
+        expected = int(pdf["snapshot_n"].iloc[-1])
+        if n_total != expected:
+            raise ValueError(
+                f"running_macd[{key[0]}]: cumulative bars seen "
+                f"({n_total}) != upstream snapshot length ({expected}). "
+                "quotefeed_deltas requires the stream to start with "
+                "numBars=1 so every bar enters state exactly once."
+            )
     state.update((n_total, float(e12[-1]), float(e26[-1]), float(sig[-1])))
     yield pd.DataFrame(
         {
@@ -92,7 +107,11 @@ def quotefeed_deltas(raw: DataFrame) -> DataFrame:
     bars 0..c and exactly the LAST bar is new each cycle, so a
     stateless tail projection (``element_at(historical_data, -1)``)
     turns the snapshot stream into a pure per-bar delta feed — no
-    dedup state, no batch_id branching. This is the transport shape the
+    dedup state, no batch_id branching. The contract is ENFORCED, not
+    just documented: the snapshot length rides along as ``snapshot_n``
+    and :func:`running_macd`'s state kernel raises when its cumulative
+    bar count diverges from it (which happens exactly when the stream
+    was started with numBars>1 and earlier bars never entered state). This is the transport shape the
     module docstring argues for at 100 TB: the reference re-ships the
     full history every poll (spark/stock_analysis.py:57-78); here only
     the new bar crosses the wire into the stateful MACD.
@@ -113,6 +132,7 @@ def quotefeed_deltas(raw: DataFrame) -> DataFrame:
         "symbol",
         last.getField("time").alias("date_str"),
         last.getField("close").alias("close"),
+        F.size("historical_data").cast("long").alias("snapshot_n"),
     )
 
 

@@ -232,6 +232,42 @@ def test_transform_with_state_matches_batch_kernel(spark):
         assert sub["n_rows"].iloc[-1] == 30
 
 
+def test_update_macd_rejects_numbars_gt_1():
+    """The delta-feed contract guard: when snapshot_n rides along and the
+    cumulative bar count diverges from it (the numBars>1 failure mode —
+    earlier bars never entered state), the kernel raises instead of
+    silently continuing the MACD from the wrong seed."""
+    import pandas as pd
+
+    from airflow_kafka_spark_spark.streaming.stateful import _update_macd
+
+    class FakeGroupState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            pass
+
+    # numBars=30 shape: first message's snapshot already carries 30 bars
+    # but only the tail bar enters the kernel -> 1 != 30 -> error
+    bad = pd.DataFrame(
+        {"symbol": ["AAA"], "date_str": ["2024-01-30"],
+         "close": [42.0], "snapshot_n": [30]}
+    )
+    with pytest.raises(ValueError, match="numBars=1"):
+        list(_update_macd(("AAA",), iter([bad]), FakeGroupState()))
+
+    # numBars=1 shape: snapshot length == cumulative count -> clean
+    good = bad.assign(snapshot_n=[1])
+    out = list(_update_macd(("AAA",), iter([good]), FakeGroupState()))
+    assert out[0]["n_rows"].iloc[-1] == 1
+
+    # no snapshot_n column (direct delta feeds) -> guard is inert
+    plain = bad.drop(columns=["snapshot_n"])
+    out = list(_update_macd(("AAA",), iter([plain]), FakeGroupState()))
+    assert out[0]["close"].iloc[0] == 42.0
+
+
 def test_tws_processor_semantics_without_protocol():
     """Drive RunningMacdProcessor directly with a fake typed-state
     handle — the processor body (state load, recurrence continuation,
@@ -332,6 +368,15 @@ def test_quotefeed_delta_feed_macd_end_to_end(spark):
         by_symbol[r["symbol"]][r["n_rows"] - 1] = r
     for s, bars_seen in by_symbol.items():
         n = max(bars_seen) + 1
+        # The synthetic generator's date strings wrap every 28 bars; the
+        # batch leg below orders by them, so past 28 cycles duplicate
+        # date_str values would reorder the closes and fail spuriously.
+        # The stream should never get this far between the last count
+        # poll and q.stop() — make the failure mode explicit if it does.
+        assert n <= 28, (
+            f"stream overshot to {n} cycles for {s}; the batch oracle's "
+            "date_str ordering wraps at 28 — rerun (slow-host artifact)"
+        )
         assert sorted(bars_seen) == list(range(n))  # every bar exactly once
         batch = (
             spark.read.format("quotefeed")
