@@ -232,6 +232,101 @@ def ann_topk_ivf(
     )
 
 
+def ann_topk_ivf_batch(
+    embeddings: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index: tuple[DataFrame, list[list[float]]] | None = None,
+) -> DataFrame:
+    """Batched IVF ANN serving: one plan answers N queries, with ZERO
+    per-query driver actions — the missing half of the train/search
+    split. :func:`ann_topk_ivf` is the point-lookup contract (two
+    driver round-trips per call: the query-vector ``first()`` and the
+    numpy centroid argsort); a 1000-query batch through it would
+    serialize 1000 round-trips. Here the whole batch is data-plane:
+
+    - query vectors come from one ``isin`` filter over the corpus
+      (a pushed-down scan), broadcast to the executors;
+    - centroid probe selection is a JVM expression per query row —
+      distances to the (literal, kilobyte-sized) centroids are
+      ``array_sort``-ed as (dist, list) structs and the first
+      ``n_probe`` kept, the exact argsort-with-index-tiebreak the
+      point path does in numpy;
+    - ONE equi-join of (query, list) probe pairs against the shared
+      assignment frame yields all candidates, ONE join retrieves their
+      vectors, and a ``row_number`` window partitioned by query takes
+      each top-k — per-query cost amortizes to two joins total.
+
+    Output: ``(query_id, vec_id, cosine)``, top-k per query by
+    (cosine desc, vec_id asc), query rows themselves excluded.
+    ``index`` shares a prebuilt :func:`ivf_assignments` result exactly
+    as the point path does; omitted → built in-call.
+    """
+    from pyspark.sql import Window
+
+    assigned, centroids = (
+        index
+        if index is not None
+        else ivf_assignments(embeddings, n_lists, vec_col=vec_col, id_col=id_col)
+    )
+    n_lists_eff = len(centroids)
+    q = embeddings.filter(F.col(id_col).isin(list(query_vec_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cent_cols = [
+        F.array(*[F.lit(float(x)) for x in c]).alias(f"c{j}")
+        for j, c in enumerate(centroids)
+    ]
+    qv = F.col("qvec")
+    d2_cols = [
+        F.aggregate(
+            F.zip_with(qv, F.col(f"c{j}"), lambda a_, b_: (a_.cast("double") - b_) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for j in range(n_lists_eff)
+    ]
+    # argsort with index tiebreak: sort (dist, list_id) structs, keep n_probe
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(d2_cols[j].alias("d"), F.lit(j).alias("j"))
+                for j in range(n_lists_eff)
+            ]
+        )
+    )
+    probe_lists = F.transform(
+        F.slice(ranked, 1, min(n_probe, n_lists_eff)), lambda s: s["j"]
+    )
+    probes = q.select("query_id", "qvec", *cent_cols).select(
+        "query_id", F.explode(probe_lists).alias("list_id")
+    )
+    cand_ids = assigned.join(F.broadcast(probes), "list_id").select(
+        "query_id", id_col
+    )
+    cand = (
+        embeddings.join(cand_ids, id_col)
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    cos = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -3948,16 +3948,17 @@ def q_ann_recall_bounded(spark, sf_dir):
     at eval time.
 
     Scale: each leg is the already-certified operator (broadcast
-    1-row query, equi-join candidate pruning); the intersections are
-    joins of two k-row frames. The IVF coarse quantizer and PQ
-    codebooks are trained ONCE and shared by both probe queries — the
-    FAISS train/search split a serving path uses (a measured ~16% of
-    this entry at sf0.01 where the bounded training sample is tiny;
-    at corpus scale the per-call rebuild is a full assignment scan
-    per query). ``n_vectors`` rides along so the oracle checks a real
-    value, not just three TRUEs."""
+    query side, equi-join candidate pruning); the intersections are
+    joins of k-row frames. The IVF coarse quantizer and PQ codebooks
+    are trained ONCE and shared by both probe queries — the FAISS
+    train/search split a serving path uses — and the IVF leg goes
+    through ``ann_topk_ivf_batch``: both probe queries are answered by
+    ONE data-plane plan (tested row-identical to the point-lookup
+    path), the serving shape a 1000-query lookup batch needs instead
+    of 1000 serialized driver round-trips. ``n_vectors`` rides along
+    so the oracle checks a real value, not just TRUEs."""
     from ..ext.similarity import (
-        ann_topk_ivf,
+        ann_topk_ivf_batch,
         ann_topk_pq,
         cosine_topk,
         ivf_assignments,
@@ -3966,14 +3967,16 @@ def q_ann_recall_bounded(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     k = 10
+    qids = (0, 19)
     ivf_index = ivf_assignments(emb, n_lists=16)
     books = pq_codebooks(emb)
+    ivf_all = ann_topk_ivf_batch(
+        emb, list(qids), k, n_probe=8, index=ivf_index
+    ).select("query_id", "vec_id")
     out = None
-    for qid in (0, 19):
+    for qid in qids:
         exact = cosine_topk(emb, qid, k).select("vec_id")
-        ivf = ann_topk_ivf(emb, qid, k, n_probe=8, index=ivf_index).select(
-            "vec_id"
-        )
+        ivf = ivf_all.filter(F.col("query_id") == qid).select("vec_id")
         pq = ann_topk_pq(
             emb, qid, k, rerank_factor=24, codebooks=books
         ).select("vec_id")

@@ -130,6 +130,37 @@ def main() -> None:
             "kvecs_per_sec": round(n / dt / 1000, 1),
         }
 
+    # ANN serving face-off: point lookups loop driver-side (two driver
+    # actions per query) vs the batched plan (one data-plane plan for N
+    # queries). Equal work: same shared index, same query ids. Per-query
+    # cost should amortize with batch size on the batched path and stay
+    # flat on the loop.
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_batch,
+        ivf_assignments,
+    )
+
+    ivf_index = ivf_assignments(emb, n_lists=16)
+    ann_results = {}
+    for nq in (1, 8, 32):
+        qids = list(range(nq))
+        t0 = time.perf_counter()
+        for qid in qids:
+            ann_topk_ivf(emb, qid, k=10, n_probe=8, index=ivf_index).collect()
+        loop_dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ann_topk_ivf_batch(
+            emb, qids, k=10, n_probe=8, index=ivf_index
+        ).collect()
+        batch_dt = time.perf_counter() - t0
+        ann_results[f"{nq}q"] = {
+            "loop_sec": round(loop_dt, 3),
+            "batch_sec": round(batch_dt, 3),
+            "loop_ms_per_query": round(loop_dt / nq * 1000, 1),
+            "batch_ms_per_query": round(batch_dt / nq * 1000, 1),
+        }
+
     # rolling-mean formulation face-off: the oracle-exact lag-chain is
     # O(n) expressions per window vs the O(1) frame-aggregate — the
     # pre-measured swap for when a profiler flags the lag-chain at 100×
@@ -474,6 +505,7 @@ def main() -> None:
                 "minhash_scaling": dedup_results,
                 "chunk_dedup_scaling": chunk_results,
                 "pq_encode_scaling": pq_results,
+                "ann_serving_batch": ann_results,
                 "rolling_mean_formulations": rolling_results,
                 "fixed_point_sum_formulations": sum_results,
                 "containment_skew_cap": containment_results,

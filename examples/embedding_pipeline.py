@@ -35,7 +35,6 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
     from airflow_kafka_spark_spark.ext.similarity import (
-        ann_topk_ivf,
         ann_topk_pq,
         cosine_near_dup_pairs,
         cosine_topk,
@@ -76,26 +75,33 @@ def main() -> None:
     index = ivf_assignments(emb, n_lists=16)
     books = pq_codebooks(emb)
     probes = [r["vec_id"] for r in emb.orderBy("vec_id").limit(3).collect()]
+    # IVF leg: ONE batched plan answers all probes (ann_topk_ivf_batch —
+    # zero per-query driver actions; the point-lookup form ann_topk_ivf
+    # serves single lookups). n_probe=8 of 16 lists is the certified
+    # configuration (ann_recall_bounded); on these structureless
+    # synthetic vectors the default 4 probes dips below the 0.5 floor
+    # for some probes — exactly the recall/probe-count trade the knob
+    # exists for.
+    from airflow_kafka_spark_spark.ext.similarity import ann_topk_ivf_batch
+
+    ivf_by_probe: dict[int, set] = {p: set() for p in probes}
+    for r in ann_topk_ivf_batch(
+        emb, probes, k=10, n_probe=8, index=index
+    ).collect():
+        ivf_by_probe[r["query_id"]].add(r["vec_id"])
     recalls = []
     for probe in probes:
         exact = {r["vec_id"] for r in cosine_topk(emb, probe, k=10).collect()}
-        # n_probe=8 of 16 lists is the certified configuration
-        # (ann_recall_bounded); on these structureless synthetic
-        # vectors the default 4 probes dips below the 0.5 floor for
-        # some probes — exactly the recall/probe-count trade the knob
-        # exists for.
-        ivf = {
-            r["vec_id"]
-            for r in ann_topk_ivf(
-                emb, probe, k=10, n_probe=8, index=index
-            ).collect()
-        }
         pq = {
             r["vec_id"]
             for r in ann_topk_pq(emb, probe, k=10, codebooks=books).collect()
         }
         recalls.append(
-            (probe, len(ivf & exact) / len(exact), len(pq & exact) / len(exact))
+            (
+                probe,
+                len(ivf_by_probe[probe] & exact) / len(exact),
+                len(pq & exact) / len(exact),
+            )
         )
 
     print(

@@ -129,6 +129,40 @@ def test_ann_prebuilt_index_matches_in_call_build(spark):
         assert one_shot == shared
 
 
+def test_ann_batch_matches_point_lookups(spark):
+    """The batched serving path must return, per query, exactly the rows
+    the point-lookup path returns: same probe-list selection (JVM
+    struct-sort argsort == numpy argsort with index tiebreak), same
+    candidates, same rerank math — the batch form is a pure
+    driver-action elimination, not a different algorithm."""
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_batch,
+        ivf_assignments,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    index = ivf_assignments(emb, n_lists=16)
+    qids = [0, 7, 19]
+    batch = ann_topk_ivf_batch(
+        emb, qids, k=10, n_probe=8, index=index
+    ).collect()
+    by_q: dict[int, list] = {q: [] for q in qids}
+    for r in batch:
+        by_q[r["query_id"]].append((r["vec_id"], r["cosine"]))
+    for qid in qids:
+        point = [
+            (r["vec_id"], r["cosine"])
+            for r in ann_topk_ivf(emb, qid, k=10, n_probe=8, index=index).collect()
+        ]
+        # same set with same scores; order within the batch output is
+        # pinned by the row_number window's total ordering
+        assert sorted(by_q[qid]) == sorted(point), qid
+        assert len(by_q[qid]) == 10
+
+
 def test_connected_components_single_edge_and_self_loop(spark):
     """Degenerate graphs must converge in one round, not wedge: a lone
     edge labels both endpoints with the min id; a self-loop is a
