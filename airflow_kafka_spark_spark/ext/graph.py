@@ -177,6 +177,7 @@ def pagerank(
     scale: int = 12,
     src: str = "src",
     dst: str = "dst",
+    dangling: str = "leak",
 ) -> DataFrame:
     """PageRank over the directed edge list, a FIXED number of unrolled
     iterations, bit-reproducible across engines and partitionings.
@@ -198,10 +199,19 @@ def pagerank(
     node per iteration (ranks sum to slightly under 1) — at scale 12
     that is noise for ranking, and replayability is worth far more.
 
-    Dangling nodes (no out-edges) leak their mass — the classic
-    simplification (their redistribution term would need a global
-    scalar join per iteration); documented rather than hidden, fine for
-    co-occurrence graphs where every node has degree >= 1.
+    Dangling nodes (no out-edges): ``dangling="leak"`` (default) drops
+    their mass each iteration — the classic simplification, fine for
+    co-occurrence graphs where every node has out-degree >= 1 but
+    systematically deflating on web-style graphs. ``"redistribute"``
+    adds the standard correction, fixed-point exact: per iteration the
+    dangling mass ``D`` (one global BIGINT sum over the rank rows with
+    no out-degree — an anti-join + 1-row aggregate crossJoined back,
+    the same shape as ``__n``) is shared equally, so the effective
+    inflow becomes ``inflow + D div N`` before damping. Floor division
+    leaks ≤ N grid units per iteration, same tolerance as the
+    per-edge floors. Cost: one extra reference to the rank frame per
+    iteration (the anti-join), so for deep iteration counts the
+    localCheckpoint advice below applies sooner.
 
     Scale design: per iteration, ONE equi-join of the rank table onto
     the edge list's src and ONE hash aggregate on dst. Both rank-side
@@ -225,6 +235,10 @@ def pagerank(
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be 0-100, got {damping_pct}")
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'leak' or 'redistribute', got {dangling!r}"
+        )
     unit = 10**scale
     nodes = (
         edges.select(F.col(src).alias("n"))
@@ -259,20 +273,42 @@ def pagerank(
             )
         )
         inflow = contrib.groupBy("n").agg(F.sum("c").alias("inflow"))
-        rank = (
-            nodes.crossJoin(n_nodes)
-            .join(inflow.hint("shuffle_hash"), "n", "left")
-            .select(
-                "n",
-                (
-                    teleport
-                    + F.expr(
-                        f"({damping_pct} * coalesce(inflow, CAST(0 AS BIGINT))) div 100"
-                    )
-                ).alias("rank_s"),
-                "__n",
+        if dangling == "redistribute":
+            # global dangling mass: rank rows with no out-degree (anti-
+            # join), one 1-row BIGINT sum crossJoined back — each node's
+            # effective inflow gains an equal integer share D div N
+            dang = rank.join(
+                out_deg.select("n").hint("shuffle_hash"), "n", "left_anti"
+            ).agg(
+                F.coalesce(F.sum("rank_s"), F.lit(0).cast("bigint")).alias(
+                    "__dang"
+                )
             )
-        )
+            update = F.expr(
+                f"({damping_pct} * (coalesce(inflow, CAST(0 AS BIGINT))"
+                f" + (__dang div __n))) div 100"
+            )
+            rank = (
+                nodes.crossJoin(n_nodes)
+                .crossJoin(dang)
+                .join(inflow.hint("shuffle_hash"), "n", "left")
+                .select("n", (teleport + update).alias("rank_s"), "__n")
+            )
+        else:
+            rank = (
+                nodes.crossJoin(n_nodes)
+                .join(inflow.hint("shuffle_hash"), "n", "left")
+                .select(
+                    "n",
+                    (
+                        teleport
+                        + F.expr(
+                            f"({damping_pct} * coalesce(inflow, CAST(0 AS BIGINT))) div 100"
+                        )
+                    ).alias("rank_s"),
+                    "__n",
+                )
+            )
     return rank.select(
         "n",
         "rank_s",

@@ -4808,6 +4808,75 @@ FROM r3 ORDER BY rank_s DESC, n LIMIT 20
 """
 
 
+def q_pagerank_dangling(spark, sf_dir):
+    """PageRank with dangling-mass redistribution on a graph that HAS
+    dangling nodes: the UN-symmetrized basket co-occurrence digraph
+    (src < dst), where every order's max partkey appears only as a dst
+    — a web-style sink population the default leak mode would
+    systematically deflate. ``dangling="redistribute"`` adds the
+    standard correction, fixed-point exact: per iteration one global
+    BIGINT dangling-mass sum (anti-join vs out-degree, 1-row
+    crossJoin — the same shape as the node count) raises every node's
+    effective inflow by ``D div N`` before damping. Still zero FP in
+    the iteration, so the unrolled-CTE oracle (with its own per-round
+    dangling-sum CTE) must agree BIT for bit. Top-20 by
+    (rank desc, node)."""
+    from ..ext.graph import basket_pairs, pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = basket_pairs(li, "l_orderkey", "l_partkey")
+    pr = pagerank(e, iterations=3, dangling="redistribute")
+    return (
+        pr.orderBy(F.col("rank_s").desc(), F.col("n").asc())
+        .limit(20)
+        .select("n", "rank_s", "rank")
+    )
+
+
+def _pagerank_dangling_round(k: int) -> str:
+    """One unrolled iteration (CTEs d{k}, c{k}, i{k}, r{k}) of the
+    dangling-redistributing fixed-point recurrence, from rank r{k-1}."""
+    p = k - 1
+    return f"""
+d{k} AS (
+  SELECT COALESCE(SUM(r.rank_s), 0) AS dm
+  FROM r{p} r LEFT JOIN outdeg o ON r.n = o.n WHERE o.n IS NULL
+),
+c{k} AS (
+  SELECT e.dst AS n, r.rank_s // o.d AS c
+  FROM edges e JOIN r{p} r ON e.src = r.n JOIN outdeg o ON e.src = o.n
+),
+i{k} AS (SELECT n, SUM(c) AS inflow FROM c{k} GROUP BY n),
+r{k} AS (
+  SELECT nodes.n,
+         CAST(15000000000000 // (100 * cnt)
+              + (85 * (COALESCE(inflow, 0) + dm // cnt)) // 100 AS BIGINT)
+           AS rank_s
+  FROM nodes LEFT JOIN i{k} ON nodes.n = i{k}.n CROSS JOIN nn CROSS JOIN d{k}
+)"""
+
+
+SQL_PAGERANK_DANGLING = f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nodes AS (
+  SELECT src AS n FROM edges UNION SELECT dst AS n FROM edges
+),
+outdeg AS (SELECT src AS n, COUNT(*) AS d FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+r0 AS (
+  SELECT n, CAST(1000000000000 AS BIGINT) // cnt AS rank_s
+  FROM nodes CROSS JOIN nn
+),{_pagerank_dangling_round(1)},{_pagerank_dangling_round(2)},{_pagerank_dangling_round(3)}
+SELECT n, rank_s,
+       CAST(rank_s AS DOUBLE) / 1000000000000.0 AS rank
+FROM r3 ORDER BY rank_s DESC, n LIMIT 20
+"""
+
+
 def q_pareto_frontier(spark, sf_dir):
     """2-D Pareto frontier over parts (minimize retail price, maximize
     size) via operators.relational.pareto_frontier_2d — the two-phase
@@ -5610,6 +5679,7 @@ CATALOG: dict[str, Query] = {
     "triangle_count": Query(q_triangle_count, SQL_TRIANGLE_COUNT, headline=True),
     "ols_trend": Query(q_ols_trend, SQL_OLS_TREND),
     "pagerank": Query(q_pagerank, SQL_PAGERANK),
+    "pagerank_dangling": Query(q_pagerank_dangling, SQL_PAGERANK_DANGLING),
     "pareto_frontier": Query(q_pareto_frontier, SQL_PARETO_FRONTIER),
     # sketch estimates engine-specific → rows-only; error bound in pytest
     "hll_rolling_distinct": Query(q_hll_rolling_distinct, None),

@@ -4,6 +4,7 @@ hand-built inputs with known answers."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from airflow_kafka_spark_spark.ext.fuzzy import blocked_fuzzy_join
@@ -122,7 +123,9 @@ def test_merge_pair_counts_top_n_deterministic_cut(spark):
     assert [r["pair"] for r in out] == ["x w", "y x"]
 
 
-def _pagerank_reference(edges, iterations=3, damping_pct=85, scale=12):
+def _pagerank_reference(
+    edges, iterations=3, damping_pct=85, scale=12, dangling="leak"
+):
     """Pure-Python replica of the integer fixed-point recurrence —
     pagerank's determinism contract is that any correct implementation
     of the same integer math agrees bit for bit."""
@@ -137,9 +140,14 @@ def _pagerank_reference(edges, iterations=3, damping_pct=85, scale=12):
         inflow = {v: 0 for v in nodes}
         for s, d in edges:
             inflow[d] += rank[s] // out[s]
+        dshare = (
+            sum(rank[v] for v in nodes if v not in out) // n
+            if dangling == "redistribute"
+            else 0
+        )
         rank = {
             v: ((100 - damping_pct) * unit) // (100 * n)
-            + (damping_pct * inflow[v]) // 100
+            + (damping_pct * (inflow[v] + dshare)) // 100
             for v in nodes
         }
     return rank
@@ -153,6 +161,40 @@ def test_pagerank_matches_integer_reference_bit_for_bit(spark):
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {r["n"]: r["rank_s"] for r in pagerank(df).collect()}
     assert got == _pagerank_reference(edges)
+
+
+def test_pagerank_dangling_redistribute_bit_exact_and_conserving(spark):
+    """dangling='redistribute' on a graph WITH sinks: bit-exact vs the
+    integer reference, mass conserved up to floor leaks, and ranks
+    strictly above the leak variant's (which drains the sinks' mass)."""
+    from airflow_kafka_spark_spark.ext.graph import pagerank
+
+    # 4 and 5 are dangling (appear only as dst); 3 is a sink fed by all
+    edges = [(1, 2), (2, 3), (1, 3), (2, 4), (1, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["n"]: r["rank_s"]
+        for r in pagerank(df, dangling="redistribute").collect()
+    }
+    assert got == _pagerank_reference(edges, dangling="redistribute")
+    n = len(got)
+    total = sum(got.values())
+    # per-iteration floors: n teleports + n dangling shares + edge divs
+    assert 10**12 - 3 * (2 * n + len(edges)) <= total <= 10**12
+    leak_total = sum(
+        r["rank_s"] for r in pagerank(df, dangling="leak").collect()
+    )
+    assert total > leak_total  # the leak variant drains the sinks' mass
+
+    # no dangling nodes -> redistribute must equal leak exactly
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src int, dst int")
+    assert (
+        {r["n"]: r["rank_s"] for r in pagerank(cyc, dangling="redistribute").collect()}
+        == {r["n"]: r["rank_s"] for r in pagerank(cyc, dangling="leak").collect()}
+    )
+
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(df, dangling="bogus")
 
 
 def test_pagerank_mass_conserved_up_to_floor_leak(spark):

@@ -472,6 +472,17 @@ def test_pagerank_equi_joins_only(spark):
     assert "ShuffledHashJoin" in s, s
 
 
+def test_pagerank_dangling_loop_broadcast_free(spark):
+    """The redistribute variant adds a per-iteration anti-join (dangling
+    mass) — that anti-join is node-sized on BOTH sides and must follow
+    the same broadcast-free rule as the rank-attach joins; only the
+    1-row aggregates (node count, dangling sum) may broadcast."""
+    s = _explain(CATALOG["pagerank_dangling"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastHashJoin" not in s, s
+    assert "ShuffledHashJoin" in s, s
+
+
 def test_pareto_two_phase_no_global_first_pass(spark):
     """Phase 1 windows must be partitioned (bucketed local skylines);
     only the frontier-sized phase-2 windows may be global. No join at
