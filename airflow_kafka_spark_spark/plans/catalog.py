@@ -3893,6 +3893,104 @@ WHERE mad.d > 0
 """
 
 
+def q_drift_tvd(spark, sf_dir):
+    """Per-cohort total-variation drift (ext.drift.tvd_drift): the
+    categorical-mix monitor a training pipeline runs between snapshot
+    windows. Cohorts = user_id mod 10, windows = event_id parity,
+    support = event_type. The numerator Σ|cnt_a·N_b − cnt_b·N_a| stays
+    BIGINT end-to-end (order-independent integer sum — exact in any
+    engine, unlike KL/JS whose logs live on libm's last-ulp boundary);
+    the double ``tvd`` is one deterministic IEEE division of exact
+    integers."""
+    from ..ext.drift import tvd_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tvd_drift(
+        ev,
+        cohort=F.col("user_id") % 10,
+        split=F.col("event_id") % 2,
+        category="event_type",
+    )
+    return out.orderBy("cohort")
+
+
+SQL_DRIFT_TVD = """
+WITH counts AS (
+  SELECT user_id % 10 AS cohort, event_type,
+         CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM events GROUP BY 1, 2
+),
+totals AS (
+  SELECT cohort, CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+         CAST(SUM(cnt_b) AS BIGINT) AS n_b
+  FROM counts GROUP BY cohort
+)
+SELECT c.cohort, t.n_a, t.n_b,
+       CAST(SUM(ABS(c.cnt_a * t.n_b - c.cnt_b * t.n_a)) AS BIGINT) AS tvd_num,
+       CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+         CAST(CAST(SUM(ABS(c.cnt_a * t.n_b - c.cnt_b * t.n_a)) AS BIGINT) AS DOUBLE)
+           / (2.0 * CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+       END AS tvd
+FROM counts c JOIN totals t USING (cohort)
+GROUP BY c.cohort, t.n_a, t.n_b
+ORDER BY c.cohort
+"""
+
+
+def q_freq_items_bounded(spark, sf_dir):
+    """Heavy-hitters sketch certification as an ORACLED contract (the
+    ``approx_aggs_bounded`` recipe, applied to Spark's built-in
+    single-pass frequent-items sketch ``df.stat.freqItems`` —
+    Karp/Shenker/Papadimitriou's streaming algorithm): the sketch's
+    item list is engine-specific (may contain false positives by
+    design), but its GUARANTEE — every item with frequency strictly
+    above the support threshold appears in the output — is a boolean
+    both engines can agree on. Exact heavy hitters come from a plain
+    hash agg compared in BIGINT (``cnt·100 > n·15`` for support 0.15 —
+    no FP thresholds); the certified check is that none of them is
+    missing from the sketch (anti-join count == 0). ``n_rows`` and
+    ``n_heavy`` ride along as real oracled values."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = (
+        ev.stat.freqItems(["event_type"], support=0.15)
+        .select(F.explode("event_type_freqItems").alias("event_type"))
+    )
+    n_rows = ev.agg(F.count(F.lit(1)).alias("n_rows"))
+    heavy = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(n_rows)
+        .filter(F.col("cnt") * 100 > F.col("n_rows") * 15)
+    )
+    n_heavy = heavy.agg(F.count(F.lit(1)).alias("n_heavy"))
+    n_missing = heavy.join(sketch, "event_type", "left_anti").agg(
+        F.count(F.lit(1)).alias("__miss")
+    )
+    return (
+        n_rows.crossJoin(n_heavy)
+        .crossJoin(n_missing)
+        .select(
+            "n_rows",
+            "n_heavy",
+            (F.col("__miss") == 0).alias("all_heavy_found"),
+        )
+    )
+
+
+SQL_FREQ_ITEMS_BOUNDED = """
+WITH t AS (SELECT COUNT(*) AS n_rows FROM events),
+h AS (
+  SELECT COUNT(*) AS n_heavy
+  FROM (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1) g
+       CROSS JOIN t
+  WHERE g.cnt * 100 > t.n_rows * 15
+)
+SELECT t.n_rows, h.n_heavy, TRUE AS all_heavy_found
+FROM t CROSS JOIN h
+"""
+
+
 SQL_ZSCORE_OUTLIERS = """
 WITH g AS (
   SELECT event_type,
@@ -5596,6 +5694,8 @@ CATALOG: dict[str, Query] = {
     ),
     "zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS, headline=True),
     "mad_outliers": Query(q_mad_outliers, SQL_MAD_OUTLIERS),
+    "drift_tvd": Query(q_drift_tvd, SQL_DRIFT_TVD),
+    "freq_items_bounded": Query(q_freq_items_bounded, SQL_FREQ_ITEMS_BOUNDED),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
     "mm_frame_sample": Query(q_mm_frame_sample, SQL_MM_FRAME_SAMPLE),

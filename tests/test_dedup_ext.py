@@ -334,6 +334,39 @@ def test_bm25_ranks_term_dense_doc_first(spark):
     assert out[0]["score"] > out[1]["score"]
 
 
+def test_tvd_drift_known_values(spark):
+    """Hand-computable TVD: window A = 3 click / 1 view, window B =
+    1 click / 3 view -> p=(0.75,0.25), q=(0.25,0.75), TVD = 0.5.
+    A category absent from one window must still contribute (cnt 0),
+    and an empty window yields NULL tvd, not a fake 0."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.drift import tvd_drift
+
+    rows = [
+        # cohort 1: the 0.5 case
+        *[(1, 0, "click")] * 3, (1, 0, "view"),
+        (1, 1, "click"), *[(1, 1, "view")] * 3,
+        # cohort 2: identical windows -> TVD 0
+        (2, 0, "click"), (2, 0, "view"), (2, 1, "click"), (2, 1, "view"),
+        # cohort 3: category 'error' only in window B
+        (3, 0, "click"), (3, 1, "error"),
+        # cohort 4: empty window B
+        (4, 0, "click"),
+    ]
+    df = spark.createDataFrame(rows, "cohort int, half int, event_type string")
+    got = {
+        r["cohort"]: r
+        for r in tvd_drift(
+            df, cohort=F.col("cohort"), split=F.col("half"), category="event_type"
+        ).collect()
+    }
+    assert got[1]["tvd"] == 0.5 and got[1]["tvd_num"] == 16  # |3·4-1·4|+|1·4-3·4|
+    assert got[2]["tvd"] == 0.0
+    assert got[3]["tvd"] == 1.0  # disjoint supports
+    assert got[4]["n_b"] == 0 and got[4]["tvd"] is None
+
+
 def test_merge_upsert_semantics(spark):
     """Update beats target row, insert lands, untouched rows survive."""
     from airflow_kafka_spark_spark.operators.relational import merge_upsert
