@@ -21,15 +21,19 @@ Overflow bound: the numerator is ≤ 2·N_a·N_b ≤ 2·(total rows)², fine
 in BIGINT below ~2·10^9 rows per cohort-window; beyond that, cast the
 products to DECIMAL(38,0).
 
-Scale shape: one partial-aggregated groupBy over (cohort, category)
-with conditional counts (a single pass over the fact table), one
-cohort-level total, one cohort-keyed join, one final cohort aggregate.
-No window functions, no Python, no per-row UDFs.
+Scale shape: ONE pass over the fact table — a partial-aggregated
+groupBy over (cohort, category) with conditional counts, then the
+cohort totals as window sums over the (tiny, cohort×category-sized)
+count table and the final cohort aggregate on the partitioning the
+window already established. A join-based formulation would reference
+the count aggregate twice and compute it twice (verified in the
+physical plan); the window form scans the facts once and shuffles the
+count table once. No Python, no per-row UDFs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -54,11 +58,15 @@ def tvd_drift(
         F.sum(F.when(split == 0, 1).otherwise(0)).cast("bigint").alias("cnt_a"),
         F.sum(F.when(split == 1, 1).otherwise(0)).cast("bigint").alias("cnt_b"),
     )
-    totals = counts.groupBy("cohort").agg(
-        F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
+    w = Window.partitionBy("cohort")
+    with_tot = counts.select(
+        "cohort",
+        "cnt_a",
+        "cnt_b",
+        F.sum("cnt_a").over(w).alias("n_a"),
+        F.sum("cnt_b").over(w).alias("n_b"),
     )
-    joined = counts.join(totals, "cohort")
-    num = joined.groupBy("cohort").agg(
+    num = with_tot.groupBy("cohort").agg(
         F.sum(
             F.abs(F.col("cnt_a") * F.col("n_b") - F.col("cnt_b") * F.col("n_a"))
         ).alias("tvd_num"),
