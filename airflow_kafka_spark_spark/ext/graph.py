@@ -104,9 +104,26 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # deg and adj are node-sized (adj's array payload is edge-sized in
+    # total) — like the pagerank/cc loops, these joins must be
+    # BROADCAST-FREE: AQE's runtime estimate can still pick a broadcast
+    # build at gate scales, and the build side OOMs a long-lived
+    # 1g-heap driver (caught by the round-7 sf0.1 full-catalog replica
+    # leg, LTZ pass) — and a table that grows with the graph is not
+    # broadcastable at 10^9 nodes anyway.
     ed = (
-        e.join(deg.select(F.col("n").alias(src), F.col("deg").alias("__sd")), src)
-        .join(deg.select(F.col("n").alias(dst), F.col("deg").alias("__dd")), dst)
+        e.join(
+            deg.select(F.col("n").alias(src), F.col("deg").alias("__sd")).hint(
+                "shuffle_hash"
+            ),
+            src,
+        )
+        .join(
+            deg.select(F.col("n").alias(dst), F.col("deg").alias("__dd")).hint(
+                "shuffle_hash"
+            ),
+            dst,
+        )
     )
     lower_first = (F.col("__sd") < F.col("__dd")) | (
         (F.col("__sd") == F.col("__dd")) & (F.col(src) < F.col(dst))
@@ -119,10 +136,17 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.array_sort(F.collect_list("v")).alias("__nbrs")
     )
     with_adj = (
-        o.join(adj.select(F.col("__n").alias("u"), F.col("__nbrs").alias("__au")), "u")
+        o.join(
+            adj.select(
+                F.col("__n").alias("u"), F.col("__nbrs").alias("__au")
+            ).hint("shuffle_hash"),
+            "u",
+        )
         # a sink node (no out-edges) has no adj row → empty list
         .join(
-            adj.select(F.col("__n").alias("v"), F.col("__nbrs").alias("__av")),
+            adj.select(
+                F.col("__n").alias("v"), F.col("__nbrs").alias("__av")
+            ).hint("shuffle_hash"),
             "v",
             "left",
         )

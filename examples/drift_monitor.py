@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Snapshot-to-snapshot drift monitoring over the events stream — the
+checks a training pipeline runs BETWEEN ingests before it trusts a new
+batch, all exact-or-certified (no uninterpretable fuzz):
+
+    window split (old vs new)
+      → per-cohort TVD          (ext.drift.tvd_drift — categorical mix
+                                 shift, BIGINT-exact numerator)
+      → heavy-hitter census     (df.stat.freqItems sketch, checked
+                                 against exact BIGINT heavy hitters —
+                                 the freq_items_bounded contract)
+      → robust outlier audit    (ext.outliers.mad_outliers on the new
+                                 window — contamination-proof z)
+
+Every stage is shuffle-on-key or broadcast: no collects of data-sized
+frames, no cartesian products, no per-row Python. Run:
+python examples/drift_monitor.py [sf_dir] (default /root/testdata/sf0.01).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from airflow_kafka_spark_spark.ext.drift import tvd_drift
+    from airflow_kafka_spark_spark.ext.outliers import mad_outliers
+    from airflow_kafka_spark_spark.session import build_session
+    from airflow_kafka_spark_spark.sources.files import load_table
+
+    spark = build_session(app_name="drift-monitor-example")
+    ev = load_table(spark, sf_dir, "events")
+
+    # 1. categorical mix drift per user cohort, old vs new window
+    #    (event_id parity stands in for the snapshot boundary)
+    drift = tvd_drift(
+        ev,
+        cohort=F.col("user_id") % 10,
+        split=F.col("event_id") % 2,
+        category="event_type",
+    ).orderBy(F.col("tvd").desc_nulls_last())
+    worst = drift.first()
+    print(
+        f"worst cohort TVD: cohort={worst['cohort']} tvd={worst['tvd']:.4f} "
+        f"(n_a={worst['n_a']}, n_b={worst['n_b']})"
+    )
+
+    # 2. heavy-hitter census: the single-pass sketch vs exact counts
+    sketch = {
+        r["event_type"]
+        for r in ev.stat.freqItems(["event_type"], support=0.15)
+        .select(F.explode("event_type_freqItems").alias("event_type"))
+        .collect()
+    }
+    n = ev.count()
+    heavy = {
+        r["event_type"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 100 > F.lit(n) * 15)
+        .collect()
+    }
+    missing = heavy - sketch
+    print(f"heavy hitters: exact={sorted(heavy)} sketch_extra={sorted(sketch - heavy)}")
+    assert not missing, f"sketch guarantee violated: {missing}"
+
+    # 3. robust outlier audit on the new window only
+    new_win = ev.filter(F.col("event_id") % 2 == 1)
+    n_out = mad_outliers(new_win, threshold=2.5).count()
+    print(f"new-window robust outliers (|z*|>=2.5): {n_out} of {new_win.count()} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

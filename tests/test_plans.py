@@ -415,11 +415,17 @@ def test_fuzzy_match_is_blocked_equi_join(spark):
 
 
 def test_triangle_count_equi_joins_only(spark):
-    """Wedge + closure joins are equi-joins; the only nested-loop shapes
+    """Wedge + closure joins are equi-joins AND broadcast-free: the
+    degree/adjacency tables are node-sized (adjacency payload is
+    edge-sized in total), and an AQE-chosen broadcast BUILD of them
+    OOMed a long-lived 1g-heap driver in the round-7 sf0.1 replica leg
+    — the same class pagerank hit in r6. The only nested-loop shapes
     allowed are the 1-row stat combines at the very top (bounded
     broadcast, same posture as value_histogram)."""
     s = _explain(CATALOG["triangle_count"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in s, s
+    assert "BroadcastHashJoin" not in s, s
+    assert "ShuffledHashJoin" in s, s
     assert s.count("BroadcastNestedLoopJoin") <= 2, s
 
 
