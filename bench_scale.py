@@ -138,10 +138,13 @@ def main() -> None:
     from airflow_kafka_spark_spark.ext.similarity import (
         ann_topk_ivf,
         ann_topk_ivf_batch,
+        ann_topk_pq,
+        ann_topk_pq_batch,
         ivf_assignments,
     )
 
     ivf_index = ivf_assignments(emb, n_lists=16)
+    pq_books = books  # shared with the pq_encode probe above
     ann_results = {}
     for nq in (1, 8, 32):
         qids = list(range(nq))
@@ -154,11 +157,20 @@ def main() -> None:
             emb, qids, k=10, n_probe=8, index=ivf_index
         ).collect()
         batch_dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for qid in qids:
+            ann_topk_pq(emb, qid, k=10, codebooks=pq_books).collect()
+        pq_loop_dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ann_topk_pq_batch(emb, qids, k=10, codebooks=pq_books).collect()
+        pq_batch_dt = time.perf_counter() - t0
         ann_results[f"{nq}q"] = {
             "loop_sec": round(loop_dt, 3),
             "batch_sec": round(batch_dt, 3),
             "loop_ms_per_query": round(loop_dt / nq * 1000, 1),
             "batch_ms_per_query": round(batch_dt / nq * 1000, 1),
+            "pq_loop_ms_per_query": round(pq_loop_dt / nq * 1000, 1),
+            "pq_batch_ms_per_query": round(pq_batch_dt / nq * 1000, 1),
         }
 
     # rolling-mean formulation face-off: the oracle-exact lag-chain is

@@ -81,6 +81,14 @@ def main() -> None:
         .limit(5)
         .collect()
     )
+    # on the DIRECTED (un-symmetrized) graph every order's max partkey
+    # is a sink — dangling="redistribute" keeps their mass in the
+    # system (the leak default would deflate all ranks); still
+    # fixed-point exact
+    directed_total = sum(
+        r["rank_s"]
+        for r in pagerank(edges, iterations=3, dangling="redistribute").collect()
+    )
 
     # 4. co-purchase communities from the STRONG edges only (support >=
     # 2 orders): thresholding first keeps the iterative stage on the
@@ -100,9 +108,12 @@ def main() -> None:
         f"edges={n_edges} nodes={stats['n_nodes']} "
         f"triangles={stats['n_triangles']} clustering={stats['clustering']} "
         f"top_item={top[0]['n']} (rank={top[0]['rank']:.6f}) "
-        f"strong_communities={n_communities} biggest={biggest}"
+        f"strong_communities={n_communities} biggest={biggest} "
+        f"directed_mass_kept={directed_total / 10**12:.4f}"
     )
     assert stats["n_triangles"] > 0 and n_communities > 0
+    # redistribution conserves mass up to floor leaks (≈1.0 of 1.0)
+    assert directed_total > 0.99 * 10**12
     # every strong edge's endpoints must share a community label
     lab = comps.select(F.col("doc_id").alias("doc1"), F.col("component").alias("c1"))
     lab2 = comps.select(F.col("doc_id").alias("doc2"), F.col("component").alias("c2"))

@@ -163,6 +163,40 @@ def test_ann_batch_matches_point_lookups(spark):
         assert len(by_q[qid]) == 10
 
 
+def test_pq_batch_matches_point_lookups(spark):
+    """The batched PQ serving path must return, per query, exactly the
+    rows the point path returns: the broadcast ADC-table frame join
+    sums the same m per-subvector terms in the same order (posexplode
+    emits j ascending within one partition), so candidates and rerank
+    are identical — one bounded collect replaces N first() actions."""
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_pq,
+        ann_topk_pq_batch,
+        pq_codebooks,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq_codebooks(emb)
+    qids = [0, 7, 19]
+    by_q: dict[int, list] = {q: [] for q in qids}
+    for r in ann_topk_pq_batch(emb, qids, k=10, codebooks=books).collect():
+        by_q[r["query_id"]].append((r["vec_id"], r["cosine"]))
+    for qid in qids:
+        point = [
+            (r["vec_id"], r["cosine"])
+            for r in ann_topk_pq(emb, qid, k=10, codebooks=books).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(point), qid
+        assert len(by_q[qid]) == 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing query ids"):
+        ann_topk_pq_batch(emb, [0, 10**9], k=5, codebooks=books).collect()
+
+
 def test_connected_components_single_edge_and_self_loop(spark):
     """Degenerate graphs must converge in one round, not wedge: a lone
     edge labels both endpoints with the min id; a self-loop is a

@@ -314,3 +314,72 @@ def test_table_diff_property(spark, old_rows, new_rows):
         if old_rows[k] != new_rows[k]:
             expect[k] = "changed"
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# round-7: TVD drift properties
+# ---------------------------------------------------------------------------
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # cohort
+        st.integers(min_value=0, max_value=1),      # split half
+        st.sampled_from("xyz"),                     # category
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_events)
+@settings(max_examples=8, deadline=None)
+def test_tvd_drift_matches_python_reference_and_invariants(spark, rows):
+    """For ANY event set: tvd_num equals the exact integer reference,
+    0 <= tvd <= 1 whenever both windows are non-empty, tvd is
+    symmetric under swapping the windows, and identical windows give
+    exactly 0."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.drift import tvd_drift
+
+    df = spark.createDataFrame(rows, "cohort int, half int, cat string")
+
+    def reference(flip: bool) -> dict[int, tuple[int, int, int]]:
+        out = {}
+        for c in {r[0] for r in rows}:
+            sub = [r for r in rows if r[0] == c]
+            a = Counter(r[2] for r in sub if (r[1] == (1 if flip else 0)))
+            b = Counter(r[2] for r in sub if (r[1] == (0 if flip else 1)))
+            na, nb = sum(a.values()), sum(b.values())
+            num = sum(
+                abs(a.get(k, 0) * nb - b.get(k, 0) * na)
+                for k in set(a) | set(b)
+            )
+            out[c] = (na, nb, num)
+        return out
+
+    for flip in (False, True):
+        split = (1 - F.col("half")) if flip else F.col("half")
+        got = {
+            r["cohort"]: r
+            for r in tvd_drift(
+                df, cohort=F.col("cohort"), split=split, category="cat"
+            ).collect()
+        }
+        ref = reference(flip)
+        assert set(got) == set(ref)
+        for c, (na, nb, num) in ref.items():
+            r = got[c]
+            assert (r["n_a"], r["n_b"], r["tvd_num"]) == (na, nb, num), c
+            if na > 0 and nb > 0:
+                assert 0.0 <= r["tvd"] <= 1.0
+                assert r["tvd"] == num / (2.0 * na * nb)
+            else:
+                assert r["tvd"] is None
+        if not flip:
+            unflipped = {c: got[c]["tvd_num"] for c in got}
+        else:
+            # TVD is symmetric in its two distributions
+            assert {c: got[c]["tvd_num"] for c in got} == unflipped
