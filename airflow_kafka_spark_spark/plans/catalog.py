@@ -5694,7 +5694,7 @@ CATALOG: dict[str, Query] = {
     ),
     "zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS, headline=True),
     "mad_outliers": Query(q_mad_outliers, SQL_MAD_OUTLIERS),
-    "drift_tvd": Query(q_drift_tvd, SQL_DRIFT_TVD),
+    "drift_tvd": Query(q_drift_tvd, SQL_DRIFT_TVD, headline=True),
     "freq_items_bounded": Query(q_freq_items_bounded, SQL_FREQ_ITEMS_BOUNDED),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
@@ -5779,7 +5779,9 @@ CATALOG: dict[str, Query] = {
     "triangle_count": Query(q_triangle_count, SQL_TRIANGLE_COUNT, headline=True),
     "ols_trend": Query(q_ols_trend, SQL_OLS_TREND),
     "pagerank": Query(q_pagerank, SQL_PAGERANK),
-    "pagerank_dangling": Query(q_pagerank_dangling, SQL_PAGERANK_DANGLING),
+    "pagerank_dangling": Query(
+        q_pagerank_dangling, SQL_PAGERANK_DANGLING, headline=True
+    ),
     "pareto_frontier": Query(q_pareto_frontier, SQL_PARETO_FRONTIER),
     # sketch estimates engine-specific → rows-only; error bound in pytest
     "hll_rolling_distinct": Query(q_hll_rolling_distinct, None),
