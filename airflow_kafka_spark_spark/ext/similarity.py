@@ -152,9 +152,16 @@ def ivf_assignments(
         for j, c in enumerate(centroids)
     ]
     v = F.col(vec_col)
+
+    def _sq(a_, b_):
+        # (a-b)*(a-b), not **2: Column ** lowers to POWER/Math.pow,
+        # which is not correctly-rounded; multiply is (repo float rule)
+        d = a_.cast("double") - b_
+        return d * d
+
     d2_cols = [
         F.aggregate(
-            F.zip_with(v, F.col(f"c{j}"), lambda a_, b_: (a_.cast("double") - b_) ** 2),
+            F.zip_with(v, F.col(f"c{j}"), _sq),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -241,10 +248,15 @@ def ann_topk_ivf_batch(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     index: tuple[DataFrame, list[list[float]]] | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Batched IVF ANN serving: one plan answers N queries, with ZERO
     per-query driver actions — the missing half of the train/search
-    split. :func:`ann_topk_ivf` is the point-lookup contract (two
+    split. (``validate=True``, the default, spends ONE bounded action —
+    a count of the tiny pushed-down query scan — to raise on query ids
+    absent from the corpus, matching the point path's error contract
+    instead of silently returning a truncated result set; pass
+    ``validate=False`` for a fully action-free plan builder.) :func:`ann_topk_ivf` is the point-lookup contract (two
     driver round-trips per call: the query-vector ``first()`` and the
     numpy centroid argsort); a 1000-query batch through it would
     serialize 1000 round-trips. Here the whole batch is data-plane:
@@ -277,14 +289,27 @@ def ann_topk_ivf_batch(
     q = embeddings.filter(F.col(id_col).isin(list(query_vec_ids))).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
+    if validate:
+        found = {r["query_id"] for r in q.select("query_id").collect()}
+        missing = sorted(set(query_vec_ids) - found)
+        if missing:
+            raise ValueError(
+                f"ann_topk_ivf_batch: missing query ids {missing}"
+            )
     cent_cols = [
         F.array(*[F.lit(float(x)) for x in c]).alias(f"c{j}")
         for j, c in enumerate(centroids)
     ]
     qv = F.col("qvec")
+
+    def _sq(a_, b_):
+        # multiply, not **2 (POWER is not correctly-rounded; repo rule)
+        d = a_.cast("double") - b_
+        return d * d
+
     d2_cols = [
         F.aggregate(
-            F.zip_with(qv, F.col(f"c{j}"), lambda a_, b_: (a_.cast("double") - b_) ** 2),
+            F.zip_with(qv, F.col(f"c{j}"), _sq),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -417,8 +442,13 @@ def ann_topk_pq_batch(
         .filter(F.col("__rk") <= rerank_factor * k)
         .select("query_id", id_col)
     )
-    q = embeddings.filter(F.col(id_col).isin(list(query_vec_ids))).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    # query vectors are already in q_rows — rebuild the broadcast side
+    # from the bounded collect instead of a second full-corpus scan
+    # (float->double widening is exact, so the rerank cosines are
+    # bit-identical to an in-plan cast)
+    q = spark.createDataFrame(
+        [(int(r["query_id"]), [float(x) for x in r["qvec"]]) for r in q_rows],
+        "query_id long, qvec array<double>",
     )
     cand = embeddings.join(cand_ids, id_col).join(F.broadcast(q), "query_id")
     cos = _dot(F.col(vec_col), F.col("qvec")) / (

@@ -3932,9 +3932,11 @@ SELECT c.cohort, t.n_a, t.n_b,
          CAST(CAST(SUM(ABS(c.cnt_a * t.n_b - c.cnt_b * t.n_a)) AS BIGINT) AS DOUBLE)
            / (2.0 * CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
        END AS tvd
-FROM counts c JOIN totals t USING (cohort)
+-- NULL-safe join + NULLS FIRST: Spark's groupBy keeps a NULL cohort
+-- group and sorts it first; a plain equi-join would silently drop it
+FROM counts c JOIN totals t ON c.cohort IS NOT DISTINCT FROM t.cohort
 GROUP BY c.cohort, t.n_a, t.n_b
-ORDER BY c.cohort
+ORDER BY c.cohort NULLS FIRST
 """
 
 
@@ -4148,9 +4150,16 @@ def q_ann_recall_bounded(spark, sf_dir):
     qids = (0, 19)
     ivf_index = ivf_assignments(emb, n_lists=16)
     books = pq_codebooks(emb)
-    ivf_all = ann_topk_ivf_batch(
-        emb, list(qids), k, n_probe=8, index=ivf_index
-    ).select("query_id", "vec_id")
+    # localCheckpoint the k·|Q|-row batch result: the per-qid filters
+    # below reference it twice, and without materialization each
+    # reference would re-plan (and re-execute) the whole batch subtree
+    # — the claim "both probe queries are answered by ONE plan" holds
+    # only if the plan runs once
+    ivf_all = (
+        ann_topk_ivf_batch(emb, list(qids), k, n_probe=8, index=ivf_index)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     out = None
     for qid in qids:
         exact = cosine_topk(emb, qid, k).select("vec_id")

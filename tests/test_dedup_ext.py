@@ -162,6 +162,12 @@ def test_ann_batch_matches_point_lookups(spark):
         assert sorted(by_q[qid]) == sorted(point), qid
         assert len(by_q[qid]) == 10
 
+    import pytest as _pytest
+
+    # default validate=True matches the point path's error contract
+    with _pytest.raises(ValueError, match="missing query ids"):
+        ann_topk_ivf_batch(emb, [0, 10**9], k=5, index=index)
+
 
 def test_pq_batch_matches_point_lookups(spark):
     """The batched PQ serving path must return, per query, exactly the
@@ -387,6 +393,8 @@ def test_tvd_drift_known_values(spark):
         (3, 0, "click"), (3, 1, "error"),
         # cohort 4: empty window B
         (4, 0, "click"),
+        # NULL cohort: must form its own group, not vanish
+        (None, 0, "click"), (None, 1, "view"),
     ]
     df = spark.createDataFrame(rows, "cohort int, half int, event_type string")
     got = {
@@ -399,6 +407,7 @@ def test_tvd_drift_known_values(spark):
     assert got[2]["tvd"] == 0.0
     assert got[3]["tvd"] == 1.0  # disjoint supports
     assert got[4]["n_b"] == 0 and got[4]["tvd"] is None
+    assert got[None]["tvd"] == 1.0  # NULL cohort kept, disjoint supports
 
 
 def test_merge_upsert_semantics(spark):
