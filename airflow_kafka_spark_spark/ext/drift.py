@@ -84,3 +84,91 @@ def tvd_drift(
             / (F.lit(2.0) * F.col("n_a").cast("double") * F.col("n_b").cast("double")),
         ).alias("tvd"),
     )
+
+
+def chi2_drift(
+    df: DataFrame,
+    cohort: Column,
+    split: Column,
+    category: str,
+    quant_scale: int = 6,
+) -> DataFrame:
+    """Per-cohort chi-squared homogeneity statistic between the two
+    windows' ``category`` distributions — the classical drift test
+    statistic (Pearson), made cross-engine-reproducible.
+
+    For the 2×k contingency table per cohort (windows w ∈ {a, b},
+    categories i), with O the observed counts, n_w the window totals,
+    c_i the category totals and N = n_a + n_b:
+
+        chi2 = Σ_{w,i} (N·O_{w,i} − n_w·c_i)² / (N · n_w · c_i)
+
+    Each term's numerator and denominator are exact BIGINTs; the term
+    itself needs one double multiply and one division (both correctly
+    rounded, deterministic), but the SUM over terms would then depend
+    on engine aggregation order — so each term is floor-quantized at
+    ``10^quant_scale`` first (the repo's standard derived-double
+    rescue: floor of a deterministically-computed double is
+    engine-identical, and the BIGINT sum is order-independent).
+    Output per cohort: ``(cohort, n_a, n_b, dof, chi2_q, chi2)`` where
+    ``chi2_q`` is the quantized BIGINT sum (the value an oracle
+    compares) and ``chi2 = chi2_q / 10^quant_scale`` its double
+    rendering, biased low by < k·2·10^-quant_scale. Cohorts with an
+    empty window or a single category emit NULL chi2 (dof 0).
+
+    Overflow bound: N·O and n_w·c_i are < N², exact in BIGINT below
+    N ≈ 3·10^9 rows per cohort; the squared difference is computed in
+    double (exact-rounded) to avoid BIGINT overflow at (N²)².
+
+    Same scale shape as :func:`tvd_drift`: one conditional-count
+    groupBy pass over the facts, window totals over the count table,
+    one final cohort aggregate. No joins, no UDFs.
+    """
+    counts = df.groupBy(cohort.alias("cohort"), F.col(category)).agg(
+        F.sum(F.when(split == 0, 1).otherwise(0)).cast("bigint").alias("o_a"),
+        F.sum(F.when(split == 1, 1).otherwise(0)).cast("bigint").alias("o_b"),
+    )
+    w = Window.partitionBy("cohort")
+    t = counts.select(
+        "cohort",
+        "o_a",
+        "o_b",
+        F.sum("o_a").over(w).alias("n_a"),
+        F.sum("o_b").over(w).alias("n_b"),
+        (F.col("o_a") + F.col("o_b")).alias("c_i"),
+        F.count(F.lit(1)).over(w).alias("k_cats"),
+    )
+    n_tot = F.col("n_a") + F.col("n_b")
+    q = F.lit(10**quant_scale).cast("double")
+
+    def term(o: Column, n_w: Column) -> Column:
+        # (N·O − n_w·c_i)² / (N·n_w·c_i), floor-quantized; the diff is
+        # BIGINT-exact, squared in double (exact rounding), one divide
+        diff = (n_tot * o - n_w * F.col("c_i")).cast("double")
+        denom = (n_tot * n_w * F.col("c_i")).cast("double")
+        return F.floor(diff * diff / denom * q).cast("bigint")
+
+    per_cat = t.select(
+        "cohort",
+        "n_a",
+        "n_b",
+        "k_cats",
+        (term(F.col("o_a"), F.col("n_a")) + term(F.col("o_b"), F.col("n_b"))).alias(
+            "__t"
+        ),
+    )
+    out = per_cat.groupBy("cohort").agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        (F.first("k_cats") - 1).cast("bigint").alias("dof"),
+        F.sum("__t").alias("chi2_q"),
+    )
+    valid = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (F.col("dof") > 0)
+    return out.select(
+        "cohort",
+        "n_a",
+        "n_b",
+        "dof",
+        F.when(valid, F.col("chi2_q")).alias("chi2_q"),
+        F.when(valid, F.col("chi2_q").cast("double") / q).alias("chi2"),
+    )

@@ -410,6 +410,73 @@ def test_tvd_drift_known_values(spark):
     assert got[None]["tvd"] == 1.0  # NULL cohort kept, disjoint supports
 
 
+def _chi2_reference(rows):
+    """Pure-Python replica of chi2_drift's exact arithmetic sequence
+    (BIGINT diffs, double square/divide/scale, floor) — any engine
+    implementing the same sequence must agree bit for bit."""
+    import math
+    from collections import Counter
+
+    out = {}
+    for c in {r[0] for r in rows}:
+        sub = [r for r in rows if r[0] == c]
+        a = Counter(r[2] for r in sub if r[1] == 0)
+        b = Counter(r[2] for r in sub if r[1] == 1)
+        na, nb = sum(a.values()), sum(b.values())
+        n = na + nb
+        cats = sorted(set(a) | set(b))
+        if na == 0 or nb == 0 or len(cats) <= 1:
+            out[c] = (na, nb, len(cats) - 1, None, None)
+            continue
+        q = 0
+        for i in cats:
+            ci = a.get(i, 0) + b.get(i, 0)
+            for o, nw in ((a.get(i, 0), na), (b.get(i, 0), nb)):
+                diff = float(n * o - nw * ci)
+                q += math.floor(diff * diff / float(n * nw * ci) * 1e6)
+        out[c] = (na, nb, len(cats) - 1, q, q / 1e6)
+    return out
+
+
+def test_chi2_drift_reference_and_edge_cases(spark):
+    """chi2_drift == the exact-sequence Python reference on a
+    hand-checkable table; identical windows give 0; an empty window or
+    single-category cohort gives NULL with the dof rider."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.drift import chi2_drift
+
+    rows = [
+        # cohort 1: classic 2x2 (a-window 30/10, b-window 10/30)
+        *[(1, 0, "x")] * 30, *[(1, 0, "y")] * 10,
+        *[(1, 1, "x")] * 10, *[(1, 1, "y")] * 30,
+        # cohort 2: identical windows -> chi2 == 0
+        (2, 0, "x"), (2, 0, "y"), (2, 1, "x"), (2, 1, "y"),
+        # cohort 3: empty window B -> NULL
+        (3, 0, "x"),
+        # cohort 4: one category only -> dof 0 -> NULL
+        (4, 0, "x"), (4, 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "cohort int, half int, event_type string")
+    got = {
+        r["cohort"]: r
+        for r in chi2_drift(
+            df, cohort=F.col("cohort"), split=F.col("half"), category="event_type"
+        ).collect()
+    }
+    ref = _chi2_reference(rows)
+    assert set(got) == set(ref)
+    for c, (na, nb, dof, q, chi2) in ref.items():
+        r = got[c]
+        assert (r["n_a"], r["n_b"], r["dof"]) == (na, nb, dof), c
+        assert r["chi2_q"] == q and r["chi2"] == chi2, c
+    # hand check: 2x2 with margins 40/40, 40/40 -> chi2 = 80*(30*30-10*10)^2
+    # / (40*40*40*40) = 20.0 exactly
+    assert got[1]["chi2"] == 20.0
+    assert got[2]["chi2"] == 0.0
+    assert got[3]["chi2"] is None and got[4]["chi2"] is None
+
+
 def test_merge_upsert_semantics(spark):
     """Update beats target row, insert lands, untouched rows survive."""
     from airflow_kafka_spark_spark.operators.relational import merge_upsert
