@@ -478,6 +478,27 @@ def test_pagerank_equi_joins_only(spark):
     assert "ShuffledHashJoin" in s, s
 
 
+def test_drift_tvd_single_scan_no_join(spark):
+    """The TVD plan must scan the facts ONCE (the join-based totals
+    formulation computed the count aggregate twice — caught and
+    rewritten r7): one partial-aggregated groupBy, cohort totals as
+    window sums, final aggregate on the window's partitioning. No
+    joins anywhere."""
+    s = _explain(CATALOG["drift_tvd"].fn(spark, SF_DIR))
+    assert "Join" not in s, s
+    assert s.count("Scan parquet") == 1 or s.count("Location") == 1, s
+    assert "Window" in s, s
+
+
+def test_freq_items_bounded_no_cartesian(spark):
+    """The certification entry combines 1-row aggregates (bounded
+    nested-loop broadcasts, same posture as value_histogram) and an
+    anti-join of the heavy set against the sketch — no unbounded
+    cartesian shapes."""
+    s = _explain(CATALOG["freq_items_bounded"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in s, s
+
+
 def test_pagerank_dangling_loop_broadcast_free(spark):
     """The redistribute variant adds a per-iteration anti-join (dangling
     mass) — that anti-join is node-sized on BOTH sides and must follow
