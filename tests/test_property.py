@@ -383,3 +383,42 @@ def test_tvd_drift_matches_python_reference_and_invariants(spark, rows):
         else:
             # TVD is symmetric in its two distributions
             assert {c: got[c]["tvd_num"] for c in got} == unflipped
+
+
+_chi2_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),      # cohort
+        st.integers(min_value=0, max_value=1),      # split half
+        st.sampled_from("pq"),                      # category
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_chi2_events)
+@settings(max_examples=8, deadline=None)
+def test_chi2_drift_matches_python_reference(spark, rows):
+    """For ANY event set: chi2_q equals the exact-sequence Python
+    reference bit for bit (BIGINT diffs, double square/divide, floor
+    quantization), and chi2 is non-negative whenever defined."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.drift import chi2_drift
+    from .test_dedup_ext import _chi2_reference
+
+    df = spark.createDataFrame(rows, "cohort int, half int, cat string")
+    got = {
+        r["cohort"]: r
+        for r in chi2_drift(
+            df, cohort=F.col("cohort"), split=F.col("half"), category="cat"
+        ).collect()
+    }
+    ref = _chi2_reference(rows)
+    assert set(got) == set(ref)
+    for c, (na, nb, dof, q, chi2) in ref.items():
+        r = got[c]
+        assert (r["n_a"], r["n_b"], r["dof"]) == (na, nb, dof), c
+        assert r["chi2_q"] == q and r["chi2"] == chi2, c
+        if r["chi2"] is not None:
+            assert r["chi2"] >= 0.0
