@@ -173,6 +173,45 @@ def main() -> None:
             "pq_batch_ms_per_query": round(pq_batch_dt / nq * 1000, 1),
         }
 
+    # drift monitors at replica scale: both are single-scan
+    # conditional-count aggregations, so wall time should grow far
+    # slower than data (the shuffle is the cohort-x-category count
+    # table, not the facts)
+    from airflow_kafka_spark_spark.ext.drift import chi2_drift, tvd_drift
+
+    ev_drift = load_table(spark, sf_dir, "events")
+    drift_results = {}
+    for mult in (1, 10):
+        big = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                ev_drift.withColumn("user_id", F.col("user_id") + uid_shift * i)
+                for i in range(mult)
+            ],
+        )
+        n = big.count()
+        t0 = time.perf_counter()
+        tvd_drift(
+            big,
+            cohort=F.col("user_id") % 10,
+            split=F.col("event_id") % 2,
+            category="event_type",
+        ).write.format("noop").mode("overwrite").save()
+        tvd_dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chi2_drift(
+            big,
+            cohort=F.col("user_id") % 10,
+            split=F.col("event_id") % 2,
+            category="event_type",
+        ).write.format("noop").mode("overwrite").save()
+        chi2_dt = time.perf_counter() - t0
+        drift_results[f"{mult}x"] = {
+            "rows": n,
+            "tvd_sec": round(tvd_dt, 3),
+            "chi2_sec": round(chi2_dt, 3),
+        }
+
     # rolling-mean formulation face-off: the oracle-exact lag-chain is
     # O(n) expressions per window vs the O(1) frame-aggregate — the
     # pre-measured swap for when a profiler flags the lag-chain at 100×
@@ -518,6 +557,7 @@ def main() -> None:
                 "chunk_dedup_scaling": chunk_results,
                 "pq_encode_scaling": pq_results,
                 "ann_serving_batch": ann_results,
+                "drift_scaling": drift_results,
                 "rolling_mean_formulations": rolling_results,
                 "fixed_point_sum_formulations": sum_results,
                 "containment_skew_cap": containment_results,
