@@ -3949,47 +3949,74 @@ def q_freq_items_bounded(spark, sf_dir):
     design), but its GUARANTEE — every item with frequency strictly
     above the support threshold appears in the output — is a boolean
     both engines can agree on. Exact heavy hitters come from a plain
-    hash agg compared in BIGINT (``cnt·100 > n·15`` for support 0.15 —
-    no FP thresholds); the certified check is that none of them is
-    missing from the sketch (anti-join count == 0). ``n_rows`` and
-    ``n_heavy`` ride along as real oracled values."""
-    ev = load_table(spark, sf_dir, "events")
-    sketch = (
-        ev.stat.freqItems(["event_type"], support=0.15)
-        .select(F.explode("event_type_freqItems").alias("event_type"))
+    hash agg compared in BIGINT (``cnt*100 > n*support_pct`` — no FP
+    thresholds); the certified check is that none of them is missing
+    from the sketch (anti-join count == 0). Two probes so BOTH sides
+    of the guarantee are exercised: ``events.event_type`` at support
+    0.15 (every category heavy — the sketch must keep all 5) and
+    ``documents.lang`` at support 0.20 (a heavy/light MIX: one
+    dominant language above the threshold, the rest below it — the
+    sketch must surface the dominant one among its candidates).
+    ``n_rows`` and ``n_heavy`` ride along as real oracled values
+    (n_heavy = 1 for the lang probe — a sharp check, not a
+    tautology)."""
+    probes = (
+        ("events_event_type", "events", "event_type", 15),
+        ("documents_lang", "documents", "lang", 20),
     )
-    n_rows = ev.agg(F.count(F.lit(1)).alias("n_rows"))
-    heavy = (
-        ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(n_rows)
-        .filter(F.col("cnt") * 100 > F.col("n_rows") * 15)
-    )
-    n_heavy = heavy.agg(F.count(F.lit(1)).alias("n_heavy"))
-    n_missing = heavy.join(sketch, "event_type", "left_anti").agg(
-        F.count(F.lit(1)).alias("__miss")
-    )
-    return (
-        n_rows.crossJoin(n_heavy)
-        .crossJoin(n_missing)
-        .select(
-            "n_rows",
-            "n_heavy",
-            (F.col("__miss") == 0).alias("all_heavy_found"),
+    out = None
+    for tag, table, col, pct in probes:
+        df = load_table(spark, sf_dir, table)
+        sketch = df.stat.freqItems([col], support=pct / 100.0).select(
+            F.explode(f"{col}_freqItems").alias(col)
         )
-    )
+        n_rows = df.agg(F.count(F.lit(1)).alias("n_rows"))
+        heavy = (
+            df.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .crossJoin(n_rows)
+            .filter(F.col("cnt") * 100 > F.col("n_rows") * pct)
+        )
+        n_heavy = heavy.agg(F.count(F.lit(1)).alias("n_heavy"))
+        n_missing = heavy.join(sketch, col, "left_anti").agg(
+            F.count(F.lit(1)).alias("__miss")
+        )
+        row = (
+            n_rows.crossJoin(n_heavy)
+            .crossJoin(n_missing)
+            .select(
+                F.lit(tag).alias("probe"),
+                "n_rows",
+                "n_heavy",
+                (F.col("__miss") == 0).alias("all_heavy_found"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 SQL_FREQ_ITEMS_BOUNDED = """
-WITH t AS (SELECT COUNT(*) AS n_rows FROM events),
-h AS (
+WITH te AS (SELECT COUNT(*) AS n_rows FROM events),
+he AS (
   SELECT COUNT(*) AS n_heavy
   FROM (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1) g
-       CROSS JOIN t
-  WHERE g.cnt * 100 > t.n_rows * 15
+       CROSS JOIN te
+  WHERE g.cnt * 100 > te.n_rows * 15
+),
+td AS (SELECT COUNT(*) AS n_rows FROM documents),
+hd AS (
+  SELECT COUNT(*) AS n_heavy
+  FROM (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1) g
+       CROSS JOIN td
+  WHERE g.cnt * 100 > td.n_rows * 20
 )
-SELECT t.n_rows, h.n_heavy, TRUE AS all_heavy_found
-FROM t CROSS JOIN h
+SELECT 'events_event_type' AS probe, te.n_rows, he.n_heavy,
+       TRUE AS all_heavy_found
+FROM te CROSS JOIN he
+UNION ALL
+SELECT 'documents_lang' AS probe, td.n_rows, hd.n_heavy,
+       TRUE AS all_heavy_found
+FROM td CROSS JOIN hd
 """
 
 
