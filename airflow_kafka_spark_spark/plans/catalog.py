@@ -4158,15 +4158,17 @@ def q_ann_recall_bounded(spark, sf_dir):
     query side, equi-join candidate pruning); the intersections are
     joins of k-row frames. The IVF coarse quantizer and PQ codebooks
     are trained ONCE and shared by both probe queries — the FAISS
-    train/search split a serving path uses — and the IVF leg goes
-    through ``ann_topk_ivf_batch``: both probe queries are answered by
-    ONE data-plane plan (tested row-identical to the point-lookup
-    path), the serving shape a 1000-query lookup batch needs instead
-    of 1000 serialized driver round-trips. ``n_vectors`` rides along
-    so the oracle checks a real value, not just TRUEs."""
+    train/search split a serving path uses — and BOTH approximate legs
+    go through their batched forms (``ann_topk_ivf_batch`` /
+    ``ann_topk_pq_batch``, each tested row-identical to its
+    point-lookup path): one data-plane plan per family answers both
+    probe queries, which for PQ means ONE corpus encode instead of one
+    per query — the serving shape a 1000-query lookup batch needs
+    instead of 1000 serialized driver round-trips. ``n_vectors`` rides
+    along so the oracle checks a real value, not just TRUEs."""
     from ..ext.similarity import (
         ann_topk_ivf_batch,
-        ann_topk_pq,
+        ann_topk_pq_batch,
         cosine_topk,
         ivf_assignments,
         pq_codebooks,
@@ -4187,13 +4189,18 @@ def q_ann_recall_bounded(spark, sf_dir):
         .select("query_id", "vec_id")
         .localCheckpoint(eager=True)
     )
+    pq_all = (
+        ann_topk_pq_batch(
+            emb, list(qids), k, rerank_factor=24, codebooks=books
+        )
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     out = None
     for qid in qids:
         exact = cosine_topk(emb, qid, k).select("vec_id")
         ivf = ivf_all.filter(F.col("query_id") == qid).select("vec_id")
-        pq = ann_topk_pq(
-            emb, qid, k, rerank_factor=24, codebooks=books
-        ).select("vec_id")
+        pq = pq_all.filter(F.col("query_id") == qid).select("vec_id")
         n_ivf = exact.join(ivf, "vec_id").agg(
             F.count(F.lit(1)).alias("__n_ivf")
         )
