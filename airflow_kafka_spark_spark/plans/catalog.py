@@ -3940,6 +3940,79 @@ ORDER BY c.cohort NULLS FIRST
 """
 
 
+def q_chi2_drift(spark, sf_dir):
+    """Per-cohort chi-squared homogeneity drift (ext.drift.chi2_drift)
+    — the classical Pearson test statistic between the two windows'
+    event_type distributions, same cohorts/split as ``drift_tvd``.
+    Cross-engine exact by construction: term numerators
+    (N·O − n_w·c_i) are BIGINT, each term's double square/divide is
+    correctly rounded, and terms are floor-quantized at 10^6 BEFORE
+    the order-independent BIGINT sum — the oracle transcribes the
+    identical arithmetic sequence, so ``chi2_q`` must agree bit for
+    bit (the ``floor(x·10^s)`` rescue from q_try_functions; plain
+    per-term double sums would diverge on aggregation order)."""
+    from ..ext.drift import chi2_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    out = chi2_drift(
+        ev,
+        cohort=F.col("user_id") % 10,
+        split=F.col("event_id") % 2,
+        category="event_type",
+    )
+    return out.orderBy("cohort")
+
+
+SQL_CHI2_DRIFT = """
+WITH counts AS (
+  SELECT user_id % 10 AS cohort, event_type,
+         CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
+         CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o_b
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT cohort, o_a, o_b,
+         CAST(SUM(o_a) OVER (PARTITION BY cohort) AS BIGINT) AS n_a,
+         CAST(SUM(o_b) OVER (PARTITION BY cohort) AS BIGINT) AS n_b,
+         o_a + o_b AS c_i,
+         CAST(COUNT(*) OVER (PARTITION BY cohort) AS BIGINT) AS k_cats
+  FROM counts
+),
+terms AS (
+  -- terms are meaningless (and divide by zero) when a window is
+  -- empty; the final projection masks those cohorts to NULL anyway,
+  -- so emit 0 instead of CAST(Inf) (which DuckDB rejects)
+  SELECT cohort, n_a, n_b, k_cats,
+         CASE WHEN n_a > 0 AND n_b > 0 THEN
+           CAST(FLOOR(
+             CAST((n_a + n_b) * o_a - n_a * c_i AS DOUBLE)
+               * CAST((n_a + n_b) * o_a - n_a * c_i AS DOUBLE)
+               / CAST((n_a + n_b) * n_a * c_i AS DOUBLE) * 1000000
+           ) AS BIGINT)
+           + CAST(FLOOR(
+             CAST((n_a + n_b) * o_b - n_b * c_i AS DOUBLE)
+               * CAST((n_a + n_b) * o_b - n_b * c_i AS DOUBLE)
+               / CAST((n_a + n_b) * n_b * c_i AS DOUBLE) * 1000000
+           ) AS BIGINT)
+         ELSE 0 END AS term
+  FROM t
+),
+agg AS (
+  SELECT cohort,
+         ANY_VALUE(n_a) AS n_a, ANY_VALUE(n_b) AS n_b,
+         CAST(ANY_VALUE(k_cats) - 1 AS BIGINT) AS dof,
+         CAST(SUM(term) AS BIGINT) AS chi2_q_raw
+  FROM terms GROUP BY cohort
+)
+SELECT cohort, n_a, n_b, dof,
+       CASE WHEN n_a > 0 AND n_b > 0 AND dof > 0 THEN chi2_q_raw END AS chi2_q,
+       CASE WHEN n_a > 0 AND n_b > 0 AND dof > 0
+            THEN CAST(chi2_q_raw AS DOUBLE) / 1000000.0 END AS chi2
+FROM agg
+ORDER BY cohort NULLS FIRST
+"""
+
+
 def q_freq_items_bounded(spark, sf_dir):
     """Heavy-hitters sketch certification as an ORACLED contract (the
     ``approx_aggs_bounded`` recipe, applied to Spark's built-in
@@ -5738,6 +5811,7 @@ CATALOG: dict[str, Query] = {
     "zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS, headline=True),
     "mad_outliers": Query(q_mad_outliers, SQL_MAD_OUTLIERS),
     "drift_tvd": Query(q_drift_tvd, SQL_DRIFT_TVD, headline=True),
+    "chi2_drift": Query(q_chi2_drift, SQL_CHI2_DRIFT),
     "freq_items_bounded": Query(q_freq_items_bounded, SQL_FREQ_ITEMS_BOUNDED),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),
