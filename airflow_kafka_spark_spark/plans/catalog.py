@@ -3968,7 +3968,7 @@ WITH counts AS (
   SELECT user_id % 10 AS cohort, event_type,
          CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o_a,
          CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o_b
-  FROM events GROUP BY 1, 2
+  FROM events WHERE event_id % 2 IN (0, 1) GROUP BY 1, 2
 ),
 t AS (
   SELECT cohort, o_a, o_b,
@@ -3983,16 +3983,21 @@ terms AS (
   -- empty; the final projection masks those cohorts to NULL anyway,
   -- so emit 0 instead of CAST(Inf) (which DuckDB rejects)
   SELECT cohort, n_a, n_b, k_cats,
+         -- denominator factors cast to DOUBLE individually BEFORE the
+         -- multiplies (left-assoc, same order as the engine): a BIGINT
+         -- triple product wraps silently at ~2e6 rows/cohort
          CASE WHEN n_a > 0 AND n_b > 0 THEN
            CAST(FLOOR(
              CAST((n_a + n_b) * o_a - n_a * c_i AS DOUBLE)
                * CAST((n_a + n_b) * o_a - n_a * c_i AS DOUBLE)
-               / CAST((n_a + n_b) * n_a * c_i AS DOUBLE) * 1000000
+               / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+                  * CAST(c_i AS DOUBLE)) * 1000000
            ) AS BIGINT)
            + CAST(FLOOR(
              CAST((n_a + n_b) * o_b - n_b * c_i AS DOUBLE)
                * CAST((n_a + n_b) * o_b - n_b * c_i AS DOUBLE)
-               / CAST((n_a + n_b) * n_b * c_i AS DOUBLE) * 1000000
+               / (CAST(n_a + n_b AS DOUBLE) * CAST(n_b AS DOUBLE)
+                  * CAST(c_i AS DOUBLE)) * 1000000
            ) AS BIGINT)
          ELSE 0 END AS term
   FROM t

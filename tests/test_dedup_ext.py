@@ -433,7 +433,11 @@ def _chi2_reference(rows):
             ci = a.get(i, 0) + b.get(i, 0)
             for o, nw in ((a.get(i, 0), na), (b.get(i, 0), nb)):
                 diff = float(n * o - nw * ci)
-                q += math.floor(diff * diff / float(n * nw * ci) * 1e6)
+                # per-factor double multiplies, left-assoc — the exact
+                # sequence the engine and oracle use (a single-rounded
+                # float(n*nw*ci) diverges by 1 ulp above 2^53)
+                denom = float(n) * float(nw) * float(ci)
+                q += math.floor(diff * diff / denom * 1e6)
         out[c] = (na, nb, len(cats) - 1, q, q / 1e6)
     return out
 
@@ -475,6 +479,77 @@ def test_chi2_drift_reference_and_edge_cases(spark):
     assert got[1]["chi2"] == 20.0
     assert got[2]["chi2"] == 0.0
     assert got[3]["chi2"] is None and got[4]["chi2"] is None
+
+
+def test_chi2_drift_ignores_out_of_contract_split(spark):
+    """Rows whose split is neither 0 nor 1 (e.g. NULL) are filtered
+    out: they create no category (no c_i = 0 divide-by-zero hazard),
+    don't inflate dof, and a cohort with only such rows vanishes."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.drift import chi2_drift
+
+    rows = [
+        # cohort 1: valid 2x2 plus a NULL-split row carrying an
+        # otherwise-unseen category 'z' (would make c_z = 0)
+        *[(1, 0, "x")] * 3, (1, 0, "y"),
+        (1, 1, "x"), *[(1, 1, "y")] * 3,
+        (1, None, "z"),
+        # cohort 2: only out-of-contract rows -> no output row
+        (2, None, "x"), (2, 7, "y"),
+    ]
+    df = spark.createDataFrame(rows, "cohort int, half int, event_type string")
+    got = {
+        r["cohort"]: r
+        for r in chi2_drift(
+            df, cohort=F.col("cohort"), split=F.col("half"), category="event_type"
+        ).collect()
+    }
+    assert set(got) == {1}
+    ref = _chi2_reference([r for r in rows if r[1] in (0, 1)])
+    na, nb, dof, q, chi2 = ref[1]
+    assert (got[1]["n_a"], got[1]["n_b"], got[1]["dof"]) == (na, nb, dof)
+    assert got[1]["chi2_q"] == q and got[1]["chi2"] == chi2
+    assert dof == 1  # 'z' never became a category
+
+
+def test_chi2_drift_overflow_scale(spark):
+    """The denominator N·n_w·c_i is computed in double per factor: at
+    4.5M rows/cohort the BIGINT triple product (~2.6e19) would wrap
+    int64 (bound ~2.1e6 rows) and silently corrupt chi2. Counts are
+    exact by construction; the reference replays the engine's exact
+    double sequence (per-factor casts, left-assoc multiplies)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.drift import chi2_drift
+
+    # window A: 1.5M 'x' + 1.0M 'y'; window B: 0.8M 'x' + 1.2M 'y'
+    n_ax, n_ay, n_bx, n_by = 1_500_000, 1_000_000, 800_000, 1_200_000
+    n = n_ax + n_ay + n_bx + n_by  # 4.5e6
+    b0, b1, b2 = n_ax, n_ax + n_ay, n_ax + n_ay + n_bx
+    df = spark.range(n).select(
+        F.when(F.col("id") < b1, 0).otherwise(1).alias("half"),
+        F.when(
+            (F.col("id") < b0) | ((F.col("id") >= b1) & (F.col("id") < b2)), "x"
+        ).otherwise("y").alias("event_type"),
+    )
+    [row] = chi2_drift(
+        df, cohort=F.lit(0), split=F.col("half"), category="event_type"
+    ).collect()
+
+    na, nb = n_ax + n_ay, n_bx + n_by
+    q = 0
+    for ci, (oa, ob) in ((n_ax + n_bx, (n_ax, n_bx)), (n_ay + n_by, (n_ay, n_by))):
+        for o, nw in ((oa, na), (ob, nb)):
+            assert n * nw * ci > 2**63  # the old BIGINT product wraps here
+            diff = float(n * o - nw * ci)
+            denom = float(n) * float(nw) * float(ci)
+            q += math.floor(diff * diff / denom * 1e6)
+    assert (row["n_a"], row["n_b"], row["dof"]) == (na, nb, 1)
+    assert row["chi2_q"] == q
+    assert row["chi2"] == q / 1e6 > 0
 
 
 def test_merge_upsert_semantics(spark):
