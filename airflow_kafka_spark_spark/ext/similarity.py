@@ -35,6 +35,24 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _probe_distances(
+    qvec: list[float], centroids: list[list[float]]
+) -> list[tuple[float, int]]:
+    """(squared-distance, list_id) per centroid, computed with the SAME
+    IEEE sequence the batch path's JVM expression uses: per-element
+    ``(x - c)²`` accumulated left-to-right in double. Sorting the
+    returned tuples reproduces the batch path's (d, j) struct sort
+    exactly — including the index tiebreak on equal distances."""
+    out = []
+    for j, cent in enumerate(centroids):
+        acc = 0.0
+        for x, c in zip(qvec, cent):
+            d = float(x) - c
+            acc += d * d
+        out.append((acc, j))
+    return out
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -201,9 +219,13 @@ def ann_topk_ivf(
     ``ann_recall_bounded``'s cost (the training sample is bounded and
     tiny); at corpus scale the per-call build is a full assignment
     SCAN per query, which is the difference between an index and a
-    table scan."""
-    import numpy as np
+    table scan.
 
+    Probe selection replays the batch path's exact arithmetic — a
+    left-to-right sequential double fold per centroid and a sort keyed
+    (distance, list_id) — so point and batch paths pick identical
+    probe lists even on tied centroid distances (numpy's pairwise
+    summation + unstable argsort could diverge by an ulp/tie)."""
     assigned, centroids = (
         index
         if index is not None
@@ -216,10 +238,7 @@ def ann_topk_ivf(
         raise ValueError(
             f"ann_topk_ivf: no row with {id_col}={query_vec_id!r}"
         )
-    qvec = np.array(q_row[0], dtype=np.float64)
-    cents = np.array(centroids)
-    d2 = ((cents - qvec[None, :]) ** 2).sum(axis=1)
-    probe = [int(j) for j in np.argsort(d2)[:n_probe]]
+    probe = [j for _, j in sorted(_probe_distances(q_row[0], centroids))[:n_probe]]
 
     cand_ids = assigned.filter(F.col("list_id").isin(probe)).select(id_col)
     cand = embeddings.join(cand_ids, id_col).filter(
@@ -266,8 +285,9 @@ def ann_topk_ivf_batch(
     - centroid probe selection is a JVM expression per query row —
       distances to the (literal, kilobyte-sized) centroids are
       ``array_sort``-ed as (dist, list) structs and the first
-      ``n_probe`` kept, the exact argsort-with-index-tiebreak the
-      point path does in numpy;
+      ``n_probe`` kept — the point path replays the identical IEEE
+      sequence via :func:`_probe_distances`, so both paths pick the
+      same probes even on tied distances;
     - ONE equi-join of (query, list) probe pairs against the shared
       assignment frame yields all candidates, ONE join retrieves their
       vectors, and a ``row_number`` window partitioned by query takes
@@ -376,8 +396,8 @@ def ann_topk_pq_batch(
 
     Scan shape: codes posexplode to (id, j, code) — m× row inflation,
     map-only — then ONE broadcast-hash join against the table frame
-    fans each row out per query, and a partial-aggregated groupBy
-    (query_id, id) sums the m ADC terms; per-query ``row_number``
+    fans each row out per query, and a groupBy (query_id, id) folds
+    the m ADC terms in fixed j-ascending order; per-query ``row_number``
     windows take the rerank_factor·k ADC candidates and the exact
     cosine top-k, both with (value, id) total orderings. Scales in
     corpus size (one shuffle of the pre-combined ADC sums) and in
@@ -405,12 +425,10 @@ def ann_topk_pq_batch(
         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
         .collect()
     )
-    if len(q_rows) != len(set(query_vec_ids)):
-        found = {r["query_id"] for r in q_rows}
-        raise ValueError(
-            f"ann_topk_pq_batch: missing query ids "
-            f"{sorted(set(query_vec_ids) - found)}"
-        )
+    found = {r["query_id"] for r in q_rows}
+    missing = sorted(set(query_vec_ids) - found)
+    if missing:
+        raise ValueError(f"ann_topk_pq_batch: missing query ids {missing}")
     table_rows = []
     for r in q_rows:
         qvec = np.array(r["qvec"], dtype=np.float64)
@@ -428,10 +446,26 @@ def ann_topk_pq_batch(
     exploded = codes.select(
         F.col(id_col), F.posexplode("codes").alias("j", "code")
     )
+    # sum the m ADC terms in FIXED j-ascending order: collect the
+    # (j, d2) pairs, array_sort (j is unique per group → sorts by j),
+    # sequential left-to-right double fold — the exact order the point
+    # path's j-ascending literal chain uses. A plain F.sum over the
+    # exploded rows would depend on row order within the aggregation
+    # (posexplode contiguity is not guaranteed under sort-based
+    # fallback or an upstream repartition), shifting adist by ulps.
     adist = (
         exploded.join(F.broadcast(tables), ["j", "code"])
         .groupBy("query_id", id_col)
-        .agg(F.sum("d2").alias("adist"))
+        .agg(F.array_sort(F.collect_list(F.struct("j", "d2"))).alias("__terms"))
+        .select(
+            "query_id",
+            id_col,
+            F.aggregate(
+                F.col("__terms"),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["d2"],
+            ).alias("adist"),
+        )
         .filter(F.col(id_col) != F.col("query_id"))
     )
     w_adc = Window.partitionBy("query_id").orderBy(
