@@ -86,6 +86,89 @@ def tvd_drift(
     )
 
 
+def ks_drift(
+    df: DataFrame,
+    cohort: Column,
+    split: Column,
+    value: Column,
+) -> DataFrame:
+    """Per-cohort two-sample Kolmogorov–Smirnov statistic between the
+    two windows' distributions of a NUMERIC column — the numeric leg
+    of the drift family (``tvd_drift``/``chi2_drift`` cover
+    categorical mixes; a training pipeline also monitors score/length
+    distributions).
+
+    Exact, interpolation-free form: the ECDFs are evaluated only AT
+    data points (where the sup of |F_a − F_b| is attained), and the
+    distance stays integer until one final division. With cumulative
+    counts ``cum_w(x) = #{rows in window w with value ≤ x}`` and
+    window totals ``N_a``, ``N_b``:
+
+        D = max_x |cum_a(x)·N_b − cum_b(x)·N_a| / (N_a·N_b)
+
+    The numerator is a BIGINT max over exact pairwise products —
+    order-independent, engine-identical — and the division's two
+    factor casts + one multiply + one divide are correctly-rounded
+    IEEE ops in fixed order. No interpolated quantiles anywhere (the
+    ``percentile_cont`` trap from the repo's determinism notes).
+
+    Output per cohort: ``(cohort, n_a, n_b, ks_num, ks)`` — ``ks_num``
+    the exact BIGINT numerator (the cross-engine-comparable value),
+    ``ks`` its double rendering, NULL when either window is empty.
+    Rows with NULL ``value`` or out-of-contract ``split`` (neither 0
+    nor 1) are excluded up front.
+
+    Overflow bound: products are ≤ N_a·N_b, exact in BIGINT below
+    ~3·10^9 rows per cohort-window pair; beyond that cast the products
+    to DECIMAL(38,0).
+
+    Scale shape: one conditional-count groupBy pass over the facts
+    collapses to a (cohort × distinct values) count table, then ONE
+    shuffle of that table computes the ordered cumulative sums and the
+    cohort totals in the same window partitioning, and a final cohort
+    aggregate takes the max. For continuous values the count table is
+    ~N rows and the per-cohort sort is the standard distributed-ECDF
+    cost; if a single cohort outgrows an executor, pre-bin ``value``
+    (the statistic then bounds the binned ECDF distance).
+    """
+    df = df.filter(((split == 0) | (split == 1)) & value.isNotNull())
+    counts = df.groupBy(cohort.alias("cohort"), value.alias("x")).agg(
+        F.sum(F.when(split == 0, 1).otherwise(0)).cast("bigint").alias("c_a"),
+        F.sum(F.when(split == 1, 1).otherwise(0)).cast("bigint").alias("c_b"),
+    )
+    w_ord = (
+        Window.partitionBy("cohort")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("cohort")
+    t = counts.select(
+        "cohort",
+        F.sum("c_a").over(w_ord).alias("cum_a"),
+        F.sum("c_b").over(w_ord).alias("cum_b"),
+        F.sum("c_a").over(w_all).alias("n_a"),
+        F.sum("c_b").over(w_all).alias("n_b"),
+    )
+    out = t.groupBy("cohort").agg(
+        F.max(
+            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        ).alias("ks_num"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    return out.select(
+        "cohort",
+        "n_a",
+        "n_b",
+        "ks_num",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("ks_num").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        ).alias("ks"),
+    )
+
+
 def chi2_drift(
     df: DataFrame,
     cohort: Column,

@@ -6,6 +6,9 @@ batch, all exact-or-certified (no uninterpretable fuzz):
     window split (old vs new)
       → per-cohort TVD          (ext.drift.tvd_drift — categorical mix
                                  shift, BIGINT-exact numerator)
+      → per-cohort KS           (ext.drift.ks_drift — NUMERIC
+                                 distribution shift, exact ECDF
+                                 distance, no quantile interpolation)
       → heavy-hitter census     (df.stat.freqItems sketch, checked
                                  against exact BIGINT heavy hitters —
                                  the freq_items_bounded contract)
@@ -30,7 +33,7 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
-    from airflow_kafka_spark_spark.ext.drift import tvd_drift
+    from airflow_kafka_spark_spark.ext.drift import ks_drift, tvd_drift
     from airflow_kafka_spark_spark.ext.outliers import mad_outliers
     from airflow_kafka_spark_spark.session import build_session
     from airflow_kafka_spark_spark.sources.files import load_table
@@ -52,7 +55,22 @@ def main() -> None:
         f"(n_a={worst['n_a']}, n_b={worst['n_b']})"
     )
 
-    # 2. heavy-hitter census: the single-pass sketch vs exact counts
+    # 2. numeric drift: did the value distribution shift between
+    #    windows? Exact two-sample KS per cohort — the check TVD/χ²
+    #    can't express (they see categories, not order)
+    ks = ks_drift(
+        ev,
+        cohort=F.col("user_id") % 10,
+        split=F.col("event_id") % 2,
+        value=F.col("value"),
+    ).orderBy(F.col("ks").desc_nulls_last())
+    worst_ks = ks.first()
+    print(
+        f"worst cohort KS(value): cohort={worst_ks['cohort']} "
+        f"ks={worst_ks['ks']:.4f} (n_a={worst_ks['n_a']}, n_b={worst_ks['n_b']})"
+    )
+
+    # 3. heavy-hitter census: the single-pass sketch vs exact counts
     sketch = {
         r["event_type"]
         for r in ev.stat.freqItems(["event_type"], support=0.15)
@@ -71,7 +89,7 @@ def main() -> None:
     print(f"heavy hitters: exact={sorted(heavy)} sketch_extra={sorted(sketch - heavy)}")
     assert not missing, f"sketch guarantee violated: {missing}"
 
-    # 3. robust outlier audit on the new window only
+    # 4. robust outlier audit on the new window only
     new_win = ev.filter(F.col("event_id") % 2 == 1)
     n_out = mad_outliers(new_win, threshold=2.5).count()
     print(f"new-window robust outliers (|z*|>=2.5): {n_out} of {new_win.count()} rows")

@@ -481,6 +481,75 @@ def test_chi2_drift_reference_and_edge_cases(spark):
     assert got[3]["chi2"] is None and got[4]["chi2"] is None
 
 
+def _ks_reference(rows):
+    """Pure-Python exact KS: per cohort, D_num = max over data points x
+    of |cum_a(x)·N_b − cum_b(x)·N_a| (all integer), ks = D_num/(N_a·N_b)
+    with per-factor double casts — the engine/oracle sequence."""
+    out = {}
+    for c in {r[0] for r in rows}:
+        sub = [r for r in rows if r[0] == c and r[1] in (0, 1) and r[2] is not None]
+        if not sub:
+            continue
+        xs = sorted({r[2] for r in sub})
+        na = sum(1 for r in sub if r[1] == 0)
+        nb = sum(1 for r in sub if r[1] == 1)
+        num = 0
+        for x in xs:
+            ca = sum(1 for r in sub if r[1] == 0 and r[2] <= x)
+            cb = sum(1 for r in sub if r[1] == 1 and r[2] <= x)
+            num = max(num, abs(ca * nb - cb * na))
+        ks = (
+            num / (float(na) * float(nb)) if na > 0 and nb > 0 else None
+        )
+        out[c] = (na, nb, num, ks)
+    return out
+
+
+def test_ks_drift_known_values_and_edges(spark):
+    """ks_drift == the exact integer reference on a hand-checkable
+    table; identical samples give 0; disjoint supports give 1; an
+    empty window gives NULL ks; NULL values and out-of-contract split
+    rows are excluded; a NULL cohort survives."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.drift import ks_drift
+
+    rows = [
+        # cohort 1: classic shifted samples
+        (1, 0, 1.0), (1, 0, 2.0), (1, 0, 3.0),
+        (1, 1, 2.5), (1, 1, 3.5), (1, 1, 4.0), (1, 1, 5.0),
+        # cohort 2: identical samples -> ks == 0
+        (2, 0, 1.0), (2, 0, 2.0), (2, 1, 1.0), (2, 1, 2.0),
+        # cohort 3: disjoint supports -> ks == 1
+        (3, 0, 1.0), (3, 0, 2.0), (3, 1, 10.0),
+        # cohort 4: empty window B -> NULL ks
+        (4, 0, 1.0),
+        # excluded rows: NULL value, out-of-contract split
+        (1, 0, None), (1, None, 9.0), (1, 7, 9.0),
+        # NULL cohort with real drift
+        (None, 0, 1.0), (None, 1, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "cohort int, half int, value double")
+    got = {
+        r["cohort"]: r
+        for r in ks_drift(
+            df, cohort=F.col("cohort"), split=F.col("half"), value=F.col("value")
+        ).collect()
+    }
+    ref = _ks_reference(rows)
+    assert set(got) == set(ref)
+    for c, (na, nb, num, ks) in ref.items():
+        r = got[c]
+        assert (r["n_a"], r["n_b"], r["ks_num"]) == (na, nb, num), c
+        assert r["ks"] == ks, c
+    # hand check cohort 1: at x=3.0, cum_a=3 of 3, cum_b=1 of 4 -> |3*4-1*3|=9
+    assert got[1]["ks_num"] == 9 and got[1]["ks"] == 0.75
+    assert got[2]["ks"] == 0.0
+    assert got[3]["ks"] == 1.0
+    assert got[4]["ks"] is None
+    assert got[None]["ks"] == 1.0
+
+
 def test_chi2_drift_ignores_out_of_contract_split(spark):
     """Rows whose split is neither 0 nor 1 (e.g. NULL) are filtered
     out: they create no category (no c_i = 0 divide-by-zero hazard),

