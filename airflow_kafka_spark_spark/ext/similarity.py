@@ -499,6 +499,166 @@ def ann_topk_pq_batch(
     )
 
 
+def ann_topk_ivfpq_batch(
+    embeddings: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 32,
+    rerank_factor: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index: tuple[DataFrame, list[list[float]]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ composition — the standard large-scale ANN layout
+    (FAISS ``IndexIVFPQ``): IVF cell probing bounds WHICH vectors are
+    scored, PQ asymmetric distances bound HOW MUCH each scoring costs,
+    and an exact cosine rerank recovers accuracy. Batched serving from
+    day one: one data-plane plan answers N queries with ONE bounded
+    driver action (the query-vector collect).
+
+    Pipeline per batch:
+
+    - ONE pushed-down scan collects the |Q| query vectors (bounded by
+      the batch size — the legitimate collect class). Probe cells are
+      selected driver-side with :func:`_probe_distances` — the exact
+      IEEE sequence the IVF point/batch paths use, so all three paths
+      probe identical cells — and shipped as a |Q|·n_probe-row
+      broadcast;
+    - candidate ids come from ONE equi-join of the probe pairs against
+      the shared assignment frame — candidate volume is ~n_probe/
+      n_lists of the corpus per query, the IVF pruning contract;
+    - ADC scoring touches ONLY in-cell candidates: their codes
+      posexplode to (query, id, j, code) and ONE broadcast join
+      against the per-query distance tables (|Q|·m·n_codes rows —
+      kilobytes/query) feeds the fixed j-ascending fold from
+      :func:`ann_topk_pq_batch` — versus PQ-alone, the explode+agg
+      volume drops by the probe fraction;
+    - the best ``rerank_factor·k`` ADC candidates per query get the
+      exact cosine rerank; both selections use total (value, id)
+      orderings.
+
+    ``index``/``codebooks``/``codes`` share a prebuilt
+    :func:`ivf_assignments` result, :func:`pq_codebooks` model and
+    :func:`pq_encode` frame across batches — the full FAISS
+    train/add/search split (codes ARE the stored index payload; a real
+    deployment encodes the corpus once at add time). Any omitted piece
+    is built in-call for one-shot convenience.
+
+    Deviation from FAISS: codes quantize RAW vectors, not per-cell
+    residuals — residual codebooks can't be shared with the plain PQ
+    path and the raw form keeps one quantizer contract across
+    ``ann_topk_pq``/``ann_topk_pq_batch``/this; the probe/score/rerank
+    plumbing is identical, and the exact rerank absorbs the accuracy
+    difference at these code rates.
+
+    Output: ``(query_id, vec_id, cosine)``, top-k per query by
+    (cosine desc, vec_id asc), query rows excluded.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    assigned, centroids = (
+        index
+        if index is not None
+        else ivf_assignments(embeddings, n_lists, vec_col=vec_col, id_col=id_col)
+    )
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(
+            embeddings, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col
+        )
+    )
+    sub_d = len(books[0][0])
+    q_rows = (
+        embeddings.filter(F.col(id_col).isin(list(query_vec_ids)))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .collect()
+    )
+    found = {r["query_id"] for r in q_rows}
+    missing = sorted(set(query_vec_ids) - found)
+    if missing:
+        raise ValueError(f"ann_topk_ivfpq_batch: missing query ids {missing}")
+
+    spark = embeddings.sparkSession
+    n_probe_eff = min(n_probe, len(centroids))
+    probe_rows = []
+    table_rows = []
+    for r in q_rows:
+        qid = int(r["query_id"])
+        for _, j in sorted(_probe_distances(r["qvec"], centroids))[:n_probe_eff]:
+            probe_rows.append((qid, j))
+        qvec = np.array(r["qvec"], dtype=np.float64)
+        for j, book in enumerate(books):
+            qs = qvec[j * sub_d : (j + 1) * sub_d]
+            for code, cent in enumerate(book):
+                d2 = float(((qs - np.array(cent)) ** 2).sum())
+                table_rows.append((qid, j, code, d2))
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+    tables = spark.createDataFrame(
+        table_rows, "query_id long, j int, code int, d2 double"
+    )
+
+    cand_ids = assigned.join(F.broadcast(probes), "list_id").select(
+        "query_id", id_col
+    )
+    all_codes = (
+        codes
+        if codes is not None
+        else pq_encode(embeddings, books, vec_col=vec_col, id_col=id_col)
+    )
+    exploded = all_codes.join(cand_ids, id_col).select(
+        "query_id", F.col(id_col), F.posexplode("codes").alias("j", "code")
+    )
+    # fixed j-ascending ADC fold — same order contract as ann_topk_pq_batch
+    adist = (
+        exploded.join(F.broadcast(tables), ["query_id", "j", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("j", "d2"))).alias("__terms"))
+        .select(
+            "query_id",
+            id_col,
+            F.aggregate(
+                F.col("__terms"),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["d2"],
+            ).alias("adist"),
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    rerank_ids = (
+        adist.withColumn("__rk", F.row_number().over(w_adc))
+        .filter(F.col("__rk") <= rerank_factor * k)
+        .select("query_id", id_col)
+    )
+    q = spark.createDataFrame(
+        [(int(r["query_id"]), [float(x) for x in r["qvec"]]) for r in q_rows],
+        "query_id long, qvec array<double>",
+    )
+    cand = embeddings.join(rerank_ids, id_col).join(F.broadcast(q), "query_id")
+    cos = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .withColumn("__rk", F.row_number().over(w_cos))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -4270,6 +4270,23 @@ def q_ann_pq(spark, sf_dir):
     return ann_topk_pq(emb, query_vec_id=0, k=10)
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composed ANN (ext.similarity.ann_topk_ivfpq_batch): the
+    FAISS IndexIVFPQ layout — shared-probe cell pruning + in-cell ADC
+    scoring + exact cosine rerank, batched serving shape (here a batch
+    of two). Quantizers are driver-trained (not SQL-expressible) →
+    rows-only driver check; the brute-force-reduction contract
+    (full probe ≡ exact top-k), probed-cell membership and recall
+    floor are pinned by tests/test_dedup_ext.py, and the recall bound
+    is ORACLED via ``ann_recall_bounded``'s ivfpq leg."""
+    from ..ext.similarity import ann_topk_ivfpq_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivfpq_batch(
+        emb, [0, 19], k=10, n_probe=8, rerank_factor=24
+    ).orderBy("query_id", F.col("cosine").desc(), "vec_id")
+
+
 def q_ann_recall_bounded(spark, sf_dir):
     """ANN recall certification as an ORACLED contract — the same
     boolean-bound rescue as ``approx_aggs_bounded``: the ANN result
@@ -4278,9 +4295,14 @@ def q_ann_recall_bounded(spark, sf_dir):
     DuckDB can oracle as a literal.
 
     For each probe query id: exact cosine top-10 (brute force,
-    broadcast query), IVF top-10 (n_probe=8 of 16 lists) and PQ top-10
-    (ADC + exact rerank of 24·k candidates), intersected in-engine;
-    recall ≥ 0.5 is the certified floor. Context that makes 0.5 an
+    broadcast query), IVF top-10 (n_probe=8 of 16 lists), PQ top-10
+    (ADC + exact rerank of 24·k candidates) and IVF-PQ top-10 (the
+    composed index — same probes, ADC only in-cell, same rerank pool),
+    intersected in-engine;
+    recall ≥ 0.5 is the certified floor (measured 0.6–1.0 across
+    scales/queries for the composed leg too — it can't beat its IVF
+    parent's candidate set, and the shared-probe + deep-rerank
+    parameters keep it at the parent's floor). Context that makes 0.5 an
     honest bar: the fixture embeddings are STRUCTURELESS synthetic
     vectors — the adversarial case for any ANN index (neighbors of a
     random point scatter uniformly across cells; FAISS behaves the
@@ -4304,6 +4326,7 @@ def q_ann_recall_bounded(spark, sf_dir):
     along so the oracle checks a real value, not just TRUEs."""
     from ..ext.similarity import (
         ann_topk_ivf_batch,
+        ann_topk_ivfpq_batch,
         ann_topk_pq_batch,
         cosine_topk,
         ivf_assignments,
@@ -4332,18 +4355,31 @@ def q_ann_recall_bounded(spark, sf_dir):
         .select("query_id", "vec_id")
         .localCheckpoint(eager=True)
     )
+    ivfpq_all = (
+        ann_topk_ivfpq_batch(
+            emb, list(qids), k, n_probe=8, rerank_factor=24,
+            index=ivf_index, codebooks=books,
+        )
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     out = None
     for qid in qids:
         exact = cosine_topk(emb, qid, k).select("vec_id")
         ivf = ivf_all.filter(F.col("query_id") == qid).select("vec_id")
         pq = pq_all.filter(F.col("query_id") == qid).select("vec_id")
+        ivfpq = ivfpq_all.filter(F.col("query_id") == qid).select("vec_id")
         n_ivf = exact.join(ivf, "vec_id").agg(
             F.count(F.lit(1)).alias("__n_ivf")
         )
         n_pq = exact.join(pq, "vec_id").agg(F.count(F.lit(1)).alias("__n_pq"))
+        n_ivfpq = exact.join(ivfpq, "vec_id").agg(
+            F.count(F.lit(1)).alias("__n_ivfpq")
+        )
         n_vec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
         row = (
             n_ivf.crossJoin(n_pq)
+            .crossJoin(n_ivfpq)
             .crossJoin(n_vec)
             .select(
                 F.lit(qid).alias("query_id"),
@@ -4355,6 +4391,9 @@ def q_ann_recall_bounded(spark, sf_dir):
                 (F.col("__n_pq") >= F.lit(k) * F.lit(0.5)).alias(
                     "pq_recall_ok"
                 ),
+                (F.col("__n_ivfpq") >= F.lit(k) * F.lit(0.5)).alias(
+                    "ivfpq_recall_ok"
+                ),
             )
         )
         out = row if out is None else out.unionByName(row)
@@ -4365,7 +4404,8 @@ SQL_ANN_RECALL_BOUNDED = """
 SELECT q.query_id, 10 AS k,
   (SELECT COUNT(*) FROM embeddings) AS n_vectors,
   TRUE AS ivf_recall_ok,
-  TRUE AS pq_recall_ok
+  TRUE AS pq_recall_ok,
+  TRUE AS ivfpq_recall_ok
 FROM (VALUES (0), (19)) AS q(query_id)
 """
 
@@ -5844,6 +5884,7 @@ CATALOG: dict[str, Query] = {
     # PQ codebooks not SQL-expressible; headline so the full
     # train→encode→ADC→rerank cost is tracked round-over-round
     "ann_pq": Query(q_ann_pq, None, headline=True),
+    "ann_ivfpq": Query(q_ann_ivfpq, None),  # quantizers not SQL-expressible
     "ann_recall_bounded": Query(q_ann_recall_bounded, SQL_ANN_RECALL_BOUNDED),
     "cosine_near_dup": Query(q_cosine_near_dup, SQL_COSINE_NEAR_DUP),
     "semantic_dedup": Query(q_semantic_dedup, None),  # k-means engine-side

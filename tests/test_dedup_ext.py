@@ -203,6 +203,104 @@ def test_pq_batch_matches_point_lookups(spark):
         ann_topk_pq_batch(emb, [0, 10**9], k=5, codebooks=books).collect()
 
 
+def test_ivfpq_batch_full_probe_equals_exact(spark):
+    """The brute-force-verified contract: with every cell probed and a
+    rerank pool large enough to hold all candidates, IVF-PQ reduces to
+    exact brute force — per query, exactly the exact cosine top-k."""
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_ivfpq_batch,
+        cosine_topk,
+        ivf_assignments,
+        pq_codebooks,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    index = ivf_assignments(emb, n_lists=16)
+    books = pq_codebooks(emb)
+    n = emb.count()
+    qids = [0, 7]
+    by_q: dict[int, list] = {q: [] for q in qids}
+    for r in ann_topk_ivfpq_batch(
+        emb, qids, k=10, n_probe=16, rerank_factor=(n // 10) + 1,
+        index=index, codebooks=books,
+    ).collect():
+        by_q[r["query_id"]].append((r["vec_id"], r["cosine"]))
+    for qid in qids:
+        exact = [
+            (r["vec_id"], r["cosine"])
+            for r in cosine_topk(emb, qid, k=10).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(exact), qid
+
+
+def test_ivfpq_batch_probes_shared_cells_and_recall(spark):
+    """With partial probing: every returned id lies in a cell the query
+    probed (the SAME probe set the IVF paths pick — shared
+    _probe_distances sequence), scores are true cosines, and recall
+    vs exact stays above the certified floor on the structureless
+    fixture. Shared index/codebooks/codes must be a pure refactor of
+    the in-call build, and missing query ids raise."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.similarity import (
+        _probe_distances,
+        ann_topk_ivfpq_batch,
+        cosine_topk,
+        ivf_assignments,
+        pq_codebooks,
+        pq_encode,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    index = ivf_assignments(emb, n_lists=16)
+    assigned, centroids = index
+    books = pq_codebooks(emb)
+    codes = pq_encode(emb, books).localCheckpoint(eager=True)
+    qids = [0, 19]
+    out = ann_topk_ivfpq_batch(
+        emb, qids, k=10, n_probe=8, rerank_factor=24,
+        index=index, codebooks=books, codes=codes,
+    ).collect()
+    cell_of = {
+        r["vec_id"]: r["list_id"]
+        for r in assigned.join(
+            spark.createDataFrame([(r["vec_id"],) for r in out], "vec_id long"),
+            "vec_id",
+        ).collect()
+    }
+    probe_of = {}
+    for qid in qids:
+        qvec = emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        probe_of[qid] = {j for _, j in sorted(_probe_distances(qvec, centroids))[:8]}
+    by_q: dict[int, list] = {q: [] for q in qids}
+    for r in out:
+        assert cell_of[r["vec_id"]] in probe_of[r["query_id"]], r
+        by_q[r["query_id"]].append((r["vec_id"], r["cosine"]))
+    for qid in qids:
+        assert len(by_q[qid]) == 10
+        exact = {r["vec_id"]: r["cosine"] for r in cosine_topk(emb, qid, k=10).collect()}
+        hits = [v for v, _ in by_q[qid] if v in exact]
+        for v, c in by_q[qid]:
+            if v in exact:
+                assert c == exact[v]  # identical rerank math
+        assert len(hits) / len(exact) >= 0.5, (qid, by_q[qid])
+
+    # one-shot in-call build == shared-artifact build
+    one_shot = ann_topk_ivfpq_batch(emb, qids, k=10, n_probe=8, rerank_factor=24)
+    assert sorted(map(tuple, one_shot.collect())) == sorted(map(tuple, out))
+
+    with _pytest.raises(ValueError, match="missing query ids"):
+        ann_topk_ivfpq_batch(
+            emb, [0, 10**9], k=5, index=index, codebooks=books, codes=codes
+        )
+
+
 def test_connected_components_single_edge_and_self_loop(spark):
     """Degenerate graphs must converge in one round, not wedge: a lone
     edge labels both endpoints with the min id; a self-loop is a
