@@ -45,12 +45,140 @@ def _probe_distances(
     exactly — including the index tiebreak on equal distances."""
     out = []
     for j, cent in enumerate(centroids):
+        if len(qvec) != len(cent):
+            # zip() would silently truncate to the common prefix and
+            # probe plausible-but-wrong cells (the old numpy broadcast
+            # raised here; keep that contract)
+            raise ValueError(
+                f"_probe_distances: query dim {len(qvec)} != centroid "
+                f"dim {len(cent)} — index trained on different vectors?"
+            )
         acc = 0.0
         for x, c in zip(qvec, cent):
             d = float(x) - c
             acc += d * d
         out.append((acc, j))
     return out
+
+
+def _collect_query_rows(
+    embeddings: DataFrame,
+    query_vec_ids: list[int],
+    vec_col: str,
+    id_col: str,
+    caller: str,
+) -> list:
+    """ONE pushed-down scan collects the batch's query vectors (bounded
+    by the batch size — the legitimate collect class). Missing ids are
+    detected by comparing the found-id SET (a row-count compare could
+    be masked by duplicate vec_ids in the corpus)."""
+    q_rows = (
+        embeddings.filter(F.col(id_col).isin(list(query_vec_ids)))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .collect()
+    )
+    found = {r["query_id"] for r in q_rows}
+    missing = sorted(set(query_vec_ids) - found)
+    if missing:
+        raise ValueError(f"{caller}: missing query ids {missing}")
+    return q_rows
+
+
+def _adc_table_rows(q_rows: list, books: list) -> list[tuple]:
+    """Per-query ADC distance tables as (query_id, j, code, d2) rows —
+    m·n_codes doubles per query, computed driver-side in one numpy pass
+    over the collected query vectors and shipped as a broadcast FRAME
+    (plan size O(1) in batch size; literal tables would blow codegen
+    past ~100 queries)."""
+    import numpy as np
+
+    sub_d = len(books[0][0])
+    rows = []
+    for r in q_rows:
+        qvec = np.array(r["qvec"], dtype=np.float64)
+        for j, book in enumerate(books):
+            qs = qvec[j * sub_d : (j + 1) * sub_d]
+            for code, cent in enumerate(book):
+                d2 = float(((qs - np.array(cent)) ** 2).sum())
+                rows.append((int(r["query_id"]), j, code, d2))
+    return rows
+
+
+def _adc_fold(joined: DataFrame, id_col: str) -> Column:
+    """Sum the m ADC terms of a (query_id, id, j, d2) frame in FIXED
+    j-ascending order: collect the (j, d2) pairs, array_sort (j is
+    unique per group → sorts by j), sequential left-to-right double
+    fold — the exact order the point path's j-ascending literal chain
+    uses. A plain F.sum over the exploded rows would depend on row
+    order within the aggregation (posexplode contiguity is not
+    guaranteed under sort-based fallback or an upstream repartition),
+    shifting adist by ulps. This is THE single source of the
+    point/batch decision-identity contract — both batch paths call it.
+    Returns the (query_id, id, adist) frame with query rows excluded."""
+    return (
+        joined.groupBy("query_id", id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("j", "d2"))).alias("__terms"))
+        .select(
+            "query_id",
+            id_col,
+            F.aggregate(
+                F.col("__terms"),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc + s["d2"],
+            ).alias("adist"),
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+
+
+def _adc_candidates(adist: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Top-n ADC candidates per query with the total (adist, id)
+    ordering."""
+    from pyspark.sql import Window
+
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        adist.withColumn("__rk", F.row_number().over(w_adc))
+        .filter(F.col("__rk") <= n)
+        .select("query_id", id_col)
+    )
+
+
+def _rerank_topk(
+    embeddings: DataFrame,
+    cand_ids: DataFrame,
+    q_rows: list,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact cosine rerank of per-query candidate ids, top-k by the
+    total (cosine desc, id asc) ordering. Query vectors are rebuilt
+    from the bounded collect instead of a second corpus scan
+    (float→double widening is exact, so the cosines are bit-identical
+    to an in-plan cast)."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    q = spark.createDataFrame(
+        [(int(r["query_id"]), [float(x) for x in r["qvec"]]) for r in q_rows],
+        "query_id long, qvec array<double>",
+    )
+    cand = embeddings.join(cand_ids, id_col).join(F.broadcast(q), "query_id")
+    cos = _dot(F.col(vec_col), F.col("qvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+        .withColumn("__rk", F.row_number().over(w_cos))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
 def cosine_topk(
@@ -382,35 +510,33 @@ def ann_topk_pq_batch(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Batched PQ ANN serving: N queries against one shared codebook
     with ONE bounded driver action for the whole batch (the point path
     :func:`ann_topk_pq` costs one ``first()`` per query). The per-query
-    ADC tables — m·n_codes scalars each — are computed driver-side in
-    one numpy pass over the collected query vectors (bounded by the
-    batch size, the legitimate collect class) and shipped as a
-    BROADCAST FRAME of (query_id, subvector j, code, d2) rows rather
-    than plan literals, so the plan size stays O(1) in the batch size
-    (a literal-table form would embed |Q|·m·n_codes constants and blow
-    codegen past ~100 queries).
+    ADC tables (:func:`_adc_table_rows`) ship as a BROADCAST FRAME of
+    (query_id, subvector j, code, d2) rows rather than plan literals,
+    so the plan size stays O(1) in the batch size.
 
     Scan shape: codes posexplode to (id, j, code) — m× row inflation,
     map-only — then ONE broadcast-hash join against the table frame
-    fans each row out per query, and a groupBy (query_id, id) folds
-    the m ADC terms in fixed j-ascending order; per-query ``row_number``
+    fans each row out per query, and :func:`_adc_fold` folds the m ADC
+    terms in fixed j-ascending order; per-query ``row_number``
     windows take the rerank_factor·k ADC candidates and the exact
     cosine top-k, both with (value, id) total orderings. Scales in
     corpus size (one shuffle of the pre-combined ADC sums) and in
     batch size (broadcast side is |Q|·m·n_codes rows — kilobytes per
     query).
 
+    ``codebooks``/``codes`` share a prebuilt :func:`pq_codebooks`
+    model and :func:`pq_encode` frame across batches (codes ARE the
+    stored index payload — a deployment encodes once at add time);
+    either is built in-call when omitted.
+
     Output: ``(query_id, vec_id, cosine)``, top-k per query, query
     rows excluded.
     """
-    import numpy as np
-
-    from pyspark.sql import Window
-
     books = (
         codebooks
         if codebooks is not None
@@ -418,85 +544,27 @@ def ann_topk_pq_batch(
             embeddings, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col
         )
     )
-    m_eff = len(books)
-    sub_d = len(books[0][0])
-    q_rows = (
-        embeddings.filter(F.col(id_col).isin(list(query_vec_ids)))
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-        .collect()
+    q_rows = _collect_query_rows(
+        embeddings, query_vec_ids, vec_col, id_col, "ann_topk_pq_batch"
     )
-    found = {r["query_id"] for r in q_rows}
-    missing = sorted(set(query_vec_ids) - found)
-    if missing:
-        raise ValueError(f"ann_topk_pq_batch: missing query ids {missing}")
-    table_rows = []
-    for r in q_rows:
-        qvec = np.array(r["qvec"], dtype=np.float64)
-        for j, book in enumerate(books):
-            qs = qvec[j * sub_d : (j + 1) * sub_d]
-            for code, cent in enumerate(book):
-                d2 = float(((qs - np.array(cent)) ** 2).sum())
-                table_rows.append((int(r["query_id"]), j, code, d2))
     spark = embeddings.sparkSession
     tables = spark.createDataFrame(
-        table_rows, "query_id long, j int, code int, d2 double"
+        _adc_table_rows(q_rows, books), "query_id long, j int, code int, d2 double"
     )
 
-    codes = pq_encode(embeddings, books, vec_col=vec_col, id_col=id_col)
-    exploded = codes.select(
+    all_codes = (
+        codes
+        if codes is not None
+        else pq_encode(embeddings, books, vec_col=vec_col, id_col=id_col)
+    )
+    exploded = all_codes.select(
         F.col(id_col), F.posexplode("codes").alias("j", "code")
     )
-    # sum the m ADC terms in FIXED j-ascending order: collect the
-    # (j, d2) pairs, array_sort (j is unique per group → sorts by j),
-    # sequential left-to-right double fold — the exact order the point
-    # path's j-ascending literal chain uses. A plain F.sum over the
-    # exploded rows would depend on row order within the aggregation
-    # (posexplode contiguity is not guaranteed under sort-based
-    # fallback or an upstream repartition), shifting adist by ulps.
-    adist = (
-        exploded.join(F.broadcast(tables), ["j", "code"])
-        .groupBy("query_id", id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("j", "d2"))).alias("__terms"))
-        .select(
-            "query_id",
-            id_col,
-            F.aggregate(
-                F.col("__terms"),
-                F.lit(0.0).cast("double"),
-                lambda acc, s: acc + s["d2"],
-            ).alias("adist"),
-        )
-        .filter(F.col(id_col) != F.col("query_id"))
+    adist = _adc_fold(
+        exploded.join(F.broadcast(tables), ["j", "code"]), id_col
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col(id_col).asc()
-    )
-    cand_ids = (
-        adist.withColumn("__rk", F.row_number().over(w_adc))
-        .filter(F.col("__rk") <= rerank_factor * k)
-        .select("query_id", id_col)
-    )
-    # query vectors are already in q_rows — rebuild the broadcast side
-    # from the bounded collect instead of a second full-corpus scan
-    # (float->double widening is exact, so the rerank cosines are
-    # bit-identical to an in-plan cast)
-    q = spark.createDataFrame(
-        [(int(r["query_id"]), [float(x) for x in r["qvec"]]) for r in q_rows],
-        "query_id long, qvec array<double>",
-    )
-    cand = embeddings.join(cand_ids, id_col).join(F.broadcast(q), "query_id")
-    cos = _dot(F.col(vec_col), F.col("qvec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
-    )
-    w_cos = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        cand.select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
-        .withColumn("__rk", F.row_number().over(w_cos))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    cand_ids = _adc_candidates(adist, id_col, rerank_factor * k)
+    return _rerank_topk(embeddings, cand_ids, q_rows, k, vec_col, id_col)
 
 
 def ann_topk_ivfpq_batch(
@@ -559,10 +627,6 @@ def ann_topk_ivfpq_batch(
     Output: ``(query_id, vec_id, cosine)``, top-k per query by
     (cosine desc, vec_id asc), query rows excluded.
     """
-    import numpy as np
-
-    from pyspark.sql import Window
-
     assigned, centroids = (
         index
         if index is not None
@@ -575,34 +639,19 @@ def ann_topk_ivfpq_batch(
             embeddings, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col
         )
     )
-    sub_d = len(books[0][0])
-    q_rows = (
-        embeddings.filter(F.col(id_col).isin(list(query_vec_ids)))
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-        .collect()
+    q_rows = _collect_query_rows(
+        embeddings, query_vec_ids, vec_col, id_col, "ann_topk_ivfpq_batch"
     )
-    found = {r["query_id"] for r in q_rows}
-    missing = sorted(set(query_vec_ids) - found)
-    if missing:
-        raise ValueError(f"ann_topk_ivfpq_batch: missing query ids {missing}")
-
     spark = embeddings.sparkSession
     n_probe_eff = min(n_probe, len(centroids))
-    probe_rows = []
-    table_rows = []
-    for r in q_rows:
-        qid = int(r["query_id"])
-        for _, j in sorted(_probe_distances(r["qvec"], centroids))[:n_probe_eff]:
-            probe_rows.append((qid, j))
-        qvec = np.array(r["qvec"], dtype=np.float64)
-        for j, book in enumerate(books):
-            qs = qvec[j * sub_d : (j + 1) * sub_d]
-            for code, cent in enumerate(book):
-                d2 = float(((qs - np.array(cent)) ** 2).sum())
-                table_rows.append((qid, j, code, d2))
+    probe_rows = [
+        (int(r["query_id"]), j)
+        for r in q_rows
+        for _, j in sorted(_probe_distances(r["qvec"], centroids))[:n_probe_eff]
+    ]
     probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
     tables = spark.createDataFrame(
-        table_rows, "query_id long, j int, code int, d2 double"
+        _adc_table_rows(q_rows, books), "query_id long, j int, code int, d2 double"
     )
 
     cand_ids = assigned.join(F.broadcast(probes), "list_id").select(
@@ -616,47 +665,13 @@ def ann_topk_ivfpq_batch(
     exploded = all_codes.join(cand_ids, id_col).select(
         "query_id", F.col(id_col), F.posexplode("codes").alias("j", "code")
     )
-    # fixed j-ascending ADC fold — same order contract as ann_topk_pq_batch
-    adist = (
-        exploded.join(F.broadcast(tables), ["query_id", "j", "code"])
-        .groupBy("query_id", id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("j", "d2"))).alias("__terms"))
-        .select(
-            "query_id",
-            id_col,
-            F.aggregate(
-                F.col("__terms"),
-                F.lit(0.0).cast("double"),
-                lambda acc, s: acc + s["d2"],
-            ).alias("adist"),
-        )
-        .filter(F.col(id_col) != F.col("query_id"))
+    # candidates are per-query already, so the ADC join matches on
+    # query_id too; the fold itself is the shared fixed-order contract
+    adist = _adc_fold(
+        exploded.join(F.broadcast(tables), ["query_id", "j", "code"]), id_col
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col(id_col).asc()
-    )
-    rerank_ids = (
-        adist.withColumn("__rk", F.row_number().over(w_adc))
-        .filter(F.col("__rk") <= rerank_factor * k)
-        .select("query_id", id_col)
-    )
-    q = spark.createDataFrame(
-        [(int(r["query_id"]), [float(x) for x in r["qvec"]]) for r in q_rows],
-        "query_id long, qvec array<double>",
-    )
-    cand = embeddings.join(rerank_ids, id_col).join(F.broadcast(q), "query_id")
-    cos = _dot(F.col(vec_col), F.col("qvec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("qvec"))
-    )
-    w_cos = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        cand.select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
-        .withColumn("__rk", F.row_number().over(w_cos))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    rerank_ids = _adc_candidates(adist, id_col, rerank_factor * k)
+    return _rerank_topk(embeddings, rerank_ids, q_rows, k, vec_col, id_col)
 
 
 def cosine_near_dup_pairs(

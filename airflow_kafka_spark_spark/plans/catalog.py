@@ -4331,6 +4331,7 @@ def q_ann_recall_bounded(spark, sf_dir):
         cosine_topk,
         ivf_assignments,
         pq_codebooks,
+        pq_encode,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4338,6 +4339,10 @@ def q_ann_recall_bounded(spark, sf_dir):
     qids = (0, 19)
     ivf_index = ivf_assignments(emb, n_lists=16)
     books = pq_codebooks(emb)
+    # encode the corpus ONCE and share the codes frame across the PQ
+    # and IVF-PQ legs (codes are index payload, built at add time);
+    # materialized so neither leg re-runs the encode kernel
+    codes = pq_encode(emb, books).localCheckpoint(eager=True)
     # localCheckpoint the k·|Q|-row batch result: the per-qid filters
     # below reference it twice, and without materialization each
     # reference would re-plan (and re-execute) the whole batch subtree
@@ -4350,7 +4355,7 @@ def q_ann_recall_bounded(spark, sf_dir):
     )
     pq_all = (
         ann_topk_pq_batch(
-            emb, list(qids), k, rerank_factor=24, codebooks=books
+            emb, list(qids), k, rerank_factor=24, codebooks=books, codes=codes
         )
         .select("query_id", "vec_id")
         .localCheckpoint(eager=True)
@@ -4358,7 +4363,7 @@ def q_ann_recall_bounded(spark, sf_dir):
     ivfpq_all = (
         ann_topk_ivfpq_batch(
             emb, list(qids), k, n_probe=8, rerank_factor=24,
-            index=ivf_index, codebooks=books,
+            index=ivf_index, codebooks=books, codes=codes,
         )
         .select("query_id", "vec_id")
         .localCheckpoint(eager=True)

@@ -50,10 +50,13 @@ def main() -> None:
         category="event_type",
     ).orderBy(F.col("tvd").desc_nulls_last())
     worst = drift.first()
-    print(
-        f"worst cohort TVD: cohort={worst['cohort']} tvd={worst['tvd']:.4f} "
-        f"(n_a={worst['n_a']}, n_b={worst['n_b']})"
-    )
+    if worst is None or worst["tvd"] is None:
+        print("categorical TVD: no cohort with both windows populated")
+    else:
+        print(
+            f"worst cohort TVD: cohort={worst['cohort']} tvd={worst['tvd']:.4f} "
+            f"(n_a={worst['n_a']}, n_b={worst['n_b']})"
+        )
 
     # 2. numeric drift: did the value distribution shift between
     #    windows? Exact two-sample KS per cohort — the check TVD/χ²
@@ -65,10 +68,13 @@ def main() -> None:
         value=F.col("value"),
     ).orderBy(F.col("ks").desc_nulls_last())
     worst_ks = ks.first()
-    print(
-        f"worst cohort KS(value): cohort={worst_ks['cohort']} "
-        f"ks={worst_ks['ks']:.4f} (n_a={worst_ks['n_a']}, n_b={worst_ks['n_b']})"
-    )
+    if worst_ks is None or worst_ks["ks"] is None:
+        print("numeric KS: no cohort with both windows populated")
+    else:
+        print(
+            f"worst cohort KS(value): cohort={worst_ks['cohort']} "
+            f"ks={worst_ks['ks']:.4f} (n_a={worst_ks['n_a']}, n_b={worst_ks['n_b']})"
+        )
 
     # 3. heavy-hitter census: the single-pass sketch vs exact counts
     sketch = {
