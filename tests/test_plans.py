@@ -490,6 +490,43 @@ def test_drift_tvd_single_scan_no_join(spark):
     assert "Window" in s, s
 
 
+def test_ks_drift_single_scan_no_join(spark):
+    """The KS plan shares tvd_drift's shape: ONE scan of the facts into
+    a conditional-count groupBy, then cumulative sums AND cohort totals
+    as window functions over the count table (same cohort
+    partitioning), final cohort aggregate. No joins anywhere — a
+    join-based ECDF formulation would rescan the count table per
+    side."""
+    s = _explain(CATALOG["ks_drift"].fn(spark, SF_DIR))
+    assert "Join" not in s, s
+    assert s.count("Scan parquet") == 1 or s.count("Location") == 1, s
+    assert "Window" in s, s
+
+
+def test_ann_ivfpq_no_cartesian_broadcast_probes(spark):
+    """The composed-index batch plan must fan candidates out through
+    broadcast hash joins (probe pairs, ADC tables, query vectors are
+    all kilobyte-sized) — never a cartesian product, and the corpus
+    side must never be a broadcast build."""
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_ivfpq_batch,
+        ivf_assignments,
+        pq_codebooks,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    index = ivf_assignments(emb, n_lists=16)
+    books = pq_codebooks(emb)
+    s = _explain(
+        ann_topk_ivfpq_batch(
+            emb, [0, 19], k=10, n_probe=8, index=index, codebooks=books
+        )
+    )
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastHashJoin" in s, s
+
+
 def test_freq_items_bounded_no_cartesian(spark):
     """The certification entry combines 1-row aggregates (bounded
     nested-loop broadcasts, same posture as value_histogram) and an
