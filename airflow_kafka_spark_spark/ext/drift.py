@@ -169,6 +169,90 @@ def ks_drift(
     )
 
 
+def mw_drift(
+    df: DataFrame,
+    cohort: Column,
+    split: Column,
+    value: Column,
+) -> DataFrame:
+    """Per-cohort two-sample Mann–Whitney U statistic (rank-sum /
+    AUC) between the two windows' distributions of a NUMERIC column —
+    the rank-based companion to :func:`ks_drift` (KS is sensitive to
+    the largest ECDF gap; Mann–Whitney measures stochastic dominance:
+    the probability that a window-A draw exceeds a window-B draw,
+    i.e. the ROC-AUC between the windows, the standard effect size
+    for location shift).
+
+    Exact, tie-correct, integer form: with midrank tie handling the U
+    statistic is a half-integer, so the DOUBLED statistic is kept —
+    for each distinct value x with window counts ``c_a(x)``,
+    ``c_b(x)`` and B's cumulative count ``cum_b(x) = #{B rows ≤ x}``,
+    an A-observation at x beats the ``cum_b − c_b`` B-rows strictly
+    below and half-ties the ``c_b`` B-rows at x:
+
+        U2_a = Σ_x c_a(x) · (2·cum_b(x) − c_b(x))      (= 2·U_a)
+        auc  = U2_a / (2·N_a·N_b)                       (∈ [0, 1])
+
+    ``U2_a`` is an order-independent BIGINT sum — engine-identical —
+    and ``auc`` is one fixed-order double division of exact integers
+    (per-factor casts, left-assoc multiply). No ranks are ever
+    materialized as doubles, no ``percentile_cont`` interpolation.
+    Identity check: ``U2_a + U2_b = 2·N_a·N_b``.
+
+    Output per cohort: ``(cohort, n_a, n_b, u2_a, auc)`` — ``u2_a``
+    the exact BIGINT doubled statistic (the cross-engine-comparable
+    value), ``auc`` its double rendering (0.5 = no shift), NULL when
+    either window is empty. Rows with NULL ``value`` or
+    out-of-contract ``split`` are excluded up front.
+
+    Overflow bound: the sum telescopes to ≤ 2·N_a·N_b, exact in
+    BIGINT below ~2·10^9 rows per cohort-window (the ``tvd_drift``
+    envelope class); beyond that cast the products to DECIMAL(38,0).
+
+    Scale shape: identical to :func:`ks_drift` — one conditional-count
+    groupBy pass over the facts, ONE shuffle of the (cohort × distinct
+    values) count table for the ordered cumulative and total window
+    sums, one final cohort aggregate. No joins, no UDFs.
+    """
+    df = df.filter(((split == 0) | (split == 1)) & value.isNotNull())
+    counts = df.groupBy(cohort.alias("cohort"), value.alias("x")).agg(
+        F.sum(F.when(split == 0, 1).otherwise(0)).cast("bigint").alias("c_a"),
+        F.sum(F.when(split == 1, 1).otherwise(0)).cast("bigint").alias("c_b"),
+    )
+    w_ord = (
+        Window.partitionBy("cohort")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("cohort")
+    t = counts.select(
+        "cohort",
+        "c_a",
+        "c_b",
+        F.sum("c_b").over(w_ord).alias("cum_b"),
+        F.sum("c_a").over(w_all).alias("n_a"),
+        F.sum("c_b").over(w_all).alias("n_b"),
+    )
+    out = t.groupBy("cohort").agg(
+        F.sum(
+            F.col("c_a") * (F.lit(2) * F.col("cum_b") - F.col("c_b"))
+        ).alias("u2_a"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    return out.select(
+        "cohort",
+        "n_a",
+        "n_b",
+        "u2_a",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.col("u2_a").cast("double")
+            / (F.lit(2.0) * F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+        ).alias("auc"),
+    )
+
+
 def chi2_drift(
     df: DataFrame,
     cohort: Column,

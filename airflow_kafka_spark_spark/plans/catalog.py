@@ -4076,6 +4076,61 @@ ORDER BY cohort NULLS FIRST
 """
 
 
+def q_mw_drift(spark, sf_dir):
+    """Per-cohort two-sample Mann–Whitney U / ROC-AUC drift
+    (ext.drift.mw_drift) over the numeric ``value`` column — the
+    rank-based companion to ``ks_drift`` (KS: largest ECDF gap;
+    Mann–Whitney: stochastic dominance, the standard location-shift
+    effect size). Tie-correct midranks without ever materializing a
+    rank: the DOUBLED statistic ``u2_a = Σ c_a·(2·cum_b − c_b)`` is an
+    order-independent BIGINT sum, and ``auc`` is one fixed-order
+    double divide of exact integers."""
+    from ..ext.drift import mw_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    out = mw_drift(
+        ev,
+        cohort=F.col("user_id") % 10,
+        split=F.col("event_id") % 2,
+        value=F.col("value"),
+    )
+    return out.orderBy("cohort")
+
+
+SQL_MW_DRIFT = """
+WITH counts AS (
+  SELECT user_id % 10 AS cohort, value AS x,
+         CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM events
+  WHERE event_id % 2 IN (0, 1) AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT cohort, c_a, c_b,
+         CAST(SUM(c_b) OVER (PARTITION BY cohort ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+         CAST(SUM(c_a) OVER (PARTITION BY cohort) AS BIGINT) AS n_a,
+         CAST(SUM(c_b) OVER (PARTITION BY cohort) AS BIGINT) AS n_b
+  FROM counts
+),
+agg AS (
+  SELECT cohort,
+         CAST(SUM(c_a * (2 * cum_b - c_b)) AS BIGINT) AS u2_a,
+         ANY_VALUE(n_a) AS n_a, ANY_VALUE(n_b) AS n_b
+  FROM t GROUP BY cohort
+)
+SELECT cohort, n_a, n_b, u2_a,
+       -- per-factor DOUBLE casts, left-assoc — same fixed IEEE order
+       -- as the engine (the chi2_drift overflow lesson)
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN CAST(u2_a AS DOUBLE)
+                 / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS auc
+FROM agg
+ORDER BY cohort NULLS FIRST
+"""
+
+
 def q_freq_items_bounded(spark, sf_dir):
     """Heavy-hitters sketch certification as an ORACLED contract (the
     ``approx_aggs_bounded`` recipe, applied to Spark's built-in
@@ -5922,6 +5977,7 @@ CATALOG: dict[str, Query] = {
     "drift_tvd": Query(q_drift_tvd, SQL_DRIFT_TVD, headline=True),
     "chi2_drift": Query(q_chi2_drift, SQL_CHI2_DRIFT),
     "ks_drift": Query(q_ks_drift, SQL_KS_DRIFT),
+    "mw_drift": Query(q_mw_drift, SQL_MW_DRIFT),
     "freq_items_bounded": Query(q_freq_items_bounded, SQL_FREQ_ITEMS_BOUNDED),
     "mm_image_meta": Query(q_mm_image_meta, SQL_MM_IMAGE_META),
     "mm_resize": Query(q_mm_resize, SQL_MM_RESIZE),

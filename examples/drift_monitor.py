@@ -9,6 +9,10 @@ batch, all exact-or-certified (no uninterpretable fuzz):
       → per-cohort KS           (ext.drift.ks_drift — NUMERIC
                                  distribution shift, exact ECDF
                                  distance, no quantile interpolation)
+      → per-cohort AUC          (ext.drift.mw_drift — Mann–Whitney
+                                 stochastic dominance: WHICH WAY the
+                                 numeric shift points, tie-correct
+                                 integer midranks)
       → heavy-hitter census     (df.stat.freqItems sketch, checked
                                  against exact BIGINT heavy hitters —
                                  the freq_items_bounded contract)
@@ -33,7 +37,7 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
-    from airflow_kafka_spark_spark.ext.drift import ks_drift, tvd_drift
+    from airflow_kafka_spark_spark.ext.drift import ks_drift, mw_drift, tvd_drift
     from airflow_kafka_spark_spark.ext.outliers import mad_outliers
     from airflow_kafka_spark_spark.session import build_session
     from airflow_kafka_spark_spark.sources.files import load_table
@@ -74,6 +78,26 @@ def main() -> None:
         print(
             f"worst cohort KS(value): cohort={worst_ks['cohort']} "
             f"ks={worst_ks['ks']:.4f} (n_a={worst_ks['n_a']}, n_b={worst_ks['n_b']})"
+        )
+
+    # 2b. direction of the shift: KS says HOW FAR the distributions
+    #     diverge, Mann–Whitney AUC says WHICH WAY (auc > 0.5: the old
+    #     window stochastically dominates; 0.5 = no location shift)
+    mw = mw_drift(
+        ev,
+        cohort=F.col("user_id") % 10,
+        split=F.col("event_id") % 2,
+        value=F.col("value"),
+    ).withColumn("dev", F.abs(F.col("auc") - F.lit(0.5)))
+    worst_mw = mw.orderBy(F.col("dev").desc_nulls_last()).first()
+    if worst_mw is None or worst_mw["auc"] is None:
+        print("numeric AUC: no cohort with both windows populated")
+    else:
+        direction = "old>new" if worst_mw["auc"] > 0.5 else "new>old"
+        print(
+            f"most-shifted cohort AUC(value): cohort={worst_mw['cohort']} "
+            f"auc={worst_mw['auc']:.4f} ({direction}, "
+            f"n_a={worst_mw['n_a']}, n_b={worst_mw['n_b']})"
         )
 
     # 3. heavy-hitter census: the single-pass sketch vs exact counts

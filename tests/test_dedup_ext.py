@@ -648,6 +648,76 @@ def test_ks_drift_known_values_and_edges(spark):
     assert got[None]["ks"] == 1.0
 
 
+def _mw_reference(rows):
+    """Pure-Python exact Mann–Whitney: per cohort the DOUBLED U for
+    window A via pair counts — u2 = Σ_{a∈A} (2·#{b<a} + #{b==a}) —
+    and auc = u2/(2·N_a·N_b) with per-factor double casts (the
+    engine/oracle sequence)."""
+    out = {}
+    for c in {r[0] for r in rows}:
+        sub = [r for r in rows if r[0] == c and r[1] in (0, 1) and r[2] is not None]
+        if not sub:
+            continue
+        a = [r[2] for r in sub if r[1] == 0]
+        b = [r[2] for r in sub if r[1] == 1]
+        na, nb = len(a), len(b)
+        u2 = sum(
+            2 * sum(1 for y in b if y < x) + sum(1 for y in b if y == x)
+            for x in a
+        )
+        auc = (
+            u2 / (2.0 * float(na) * float(nb)) if na > 0 and nb > 0 else None
+        )
+        out[c] = (na, nb, u2, auc)
+    return out
+
+
+def test_mw_drift_known_values_and_edges(spark):
+    """mw_drift == the exact pair-count reference on a hand-checkable
+    table; identical samples give auc exactly 0.5; disjoint supports
+    give 0 (or 1 flipped); an empty window gives NULL auc; NULL values
+    and out-of-contract split rows are excluded; a NULL cohort
+    survives."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.drift import mw_drift
+
+    rows = [
+        # cohort 1: shifted samples (same fixture as the KS test)
+        (1, 0, 1.0), (1, 0, 2.0), (1, 0, 3.0),
+        (1, 1, 2.5), (1, 1, 3.5), (1, 1, 4.0), (1, 1, 5.0),
+        # cohort 2: identical samples -> auc == 0.5 exactly
+        (2, 0, 1.0), (2, 0, 2.0), (2, 1, 1.0), (2, 1, 2.0),
+        # cohort 3: disjoint supports, A entirely below B -> auc == 0
+        (3, 0, 1.0), (3, 0, 2.0), (3, 1, 10.0),
+        # cohort 4: empty window B -> NULL auc
+        (4, 0, 1.0),
+        # excluded rows: NULL value, out-of-contract split
+        (1, 0, None), (1, None, 9.0), (1, 7, 9.0),
+        # NULL cohort, A below B
+        (None, 0, 1.0), (None, 1, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "cohort int, half int, value double")
+    got = {
+        r["cohort"]: r
+        for r in mw_drift(
+            df, cohort=F.col("cohort"), split=F.col("half"), value=F.col("value")
+        ).collect()
+    }
+    ref = _mw_reference(rows)
+    assert set(got) == set(ref)
+    for c, (na, nb, u2, auc) in ref.items():
+        r = got[c]
+        assert (r["n_a"], r["n_b"], r["u2_a"]) == (na, nb, u2), c
+        assert r["auc"] == auc, c
+    # hand check cohort 1: only a=3.0 beats b=2.5 -> u2 = 2, no ties
+    assert got[1]["u2_a"] == 2 and got[1]["auc"] == 2 / 24.0
+    assert got[2]["auc"] == 0.5
+    assert got[3]["auc"] == 0.0
+    assert got[4]["auc"] is None
+    assert got[None]["auc"] == 0.0
+
+
 def test_chi2_drift_ignores_out_of_contract_split(spark):
     """Rows whose split is neither 0 nor 1 (e.g. NULL) are filtered
     out: they create no category (no c_i = 0 divide-by-zero hazard),

@@ -37,6 +37,16 @@ def test_ks_drift_envelope():
     assert (na + 100_000_000) * (nb + 100_000_000) > I64
 
 
+def test_mw_drift_envelope():
+    """mw_drift: the doubled-U sum telescopes to ≤ 2·N_a·N_b (every
+    term c_a·(2·cum_b − c_b) ≤ c_a·2·N_b). Documented safe: ~2e9 rows
+    per cohort-window — the tvd_drift envelope class."""
+    na = nb = 2_000_000_000
+    assert 2 * na * nb <= I64
+    na_bad = nb_bad = 2_200_000_000
+    assert 2 * na_bad * nb_bad > I64
+
+
 def test_chi2_drift_numerator_envelope():
     """chi2_drift numerator: N·O and n_w·c_i are < N². Documented safe:
     ~3e9 rows per cohort. The denominator has NO BIGINT product any

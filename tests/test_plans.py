@@ -503,6 +503,18 @@ def test_ks_drift_single_scan_no_join(spark):
     assert "Window" in s, s
 
 
+def test_mw_drift_single_scan_no_join(spark):
+    """The Mann–Whitney plan shares ks_drift's shape: ONE scan of the
+    facts into a conditional-count groupBy, then B's cumulative count
+    AND the window totals as window functions over the count table
+    (same cohort partitioning), final cohort aggregate. No joins
+    anywhere."""
+    s = _explain(CATALOG["mw_drift"].fn(spark, SF_DIR))
+    assert "Join" not in s, s
+    assert s.count("Scan parquet") == 1 or s.count("Location") == 1, s
+    assert "Window" in s, s
+
+
 def test_ann_ivfpq_no_cartesian_broadcast_probes(spark):
     """The composed-index batch plan must fan candidates out through
     broadcast hash joins (probe pairs, ADC tables, query vectors are

@@ -475,3 +475,50 @@ def test_ks_drift_matches_python_reference_and_invariants(spark, rows):
         else:
             # |F_a - F_b| is symmetric in the two samples
             assert {c: got[c]["ks_num"] for c in got} == unflipped
+
+
+@given(rows=_ks_events)
+@settings(max_examples=8, deadline=None)
+def test_mw_drift_matches_python_reference_and_invariants(spark, rows):
+    """For ANY sample set: u2_a equals the exact pair-count reference,
+    0 <= auc <= 1 whenever both windows are non-empty, and swapping
+    the windows complements the statistic (u2_b = 2·N_a·N_b − u2_a,
+    the Mann–Whitney identity U_a + U_b = N_a·N_b with midranks)."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.drift import mw_drift
+    from .test_dedup_ext import _mw_reference
+
+    typed = [(c, h, float(v)) for c, h, v in rows]
+    df = spark.createDataFrame(typed, "cohort int, half int, value double")
+
+    unflipped = None
+    for flip in (False, True):
+        split = (1 - F.col("half")) if flip else F.col("half")
+        got = {
+            r["cohort"]: r
+            for r in mw_drift(
+                df, cohort=F.col("cohort"), split=split, value=F.col("value")
+            ).collect()
+        }
+        ref = _mw_reference(
+            [(c, (1 - h) if flip else h, v) for c, h, v in typed]
+        )
+        assert set(got) == set(ref)
+        for c, (na, nb, u2, auc) in ref.items():
+            r = got[c]
+            assert (r["n_a"], r["n_b"], r["u2_a"]) == (na, nb, u2), c
+            assert r["auc"] == auc, c
+            if na > 0 and nb > 0:
+                assert 0.0 <= r["auc"] <= 1.0
+            else:
+                assert r["auc"] is None
+        if not flip:
+            unflipped = {
+                c: (got[c]["n_a"], got[c]["n_b"], got[c]["u2_a"]) for c in got
+            }
+        else:
+            for c in got:
+                na0, nb0, u2_0 = unflipped[c]
+                assert (got[c]["n_a"], got[c]["n_b"]) == (nb0, na0)
+                assert got[c]["u2_a"] == 2 * na0 * nb0 - u2_0
