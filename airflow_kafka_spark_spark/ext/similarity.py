@@ -166,7 +166,14 @@ def _rerank_topk(
         [(int(r["query_id"]), [float(x) for x in r["qvec"]]) for r in q_rows],
         "query_id long, qvec array<double>",
     )
-    cand = embeddings.join(cand_ids, id_col).join(F.broadcast(q), "query_id")
+    # cand_ids is bounded by contract (≤ |Q|·rerank_factor·k rows), so
+    # IT is the broadcast build — never the corpus: without the pin,
+    # AQE broadcast-builds the small-stats embeddings side at test
+    # scale (the 1g-driver OOM class from the repo notes) and that
+    # build side wouldn't exist at 10^9 vectors.
+    cand = embeddings.join(F.broadcast(cand_ids), id_col).join(
+        F.broadcast(q), "query_id"
+    )
     cos = _dot(F.col(vec_col), F.col("qvec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("qvec"))
     )
@@ -369,7 +376,11 @@ def ann_topk_ivf(
     probe = [j for _, j in sorted(_probe_distances(q_row[0], centroids))[:n_probe]]
 
     cand_ids = assigned.filter(F.col("list_id").isin(probe)).select(id_col)
-    cand = embeddings.join(cand_ids, id_col).filter(
+    # both sides are corpus-scale (candidates are ~n_probe/n_lists of
+    # the corpus): pin a shuffled hash join so neither side is ever a
+    # broadcast build (the repo's 1g-driver OOM class; at 10^9 vectors
+    # neither side is broadcastable anyway)
+    cand = embeddings.join(cand_ids.hint("shuffle_hash"), id_col).filter(
         F.col(id_col) != query_vec_id
     )
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
@@ -481,8 +492,10 @@ def ann_topk_ivf_batch(
     cand_ids = assigned.join(F.broadcast(probes), "list_id").select(
         "query_id", id_col
     )
+    # corpus-scale ⋈ corpus-scale (candidates are |Q|·n_probe/n_lists
+    # of the corpus): shuffled hash, never a broadcast build
     cand = (
-        embeddings.join(cand_ids, id_col)
+        embeddings.join(cand_ids.hint("shuffle_hash"), id_col)
         .join(F.broadcast(q), "query_id")
         .filter(F.col(id_col) != F.col("query_id"))
     )
@@ -662,7 +675,11 @@ def ann_topk_ivfpq_batch(
         if codes is not None
         else pq_encode(embeddings, books, vec_col=vec_col, id_col=id_col)
     )
-    exploded = all_codes.join(cand_ids, id_col).select(
+    # codes and candidates are BOTH corpus-scale (candidates are
+    # |Q|·n_probe/n_lists of the corpus): shuffled hash on the id key —
+    # without the pin AQE broadcast-builds the small-stats codes side
+    # (the full encoded corpus) at test scale, the 1g-driver OOM class
+    exploded = all_codes.join(cand_ids.hint("shuffle_hash"), id_col).select(
         "query_id", F.col(id_col), F.posexplode("codes").alias("j", "code")
     )
     # candidates are per-query already, so the ADC join matches on
@@ -986,7 +1003,9 @@ def ann_topk_pq(
         .limit(rerank_factor * k)
         .select(id_col)
     )
-    cand = embeddings.join(cand_ids, id_col)
+    # bounded side (≤ rerank_factor·k rows) is the broadcast build —
+    # never the corpus (see _rerank_topk)
+    cand = embeddings.join(F.broadcast(cand_ids), id_col)
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qvec")
     )

@@ -249,6 +249,7 @@ def main() -> None:
     from airflow_kafka_spark_spark.ext.drift import (
         chi2_drift,
         ks_drift,
+        mw_drift,
         tvd_drift,
     )
 
@@ -290,11 +291,23 @@ def main() -> None:
             value=F.col("value"),
         ).write.format("noop").mode("overwrite").save()
         ks_dt = time.perf_counter() - t0
+        # Mann-Whitney shares KS's count-table shape with one FEWER
+        # ordered window sum (cum_b only vs cum_a+cum_b) — expect
+        # KS-like growth at or slightly below KS's wall time
+        t0 = time.perf_counter()
+        mw_drift(
+            big,
+            cohort=F.col("user_id") % 10,
+            split=F.col("event_id") % 2,
+            value=F.col("value"),
+        ).write.format("noop").mode("overwrite").save()
+        mw_dt = time.perf_counter() - t0
         drift_results[f"{mult}x"] = {
             "rows": n,
             "tvd_sec": round(tvd_dt, 3),
             "chi2_sec": round(chi2_dt, 3),
             "ks_sec": round(ks_dt, 3),
+            "mw_sec": round(mw_dt, 3),
         }
 
     # rolling-mean formulation face-off: the oracle-exact lag-chain is

@@ -93,7 +93,12 @@ def main() -> None:
     if worst_mw is None or worst_mw["auc"] is None:
         print("numeric AUC: no cohort with both windows populated")
     else:
-        direction = "old>new" if worst_mw["auc"] > 0.5 else "new>old"
+        if worst_mw["auc"] > 0.5:
+            direction = "old>new"
+        elif worst_mw["auc"] < 0.5:
+            direction = "new>old"
+        else:
+            direction = "no shift"
         print(
             f"most-shifted cohort AUC(value): cohort={worst_mw['cohort']} "
             f"auc={worst_mw['auc']:.4f} ({direction}, "

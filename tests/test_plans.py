@@ -515,11 +515,41 @@ def test_mw_drift_single_scan_no_join(spark):
     assert "Window" in s, s
 
 
+def _broadcast_subtrees(s: str) -> list[str]:
+    """Each BroadcastExchange node's subtree from a simple-mode explain
+    string: children sit at a strictly deeper `+-`/`:-` marker column,
+    the next line at or above the node's column ends the subtree."""
+    lines = s.splitlines()
+
+    def marker(ln: str) -> int:
+        for pat in ("+- ", ":- "):
+            p = ln.find(pat)
+            if p >= 0:
+                return p
+        return -1
+
+    subs = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = marker(ln)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if marker(nxt) <= d:
+                break
+            sub.append(nxt)
+        subs.append("\n".join(sub))
+    return subs
+
+
 def test_ann_ivfpq_no_cartesian_broadcast_probes(spark):
     """The composed-index batch plan must fan candidates out through
     broadcast hash joins (probe pairs, ADC tables, query vectors are
     all kilobyte-sized) — never a cartesian product, and the corpus
-    side must never be a broadcast build."""
+    side must never be a broadcast build: no embeddings parquet scan
+    (nor the ArrowEvalPython-encoded corpus codes) may sit under a
+    BroadcastExchange (the 1g-driver OOM class; pre-fix, AQE built
+    broadcasts of BOTH at small stats)."""
     from airflow_kafka_spark_spark.ext.similarity import (
         ann_topk_ivfpq_batch,
         ivf_assignments,
@@ -537,6 +567,15 @@ def test_ann_ivfpq_no_cartesian_broadcast_probes(spark):
     )
     assert "CartesianProduct" not in s, s
     assert "BroadcastHashJoin" in s, s
+    for sub in _broadcast_subtrees(s):
+        if "embeddings" in sub or "ArrowEvalPython" in sub:
+            # a corpus-derived broadcast is legal ONLY below a top-n
+            # bound (the ≤ |Q|·rerank_factor·k candidate pool); the
+            # raw corpus scan or the full encoded-codes frame as a
+            # broadcast build is the pre-fix OOM shape
+            assert "WindowGroupLimit" in sub, (
+                f"unbounded corpus under BroadcastExchange:\n{sub}"
+            )
 
 
 def test_freq_items_bounded_no_cartesian(spark):
