@@ -242,6 +242,83 @@ def main() -> None:
         "ivfpq_rf48_recall": _face_recall(ivfpq48_rows),
     }
 
+    # 10x-corpus face-off: the same 32 queries against 10 shifted
+    # copies of the corpus (deterministic: copy i adds i*0.01 to every
+    # coordinate — no RNG, repo rule), indexed the way a bigger corpus
+    # is indexed (n_lists grows ~sqrt(N): 64 lists, still 8 probes →
+    # 1/8 scan fraction vs 1/2 on the base fixture). PQ-alone still
+    # ADC-scans the ENTIRE corpus, so the composition's scan-fraction
+    # advantage should WIDEN with corpus growth — this leg MEASURES
+    # the "base fixture understates the at-scale gap" claim instead of
+    # asserting it. Recall is against per-query exact top-10 on the
+    # 10x corpus. Corpus is localCheckpointed so synthesis cost isn't
+    # billed to serving.
+    n_base = emb.count()
+    big_emb = (
+        emb.crossJoin(spark.range(10).select(F.col("id").alias("copy")))
+        .select(
+            (F.col("vec_id") + F.col("copy") * n_base).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x + F.col("copy").cast("float") * F.lit(0.01),
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    big_index = ivf_assignments(big_emb, n_lists=64)
+    big_books = pq_codebooks(big_emb)
+    big_exact = {
+        qid: {r["vec_id"] for r in cosine_topk(big_emb, qid, k=10).collect()}
+        for qid in face_qids
+    }
+
+    def _big_recall(rows):
+        by: dict[int, set] = {}
+        for r in rows:
+            by.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return round(
+            sum(len(by.get(q, set()) & big_exact[q]) for q in face_qids)
+            / (10 * len(face_qids)),
+            3,
+        )
+
+    t0 = time.perf_counter()
+    big_ivf_rows = ann_topk_ivf_batch(
+        big_emb, face_qids, k=10, n_probe=8, index=big_index
+    ).collect()
+    big_ivf_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    big_pq_rows = ann_topk_pq_batch(
+        big_emb, face_qids, k=10, rerank_factor=24, codebooks=big_books
+    ).collect()
+    big_pq_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    big_ivfpq24_rows = ann_topk_ivfpq_batch(
+        big_emb, face_qids, k=10, n_probe=8, rerank_factor=24,
+        index=big_index, codebooks=big_books,
+    ).collect()
+    big_ivfpq24_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    big_ivfpq48_rows = ann_topk_ivfpq_batch(
+        big_emb, face_qids, k=10, n_probe=8, rerank_factor=48,
+        index=big_index, codebooks=big_books,
+    ).collect()
+    big_ivfpq48_dt = time.perf_counter() - t0
+    ivfpq10x_results = {
+        "batch": len(face_qids),
+        "corpus": n_base * 10,
+        "n_lists": 64,
+        "n_probe": 8,
+        "ivf_sec": round(big_ivf_dt, 3),
+        "pq_rf24_sec": round(big_pq_dt, 3),
+        "ivfpq_rf24_sec": round(big_ivfpq24_dt, 3),
+        "ivfpq_rf48_sec": round(big_ivfpq48_dt, 3),
+        "ivf_recall": _big_recall(big_ivf_rows),
+        "pq_rf24_recall": _big_recall(big_pq_rows),
+        "ivfpq_rf24_recall": _big_recall(big_ivfpq24_rows),
+        "ivfpq_rf48_recall": _big_recall(big_ivfpq48_rows),
+    }
+
     # drift monitors at replica scale: both are single-scan
     # conditional-count aggregations, so wall time should grow far
     # slower than data (the shuffle is the cohort-x-category count
@@ -656,6 +733,7 @@ def main() -> None:
                 "pq_encode_scaling": pq_results,
                 "ann_serving_batch": ann_results,
                 "ivfpq_face_off": ivfpq_results,
+                "ivfpq_face_off_10x": ivfpq10x_results,
                 "drift_scaling": drift_results,
                 "rolling_mean_formulations": rolling_results,
                 "fixed_point_sum_formulations": sum_results,
