@@ -722,7 +722,13 @@ def cosine_near_dup_pairs(
         F.col("bucket"),
         F.col(vec_col).alias("v2"),
     )
-    pairs = a.join(b, "bucket").filter(F.col("vec1") < F.col("vec2"))
+    # corpus-scale self-join: shuffled hash pin so neither side is ever
+    # a broadcast build (at 10^9 docs neither is broadcastable; at
+    # small stats AQE would broadcast-build one side — the 1g-driver
+    # OOM class, same sweep as the ANN serving pins)
+    pairs = a.join(b.hint("shuffle_hash"), "bucket").filter(
+        F.col("vec1") < F.col("vec2")
+    )
     cos = _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
     return (
         pairs.select("vec1", "vec2", (F.round(cos, 6) + F.lit(0.0)).alias("cosine"))
@@ -756,14 +762,19 @@ def semantic_dedup_pairs(
     assigned, _ = ivf_assignments(
         embeddings, n_lists=n_lists, vec_col=vec_col, id_col=id_col
     )
-    clustered = embeddings.join(assigned, id_col)
+    # both joins below are corpus-scale ⋈ corpus-scale: shuffled hash
+    # pins so no side is ever a broadcast build (the 1g-driver OOM
+    # class; not broadcastable at 10^9 vectors anyway)
+    clustered = embeddings.join(assigned.hint("shuffle_hash"), id_col)
     a = clustered.select(
         F.col(id_col).alias("vec1"), "list_id", F.col(vec_col).alias("v1")
     )
     b = clustered.select(
         F.col(id_col).alias("vec2"), "list_id", F.col(vec_col).alias("v2")
     )
-    pairs = a.join(b, "list_id").filter(F.col("vec1") < F.col("vec2"))
+    pairs = a.join(b.hint("shuffle_hash"), "list_id").filter(
+        F.col("vec1") < F.col("vec2")
+    )
     cos = _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2")))
     return pairs.select(
         "vec1", "vec2", (F.round(cos, 6) + F.lit(0.0)).alias("cosine")

@@ -578,6 +578,20 @@ def test_ann_ivfpq_no_cartesian_broadcast_probes(spark):
             )
 
 
+def test_near_dup_self_joins_broadcast_free(spark):
+    """The LSH and SemDeDup candidate joins are corpus-scale ⋈
+    corpus-scale (bucket/cell self-joins, the cluster-id attach): none
+    may be a broadcast build — at 10^9 docs neither side is
+    broadcastable, and at small stats an unpinned AQE broadcast-builds
+    one side (the 1g-driver OOM class swept out of the ANN serving
+    paths this round). All shuffled hash, no cartesian."""
+    for name in ("cosine_near_dup", "semantic_dedup"):
+        s = _explain(CATALOG[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in s, (name, s)
+        assert "BroadcastHashJoin" not in s, (name, s)
+        assert "ShuffledHashJoin" in s, (name, s)
+
+
 def test_freq_items_bounded_no_cartesian(spark):
     """The certification entry combines 1-row aggregates (bounded
     nested-loop broadcasts, same posture as value_histogram) and an
