@@ -107,8 +107,13 @@ def _common_shingle_counts(
         )
         inv = inv.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
+    # the inverted-index self-join is corpus×shingles-scale on BOTH
+    # sides: shuffle_hash pin so neither is ever a broadcast build (at
+    # small stats AQE broadcast-built one side — the 1g-driver OOM
+    # class; not broadcastable at 10^9 docs). The hot-list broadcast
+    # above is the opposite, deliberate case: bounded by definition.
     return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b.hint("shuffle_hash"), (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc1"),
@@ -280,9 +285,15 @@ def minhash_lsh_pairs(
     )
     a, b_ = banded.alias("a"), banded.alias("b")
     # candidate pairs carry only ids — the (potentially large) shingle
-    # arrays are joined back per *candidate doc*, not per band collision
+    # arrays are joined back per *candidate doc*, not per band collision.
+    # Every join here is corpus-scale on BOTH sides (banded is corpus ×
+    # bands rows, the shingle frames are the corpus, candidates are
+    # data-dependent): shuffle_hash pins so no side is ever a broadcast
+    # build — at small stats AQE broadcast-built the exploded band side
+    # AND both shingle frames (the 1g-driver OOM class; none of them is
+    # broadcastable at 10^9 docs).
     candidates = (
-        a.join(b_, (F.col("a.band_key") == F.col("b.band_key"))
+        a.join(b_.hint("shuffle_hash"), (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc1"),
@@ -292,7 +303,9 @@ def minhash_lsh_pairs(
     )
     s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("sh2"))
-    verified = candidates.join(s1, "doc1").join(s2, "doc2")
+    verified = candidates.join(s1.hint("shuffle_hash"), "doc1").join(
+        s2.hint("shuffle_hash"), "doc2"
+    )
     inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
     union = F.size(F.array_union("sh1", "sh2")).cast("double")
     return (
@@ -538,7 +551,13 @@ def strip_duplicate_chunks(
         F.count("*").alias("kept_chunks"),
     )
     totals = docs.select(id_col, n_chunks.cast("long").alias("total_chunks"))
-    return totals.join(rebuilt, id_col, "left").select(
+    # totals and rebuilt are BOTH corpus-sized (one row per document,
+    # rebuilt carries full clean_text): shuffle_hash pin so neither is
+    # ever a broadcast build (at small stats AQE broadcast-built the
+    # rebuilt corpus — the 1g-driver OOM class). The flagged-chunk anti
+    # join above stays AQE-adaptive on purpose: that side is bounded by
+    # dup density, the documented deliberate-broadcast case.
+    return totals.join(rebuilt.hint("shuffle_hash"), id_col, "left").select(
         id_col,
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         F.coalesce("kept_chunks", F.lit(0).cast("long")).alias("kept_chunks"),
@@ -590,8 +609,13 @@ def incremental_dedup_gate(
     fp = F.md5(norm.cast("binary"))
     batch_fp = batch.select(F.col(id_col), fp.alias("fingerprint"))
     corpus_fp = corpus.select(fp.alias("fingerprint")).distinct()
+    # left_semi can only build on the RIGHT side — which is the CORPUS
+    # fingerprint set here, corpus-sized by construction: shuffle_hash
+    # pin so it is never a broadcast build (at small stats AQE
+    # broadcast-built it — the 1g-driver OOM class; the delta side
+    # cannot be the build in this orientation)
     exact_ids = (
-        batch_fp.join(corpus_fp, "fingerprint", "left_semi")
+        batch_fp.join(corpus_fp.hint("shuffle_hash"), "fingerprint", "left_semi")
         .select(id_col)
         .withColumn("__exact", F.lit(1))
     )
@@ -604,8 +628,12 @@ def incremental_dedup_gate(
 
     inv_b = sized_shingles(batch)
     inv_c = sized_shingles(corpus)
+    # batch shingles ⋈ corpus shingles: the corpus side is never a
+    # broadcast build; the hinted (batch) side is the build — it is the
+    # smaller one by the delta contract, and a shuffled build degrades
+    # gracefully when a delta is large, where a broadcast build dies
     common = (
-        inv_b.alias("b")
+        inv_b.alias("b").hint("shuffle_hash")
         .join(inv_c.alias("c"), F.col("b.shingle") == F.col("c.shingle"))
         .groupBy(
             F.col(f"b.{id_col}").alias("batch_id"),

@@ -169,8 +169,11 @@ def contamination_scores(
     )
     n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
     return (
+        # the per-doc frames on BOTH sides are corpus-sized (the bench
+        # broadcast above is the deliberate bounded-by-contract side):
+        # shuffled hash pin so the hit counts are never a broadcast build
         d.select("doc_id", "n_sh")
-        .join(hits, "doc_id", "left")
+        .join(hits.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             "n_sh",
@@ -232,7 +235,10 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     frac = lambda a, b: F.round(a.cast("double") / b.cast("double"), 6)  # noqa: E731
     zero = F.lit(0.0)
     return (
-        uni.join(bi, "doc_id", "left")
+        # both sides are corpus-sized per-doc aggregates: shuffled hash
+        # pin so neither is ever a broadcast build (the 1g-driver OOM
+        # class at small stats; not broadcastable at 10^9 docs)
+        uni.join(bi.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
@@ -305,7 +311,9 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
     dfreq = pairs.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        pairs.join(dfreq, "term")
+        # pairs is corpus×terms, dfreq is vocabulary-sized — neither is
+        # broadcastable at web scale: shuffled hash pin on the term key
+        pairs.join(dfreq.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

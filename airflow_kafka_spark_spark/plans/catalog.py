@@ -2762,8 +2762,10 @@ def q_quality_filter(spark, sf_dir):
     pipeline stage; everything JVM-side higher-order functions."""
     docs = load_table(spark, sf_dir, "documents")
     stats = with_text_stats(docs)
+    # corpus-scale ⋈ corpus-scale (per-doc stats vs the doc projection):
+    # shuffled hash pin so neither is ever a broadcast build
     kept = stats.filter(F.col("is_quality") == 1).join(
-        docs.select("doc_id", "lang"), "doc_id"
+        docs.select("doc_id", "lang").hint("shuffle_hash"), "doc_id"
     )
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
