@@ -81,7 +81,19 @@ def _collect_query_rows(
     missing = sorted(set(query_vec_ids) - found)
     if missing:
         raise ValueError(f"{caller}: missing query ids {missing}")
-    return q_rows
+    # Duplicate vec_ids in the corpus would otherwise propagate into the
+    # rerank broadcast frame and multiply candidate rows (duplicate
+    # (query_id, id) pairs then occupy top-k slots). Identical duplicate
+    # vectors collapse to one row; conflicting vectors are ambiguous.
+    by_id: dict[int, object] = {}
+    for r in q_rows:
+        prev = by_id.setdefault(r["query_id"], r)
+        if prev is not r and list(prev["qvec"]) != list(r["qvec"]):
+            raise ValueError(
+                f"{caller}: duplicate {id_col}={r['query_id']} with "
+                "conflicting vectors in the corpus"
+            )
+    return sorted(by_id.values(), key=lambda r: r["query_id"])
 
 
 def _adc_table_rows(q_rows: list, books: list) -> list[tuple]:
@@ -102,6 +114,67 @@ def _adc_table_rows(q_rows: list, books: list) -> list[tuple]:
                 d2 = float(((qs - np.array(cent)) ** 2).sum())
                 rows.append((int(r["query_id"]), j, code, d2))
     return rows
+
+
+def _adc_table_rows_residual(
+    q_rows: list,
+    books: list,
+    centroids: list[list[float]],
+    probes_by_q: dict[int, list[int]],
+) -> list[tuple]:
+    """Per-(query, probed cell) ADC distance tables for RESIDUAL codes:
+    a vector in cell c was encoded as (x − centroid_c), so the query's
+    lookup table for that cell is built from (q − centroid_c). Output
+    rows (query_id, list_id, j, code, d2) — n_probe·m·n_codes doubles
+    per query, still kilobytes, shipped as a broadcast FRAME like the
+    raw-code tables."""
+    import numpy as np
+
+    sub_d = len(books[0][0])
+    rows = []
+    for r in q_rows:
+        qvec = np.array(r["qvec"], dtype=np.float64)
+        for cell in probes_by_q[int(r["query_id"])]:
+            res = qvec - np.array(centroids[cell], dtype=np.float64)
+            for j, book in enumerate(books):
+                qs = res[j * sub_d : (j + 1) * sub_d]
+                for code, cent in enumerate(book):
+                    d2 = float(((qs - np.array(cent)) ** 2).sum())
+                    rows.append((int(r["query_id"]), cell, j, code, d2))
+    return rows
+
+
+def _validate_codes(codes: DataFrame, codebooks, caller: str) -> None:
+    """A prebuilt ``codes`` frame must match the codebooks it is about
+    to be ADC-joined against: codes encoded with a different m or
+    n_codes (or a different quantizer entirely) silently drop or
+    mismatch subvector terms in the (j, code) equi-join, producing
+    biased distances and degraded recall with NO error. One bounded
+    driver action checks the shape on a single row (ADVICE r8)."""
+    if codebooks is None:
+        raise ValueError(
+            f"{caller}: prebuilt codes= requires the codebooks= they "
+            "were encoded with (in-call-trained books would not match)"
+        )
+    m = len(codebooks)
+    n_codes = max(len(b) for b in codebooks)
+    row = codes.select(
+        F.size("codes").alias("m"),
+        F.array_min("codes").alias("mn"),
+        F.array_max("codes").alias("mx"),
+    ).first()
+    if row is None:
+        return  # empty frame — nothing will join, nothing to validate
+    if row["m"] != m:
+        raise ValueError(
+            f"{caller}: codes row has {row['m']} subvector codes, "
+            f"codebooks have m={m} — encoded with a different quantizer?"
+        )
+    if row["mn"] < 0 or row["mx"] >= n_codes:
+        raise ValueError(
+            f"{caller}: code values span [{row['mn']}, {row['mx']}], "
+            f"outside the codebook range [0, {n_codes - 1}]"
+        )
 
 
 def _adc_fold(joined: DataFrame, id_col: str) -> Column:
@@ -181,7 +254,7 @@ def _rerank_topk(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return (
-        cand.select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+        cand.select("query_id", F.col(id_col), (F.round(cos, 6) + F.lit(0.0)).alias("cosine"))
         .withColumn("__rk", F.row_number().over(w_cos))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
@@ -211,7 +284,7 @@ def cosine_topk(
         _norm(F.col(vec_col)) * _norm(F.col("qvec"))
     )
     return (
-        joined.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        joined.select(F.col(id_col), (F.round(cos, 6) + F.lit(0.0)).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -391,7 +464,7 @@ def ann_topk_ivf(
         _norm(F.col(vec_col)) * _norm(F.col("qvec"))
     )
     return (
-        joined.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        joined.select(F.col(id_col), (F.round(cos, 6) + F.lit(0.0)).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -506,7 +579,7 @@ def ann_topk_ivf_batch(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return (
-        cand.select("query_id", F.col(id_col), F.round(cos, 6).alias("cosine"))
+        cand.select("query_id", F.col(id_col), (F.round(cos, 6) + F.lit(0.0)).alias("cosine"))
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
@@ -550,6 +623,8 @@ def ann_topk_pq_batch(
     Output: ``(query_id, vec_id, cosine)``, top-k per query, query
     rows excluded.
     """
+    if codes is not None:
+        _validate_codes(codes, codebooks, "ann_topk_pq_batch")
     books = (
         codebooks
         if codebooks is not None
@@ -594,6 +669,7 @@ def ann_topk_ivfpq_batch(
     index: tuple[DataFrame, list[list[float]]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
     codes: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ composition — the standard large-scale ANN layout
     (FAISS ``IndexIVFPQ``): IVF cell probing bounds WHICH vectors are
@@ -630,12 +706,18 @@ def ann_topk_ivfpq_batch(
     deployment encodes the corpus once at add time). Any omitted piece
     is built in-call for one-shot convenience.
 
-    Deviation from FAISS: codes quantize RAW vectors, not per-cell
-    residuals — residual codebooks can't be shared with the plain PQ
-    path and the raw form keeps one quantizer contract across
-    ``ann_topk_pq``/``ann_topk_pq_batch``/this; the probe/score/rerank
-    plumbing is identical, and the exact rerank absorbs the accuracy
-    difference at these code rates.
+    ``residual=True`` switches to the full FAISS ``IndexIVFPQ`` code
+    layout: vectors are encoded as offsets from their cell centroid
+    (:func:`pq_encode_residual`) against residual-trained codebooks
+    (``pq_codebooks(..., centroids=...)``), and the query's ADC tables
+    become per-(query, probed cell) — built from (q − centroid_cell) —
+    so the lookup join keys on ``(query_id, list_id, j, code)``.
+    Residuals concentrate the quantizer's dynamic range around the cell
+    centers, lifting ADC candidate quality at the same code budget.
+    With ``residual=False`` (default) codes quantize RAW vectors —
+    sharable with the plain PQ path (one quantizer contract across
+    ``ann_topk_pq``/``ann_topk_pq_batch``/this); residual codebooks are
+    cell-coupled and cannot be shared, the classic FAISS trade.
 
     Output: ``(query_id, vec_id, cosine)``, top-k per query by
     (cosine desc, vec_id asc), query rows excluded.
@@ -645,11 +727,24 @@ def ann_topk_ivfpq_batch(
         if index is not None
         else ivf_assignments(embeddings, n_lists, vec_col=vec_col, id_col=id_col)
     )
+    if codes is not None:
+        _validate_codes(codes, codebooks, "ann_topk_ivfpq_batch")
+        if residual and "list_id" not in codes.columns:
+            raise ValueError(
+                "ann_topk_ivfpq_batch: residual=True needs codes with a "
+                "list_id column (a pq_encode_residual frame) — got raw "
+                "pq_encode codes?"
+            )
     books = (
         codebooks
         if codebooks is not None
         else pq_codebooks(
-            embeddings, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col
+            embeddings,
+            m=m,
+            n_codes=n_codes,
+            vec_col=vec_col,
+            id_col=id_col,
+            centroids=centroids if residual else None,
         )
     )
     q_rows = _collect_query_rows(
@@ -663,30 +758,66 @@ def ann_topk_ivfpq_batch(
         for _, j in sorted(_probe_distances(r["qvec"], centroids))[:n_probe_eff]
     ]
     probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
-    tables = spark.createDataFrame(
-        _adc_table_rows(q_rows, books), "query_id long, j int, code int, d2 double"
-    )
 
     cand_ids = assigned.join(F.broadcast(probes), "list_id").select(
         "query_id", id_col
     )
-    all_codes = (
-        codes
-        if codes is not None
-        else pq_encode(embeddings, books, vec_col=vec_col, id_col=id_col)
-    )
-    # codes and candidates are BOTH corpus-scale (candidates are
-    # |Q|·n_probe/n_lists of the corpus): shuffled hash on the id key —
-    # without the pin AQE broadcast-builds the small-stats codes side
-    # (the full encoded corpus) at test scale, the 1g-driver OOM class
-    exploded = all_codes.join(cand_ids.hint("shuffle_hash"), id_col).select(
-        "query_id", F.col(id_col), F.posexplode("codes").alias("j", "code")
-    )
-    # candidates are per-query already, so the ADC join matches on
-    # query_id too; the fold itself is the shared fixed-order contract
-    adist = _adc_fold(
-        exploded.join(F.broadcast(tables), ["query_id", "j", "code"]), id_col
-    )
+    if residual:
+        probes_by_q: dict[int, list[int]] = {}
+        for qid, cell in probe_rows:
+            probes_by_q.setdefault(qid, []).append(cell)
+        tables = spark.createDataFrame(
+            _adc_table_rows_residual(q_rows, books, centroids, probes_by_q),
+            "query_id long, list_id int, j int, code int, d2 double",
+        )
+        all_codes = (
+            codes
+            if codes is not None
+            else pq_encode_residual(
+                embeddings,
+                books,
+                (assigned, centroids),
+                vec_col=vec_col,
+                id_col=id_col,
+            )
+        )
+        # codes and candidates are BOTH corpus-scale: shuffled hash on
+        # the id key (see the raw branch below). list_id rides along —
+        # residual ADC tables are per-cell, so the lookup join carries it.
+        exploded = all_codes.join(cand_ids.hint("shuffle_hash"), id_col).select(
+            "query_id",
+            F.col(id_col),
+            "list_id",
+            F.posexplode("codes").alias("j", "code"),
+        )
+        adist = _adc_fold(
+            exploded.join(
+                F.broadcast(tables), ["query_id", "list_id", "j", "code"]
+            ),
+            id_col,
+        )
+    else:
+        tables = spark.createDataFrame(
+            _adc_table_rows(q_rows, books),
+            "query_id long, j int, code int, d2 double",
+        )
+        all_codes = (
+            codes
+            if codes is not None
+            else pq_encode(embeddings, books, vec_col=vec_col, id_col=id_col)
+        )
+        # codes and candidates are BOTH corpus-scale (candidates are
+        # |Q|·n_probe/n_lists of the corpus): shuffled hash on the id key —
+        # without the pin AQE broadcast-builds the small-stats codes side
+        # (the full encoded corpus) at test scale, the 1g-driver OOM class
+        exploded = all_codes.join(cand_ids.hint("shuffle_hash"), id_col).select(
+            "query_id", F.col(id_col), F.posexplode("codes").alias("j", "code")
+        )
+        # candidates are per-query already, so the ADC join matches on
+        # query_id too; the fold itself is the shared fixed-order contract
+        adist = _adc_fold(
+            exploded.join(F.broadcast(tables), ["query_id", "j", "code"]), id_col
+        )
     rerank_ids = _adc_candidates(adist, id_col, rerank_factor * k)
     return _rerank_topk(embeddings, rerank_ids, q_rows, k, vec_col, id_col)
 
@@ -803,7 +934,7 @@ def ann_topk_bucketed(
         _norm(F.col(vec_col)) * _norm(F.col("qvec"))
     )
     return (
-        cand.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        cand.select(F.col(id_col), (F.round(cos, 6) + F.lit(0.0)).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
@@ -850,6 +981,7 @@ def pq_codebooks(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", public): split each vector
@@ -858,6 +990,14 @@ def pq_codebooks(
     train-small/apply-big contract as :func:`ivf_assignments`. The model
     is m·n_codes·(d/m) floats (= n_codes·d — kilobytes), broadcast as
     literals; training never touches more than the sample.
+
+    ``centroids`` (an :func:`ivf_assignments` coarse-quantizer model)
+    switches training to RESIDUALS — each sampled vector is replaced by
+    its offset from its nearest coarse centroid before the per-subvector
+    k-means, the FAISS ``IndexIVFPQ`` layout: residuals concentrate the
+    quantizer's dynamic range around the cell centers, lifting recall at
+    the same code budget. Pair with :func:`pq_encode_residual` and
+    ``ann_topk_ivfpq_batch(..., residual=True)``.
     """
     import numpy as np
 
@@ -874,6 +1014,20 @@ def pq_codebooks(
     )
     if len(sample) == 0:
         raise ValueError("pq_codebooks: embeddings table is empty")
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        if cents.shape[1] != sample.shape[1]:
+            raise ValueError(
+                f"pq_codebooks: centroid dim {cents.shape[1]} != vector "
+                f"dim {sample.shape[1]} — coarse quantizer trained on "
+                "different vectors?"
+            )
+        # driver-side nearest-centroid assignment of the bounded sample
+        # (numpy argmin's first-min tiebreak matches the corpus
+        # assignment's array_position rule; training only shapes the
+        # books, so exact IEEE parity with the JVM path is not needed)
+        d2c = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        sample = sample - cents[d2c.argmin(axis=1)]
     d = sample.shape[1]
     if d % m != 0:
         raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
@@ -952,6 +1106,66 @@ def pq_encode(
     )
 
 
+def pq_encode_residual(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    index: tuple[DataFrame, list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual PQ encoding (FAISS ``IndexIVFPQ`` add step): each vector
+    is encoded as its offset from its IVF cell centroid, against
+    codebooks trained on residuals (``pq_codebooks(...,
+    centroids=...)``). Output ``(id, list_id, codes)`` — the cell rides
+    along because residual ADC lookups are per-cell
+    (:func:`_adc_table_rows_residual`).
+
+    Same Arrow-vectorized kernel rationale as :func:`pq_encode`; the
+    centroid matrix (n_lists·d floats — kilobytes) rides into the
+    workers as a closure. The embeddings⋈assignment join is
+    corpus-scale ⋈ corpus-scale → shuffled hash on the id key, never a
+    broadcast build (the repo's 1g-driver OOM class; at 10⁹ vectors
+    neither side is broadcastable anyway).
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    assigned, centroids = index
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    cents = np.asarray(centroids, dtype=np.float64)
+    m = len(books)
+    sub_d = books[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode_res(vec: pd.Series, cell: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        if vec.isna().any() or cell.isna().any():
+            raise ValueError(
+                "pq_encode_residual: null embedding or list_id in batch "
+                f"— filter nulls before encoding ({vec_col} must be "
+                "non-null and every id must have an assignment)"
+            )
+        x = np.array(vec.tolist(), dtype=np.float64)
+        x = x - cents[cell.to_numpy(dtype=np.int64)]
+        codes_arr = np.empty((x.shape[0], m), dtype=np.int32)
+        for j, book in enumerate(books):
+            sub = x[:, j * sub_d : (j + 1) * sub_d]
+            d2 = ((sub[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+            codes_arr[:, j] = d2.argmin(axis=1)
+        return pd.Series([c.tolist() for c in codes_arr])
+
+    with_cell = embeddings.select(id_col, vec_col).join(
+        assigned.hint("shuffle_hash"), id_col
+    )
+    return with_cell.select(
+        F.col(id_col),
+        F.col("list_id"),
+        encode_res(F.col(vec_col), F.col("list_id")).alias("codes"),
+    )
+
+
 def ann_topk_pq(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -1025,7 +1239,7 @@ def ann_topk_pq(
         _norm(F.col(vec_col)) * _norm(F.col("qvec"))
     )
     return (
-        joined.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+        joined.select(F.col(id_col), (F.round(cos, 6) + F.lit(0.0)).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

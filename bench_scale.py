@@ -230,16 +230,28 @@ def main() -> None:
         index=ivf_index, codebooks=pq_books,
     ).collect()
     ivfpq48_dt = time.perf_counter() - t0
+    # residual leg at EQUAL rerank depth as the raw rf24 row (equal-work
+    # rule): residual-trained books are prebuilt like pq_books, codes
+    # encode in-call like both rf rows above
+    res_books = pq_codebooks(emb, centroids=ivf_index[1])
+    t0 = time.perf_counter()
+    ivfpq_res24_rows = ann_topk_ivfpq_batch(
+        emb, face_qids, k=10, n_probe=8, rerank_factor=24,
+        index=ivf_index, codebooks=res_books, residual=True,
+    ).collect()
+    ivfpq_res24_dt = time.perf_counter() - t0
     ivfpq_results = {
         "batch": len(face_qids),
         "ivf_sec": round(ivf_face_dt, 3),
         "pq_rf24_sec": round(pq_face_dt, 3),
         "ivfpq_rf24_sec": round(ivfpq24_dt, 3),
         "ivfpq_rf48_sec": round(ivfpq48_dt, 3),
+        "ivfpq_res_rf24_sec": round(ivfpq_res24_dt, 3),
         "ivf_recall": _face_recall(ivf_rows),
         "pq_rf24_recall": _face_recall(pq_rows),
         "ivfpq_rf24_recall": _face_recall(ivfpq24_rows),
         "ivfpq_rf48_recall": _face_recall(ivfpq48_rows),
+        "ivfpq_res_rf24_recall": _face_recall(ivfpq_res24_rows),
     }
 
     # 10x-corpus face-off: the same 32 queries against 10 shifted
@@ -304,6 +316,13 @@ def main() -> None:
         index=big_index, codebooks=big_books,
     ).collect()
     big_ivfpq48_dt = time.perf_counter() - t0
+    big_res_books = pq_codebooks(big_emb, centroids=big_index[1])
+    t0 = time.perf_counter()
+    big_ivfpq_res24_rows = ann_topk_ivfpq_batch(
+        big_emb, face_qids, k=10, n_probe=8, rerank_factor=24,
+        index=big_index, codebooks=big_res_books, residual=True,
+    ).collect()
+    big_ivfpq_res24_dt = time.perf_counter() - t0
     ivfpq10x_results = {
         "batch": len(face_qids),
         "corpus": n_base * 10,
@@ -313,10 +332,12 @@ def main() -> None:
         "pq_rf24_sec": round(big_pq_dt, 3),
         "ivfpq_rf24_sec": round(big_ivfpq24_dt, 3),
         "ivfpq_rf48_sec": round(big_ivfpq48_dt, 3),
+        "ivfpq_res_rf24_sec": round(big_ivfpq_res24_dt, 3),
         "ivf_recall": _big_recall(big_ivf_rows),
         "pq_rf24_recall": _big_recall(big_pq_rows),
         "ivfpq_rf24_recall": _big_recall(big_ivfpq24_rows),
         "ivfpq_rf48_recall": _big_recall(big_ivfpq48_rows),
+        "ivfpq_res_rf24_recall": _big_recall(big_ivfpq_res24_rows),
     }
 
     # drift monitors at replica scale: both are single-scan

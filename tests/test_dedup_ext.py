@@ -301,6 +301,182 @@ def test_ivfpq_batch_probes_shared_cells_and_recall(spark):
         )
 
 
+def test_ivfpq_residual_full_probe_equals_exact(spark):
+    """The residual path's brute-force-verified contract: with every
+    cell probed and a full-corpus rerank pool, residual IVF-PQ reduces
+    to the exact cosine top-k — the per-cell ADC tables and residual
+    codes change candidate ORDER, never the rerank math."""
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_ivfpq_batch,
+        cosine_topk,
+        ivf_assignments,
+        pq_codebooks,
+        pq_encode_residual,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    index = ivf_assignments(emb, n_lists=16)
+    books = pq_codebooks(emb, centroids=index[1])
+    codes = pq_encode_residual(emb, books, index).localCheckpoint(eager=True)
+    n = emb.count()
+    qids = [0, 7]
+    by_q: dict[int, list] = {q: [] for q in qids}
+    for r in ann_topk_ivfpq_batch(
+        emb, qids, k=10, n_probe=16, rerank_factor=(n // 10) + 1,
+        index=index, codebooks=books, codes=codes, residual=True,
+    ).collect():
+        by_q[r["query_id"]].append((r["vec_id"], r["cosine"]))
+    for qid in qids:
+        exact = [
+            (r["vec_id"], r["cosine"])
+            for r in cosine_topk(emb, qid, k=10).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(exact), qid
+
+
+def test_ivfpq_residual_probes_shared_cells_and_recall(spark):
+    """Partial probing on the residual path: every returned id lies in
+    a probed cell (same shared _probe_distances sequence as the raw
+    path — residual encoding changes the ADC tables, not the probe
+    selection), scores are true cosines, recall holds the certified
+    floor, and the one-shot in-call build (residual books + residual
+    encode) equals the shared-artifact build."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.similarity import (
+        _probe_distances,
+        ann_topk_ivfpq_batch,
+        cosine_topk,
+        ivf_assignments,
+        pq_codebooks,
+        pq_encode_residual,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    index = ivf_assignments(emb, n_lists=16)
+    assigned, centroids = index
+    books = pq_codebooks(emb, centroids=centroids)
+    codes = pq_encode_residual(emb, books, index).localCheckpoint(eager=True)
+    qids = [0, 19]
+    out = ann_topk_ivfpq_batch(
+        emb, qids, k=10, n_probe=8, rerank_factor=24,
+        index=index, codebooks=books, codes=codes, residual=True,
+    ).collect()
+    cell_of = {
+        r["vec_id"]: r["list_id"]
+        for r in assigned.join(
+            spark.createDataFrame([(r["vec_id"],) for r in out], "vec_id long"),
+            "vec_id",
+        ).collect()
+    }
+    by_q: dict[int, list] = {q: [] for q in qids}
+    for r in out:
+        by_q[r["query_id"]].append((r["vec_id"], r["cosine"]))
+    for qid in qids:
+        qvec = emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        probed = {j for _, j in sorted(_probe_distances(qvec, centroids))[:8]}
+        for v, _ in by_q[qid]:
+            assert cell_of[v] in probed, (qid, v)
+        assert len(by_q[qid]) == 10
+        exact = {
+            r["vec_id"]: r["cosine"] for r in cosine_topk(emb, qid, k=10).collect()
+        }
+        hits = [v for v, _ in by_q[qid] if v in exact]
+        for v, c in by_q[qid]:
+            if v in exact:
+                assert c == exact[v]  # identical rerank math
+        assert len(hits) / len(exact) >= 0.5, (qid, by_q[qid])
+
+    # one-shot in-call residual build == shared-artifact build
+    one_shot = ann_topk_ivfpq_batch(
+        emb, qids, k=10, n_probe=8, rerank_factor=24, residual=True
+    )
+    assert sorted(map(tuple, one_shot.collect())) == sorted(map(tuple, out))
+
+
+def test_prebuilt_codes_validation(spark):
+    """A prebuilt codes frame must be provably consistent with the
+    codebooks it is ADC-joined against — mismatched m or out-of-range
+    codes silently bias distances otherwise (ADVICE r8)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_ivfpq_batch,
+        ann_topk_pq_batch,
+        ivf_assignments,
+        pq_codebooks,
+        pq_encode,
+    )
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    index = ivf_assignments(emb, n_lists=16)
+    books = pq_codebooks(emb)
+    codes = pq_encode(emb, books).localCheckpoint(eager=True)
+
+    # codes without the codebooks they were encoded with
+    with _pytest.raises(ValueError, match="requires the codebooks"):
+        ann_topk_pq_batch(emb, [0], k=5, codes=codes)
+    with _pytest.raises(ValueError, match="requires the codebooks"):
+        ann_topk_ivfpq_batch(emb, [0], k=5, index=index, codes=codes)
+
+    # wrong m: books say 4 subvectors, codes carry 8
+    books_m4 = pq_codebooks(emb, m=4)
+    with _pytest.raises(ValueError, match="different quantizer"):
+        ann_topk_pq_batch(emb, [0], k=5, m=4, codebooks=books_m4, codes=codes)
+
+    # out-of-range code values vs a smaller codebook
+    books_small = pq_codebooks(emb, n_codes=2)
+    big_codes = codes.select(
+        "vec_id", F.transform("codes", lambda c: c + F.lit(1000)).alias("codes")
+    )
+    with _pytest.raises(ValueError, match="outside the codebook range"):
+        ann_topk_pq_batch(
+            emb, [0], k=5, n_codes=2, codebooks=books_small, codes=big_codes
+        )
+
+    # residual mode rejects raw codes (no list_id column)
+    with _pytest.raises(ValueError, match="list_id"):
+        ann_topk_ivfpq_batch(
+            emb, [0], k=5, index=index, codebooks=books, codes=codes,
+            residual=True,
+        )
+
+
+def test_collect_query_rows_dedups_duplicate_corpus_ids(spark):
+    """Duplicate vec_ids in the corpus must not multiply rerank
+    candidate rows: identical duplicate vectors collapse to one query
+    row; conflicting vectors raise (ambiguous query)."""
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.similarity import _collect_query_rows
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (0, [1.0, 0.0]),  # identical duplicate — collapses
+            (1, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = _collect_query_rows(emb, [0, 1], "embedding", "vec_id", "t")
+    assert [r["query_id"] for r in rows] == [0, 1]
+
+    emb_bad = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="conflicting vectors"):
+        _collect_query_rows(emb_bad, [0], "embedding", "vec_id", "t")
+
+
 def test_connected_components_single_edge_and_self_loop(spark):
     """Degenerate graphs must converge in one round, not wedge: a lone
     edge labels both endpoints with the min id; a self-loop is a
