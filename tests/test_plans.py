@@ -517,29 +517,12 @@ def test_mw_drift_single_scan_no_join(spark):
 
 def _broadcast_subtrees(s: str) -> list[str]:
     """Each BroadcastExchange node's subtree from a simple-mode explain
-    string: children sit at a strictly deeper `+-`/`:-` marker column,
-    the next line at or above the node's column ends the subtree."""
-    lines = s.splitlines()
+    string. ONE implementation of the plan-parsing heuristic lives in
+    tools/broadcast_audit.py (the catalog-wide audit); the tests import
+    it so the two cannot silently drift (ADVICE r8)."""
+    from tools.broadcast_audit import broadcast_subtrees
 
-    def marker(ln: str) -> int:
-        for pat in ("+- ", ":- "):
-            p = ln.find(pat)
-            if p >= 0:
-                return p
-        return -1
-
-    subs = []
-    for i, ln in enumerate(lines):
-        if "BroadcastExchange" not in ln:
-            continue
-        d = marker(ln)
-        sub = []
-        for nxt in lines[i + 1 :]:
-            if marker(nxt) <= d:
-                break
-            sub.append(nxt)
-        subs.append("\n".join(sub))
-    return subs
+    return [sub for _, sub in broadcast_subtrees(s)]
 
 
 def test_ann_ivfpq_no_cartesian_broadcast_probes(spark):

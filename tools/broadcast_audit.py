@@ -91,7 +91,15 @@ def main() -> None:
             with contextlib.redirect_stdout(buf):
                 df.explain(mode="simple")
             for exch, sub in broadcast_subtrees(buf.getvalue()):
-                hits = [t for t in BIG_TABLES if f"{t}.parquet" in sub]
+                # match the bare /name too: simple-mode explain truncates
+                # long Location strings, so a deep path can cut off the
+                # ".parquet" suffix and hide the table (ADVICE r8) —
+                # a few extra candidate flags are fine, triage is manual
+                hits = [
+                    t
+                    for t in BIG_TABLES
+                    if f"{t}.parquet" in sub or f"/{t}" in sub
+                ]
                 if not hits or any(b in sub for b in BOUNDING):
                     continue
                 mode = "identity" if "IdentityBroadcastMode" in exch else "hashed"
