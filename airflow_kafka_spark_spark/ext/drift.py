@@ -37,6 +37,40 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _split_value_counts(
+    df: DataFrame,
+    cohort: Column,
+    split: Column,
+    key: Column,
+    *,
+    key_name: str,
+    a: str,
+    b: str,
+    strict_split: bool,
+    drop_null_key: bool,
+) -> DataFrame:
+    """The drift family's shared scaffold: ONE conditional-count groupBy
+    pass collapses the facts to a (cohort × distinct key) count table —
+    the only full scan any of the four statistics needs; everything
+    downstream is window sums over this (tiny) table.
+
+    ``strict_split`` drops rows whose ``split`` is neither 0 nor 1
+    (NULL split rows belong to neither window; the statistics that
+    divide by category totals need them gone — zero-total categories
+    have engine-divergent 0/0 behavior). ``drop_null_key`` additionally
+    drops NULL ``key`` rows (the numeric statistics exclude NULL
+    values by contract; the categorical ones keep NULL as a category).
+    """
+    if strict_split and drop_null_key:
+        df = df.filter(((split == 0) | (split == 1)) & key.isNotNull())
+    elif strict_split:
+        df = df.filter((split == 0) | (split == 1))
+    return df.groupBy(cohort.alias("cohort"), key.alias(key_name)).agg(
+        F.sum(F.when(split == 0, 1).otherwise(0)).cast("bigint").alias(a),
+        F.sum(F.when(split == 1, 1).otherwise(0)).cast("bigint").alias(b),
+    )
+
+
 def tvd_drift(
     df: DataFrame,
     cohort: Column,
@@ -54,9 +88,10 @@ def tvd_drift(
     ``tvd_num / (2·n_a·n_b)``. Cohorts with an empty window emit
     NULL tvd (0/0) rather than a fake 0.
     """
-    counts = df.groupBy(cohort.alias("cohort"), F.col(category)).agg(
-        F.sum(F.when(split == 0, 1).otherwise(0)).cast("bigint").alias("cnt_a"),
-        F.sum(F.when(split == 1, 1).otherwise(0)).cast("bigint").alias("cnt_b"),
+    counts = _split_value_counts(
+        df, cohort, split, F.col(category),
+        key_name=category, a="cnt_a", b="cnt_b",
+        strict_split=False, drop_null_key=False,
     )
     w = Window.partitionBy("cohort")
     with_tot = counts.select(
@@ -131,10 +166,10 @@ def ks_drift(
     cost; if a single cohort outgrows an executor, pre-bin ``value``
     (the statistic then bounds the binned ECDF distance).
     """
-    df = df.filter(((split == 0) | (split == 1)) & value.isNotNull())
-    counts = df.groupBy(cohort.alias("cohort"), value.alias("x")).agg(
-        F.sum(F.when(split == 0, 1).otherwise(0)).cast("bigint").alias("c_a"),
-        F.sum(F.when(split == 1, 1).otherwise(0)).cast("bigint").alias("c_b"),
+    counts = _split_value_counts(
+        df, cohort, split, value,
+        key_name="x", a="c_a", b="c_b",
+        strict_split=True, drop_null_key=True,
     )
     w_ord = (
         Window.partitionBy("cohort")
@@ -214,10 +249,10 @@ def mw_drift(
     values) count table for the ordered cumulative and total window
     sums, one final cohort aggregate. No joins, no UDFs.
     """
-    df = df.filter(((split == 0) | (split == 1)) & value.isNotNull())
-    counts = df.groupBy(cohort.alias("cohort"), value.alias("x")).agg(
-        F.sum(F.when(split == 0, 1).otherwise(0)).cast("bigint").alias("c_a"),
-        F.sum(F.when(split == 1, 1).otherwise(0)).cast("bigint").alias("c_b"),
+    counts = _split_value_counts(
+        df, cohort, split, value,
+        key_name="x", a="c_a", b="c_b",
+        strict_split=True, drop_null_key=True,
     )
     w_ord = (
         Window.partitionBy("cohort")
@@ -301,10 +336,10 @@ def chi2_drift(
     groupBy pass over the facts, window totals over the count table,
     one final cohort aggregate. No joins, no UDFs.
     """
-    df = df.filter((split == 0) | (split == 1))
-    counts = df.groupBy(cohort.alias("cohort"), F.col(category)).agg(
-        F.sum(F.when(split == 0, 1).otherwise(0)).cast("bigint").alias("o_a"),
-        F.sum(F.when(split == 1, 1).otherwise(0)).cast("bigint").alias("o_b"),
+    counts = _split_value_counts(
+        df, cohort, split, F.col(category),
+        key_name=category, a="o_a", b="o_b",
+        strict_split=True, drop_null_key=False,
     )
     w = Window.partitionBy("cohort")
     t = counts.select(
