@@ -128,6 +128,50 @@ def main() -> None:
     new_win = ev.filter(F.col("event_id") % 2 == 1)
     n_out = mad_outliers(new_win, threshold=2.5).count()
     print(f"new-window robust outliers (|z*|>=2.5): {n_out} of {new_win.count()} rows")
+
+    # 5. the STREAMING form — the shape a training-data pipeline
+    #    actually runs: each arriving micro-batch is drift-checked
+    #    against a stored reference window via foreachBatch BEFORE the
+    #    batch is trusted. Reference = the old window (materialized
+    #    once inside the monitor); stream = the new window arriving as
+    #    files. Same exact statistics, zero new machinery per batch.
+    import tempfile
+
+    from airflow_kafka_spark_spark.streaming.drift_monitor import (
+        make_drift_monitor,
+    )
+
+    workdir = tempfile.mkdtemp()
+    src = os.path.join(workdir, "incoming")
+    os.makedirs(src)
+    monitored = ["user_id", "event_type", "value", "event_id"]
+    reference = ev.filter(F.col("event_id") % 2 == 0).select(*monitored)
+    monitor = make_drift_monitor(
+        reference.withColumn("cohort10", F.col("user_id") % 10),
+        cohort="cohort10",
+        category="event_type",
+        value="value",
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, value double, event_id long"
+        )
+        .parquet(src)
+        .withColumn("cohort10", F.col("user_id") % 10)
+    )
+    q = (
+        stream.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        ev.filter(F.col("event_id") % 2 == 1).select(*monitored).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
     spark.stop()
 
 

@@ -654,3 +654,87 @@ def test_distinct_rollup_sketch_merge_counts_cross_batch_once(spark):
     assert set(stored) == set(exact)
     for k, est in stored.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_streaming_drift_monitor_flags_seeded_shift(spark):
+    """The foreachBatch drift monitor (streaming/drift_monitor.py): a
+    micro-batch drawn from the reference distribution reports no drift
+    (tvd=0, ks=0, auc=0.5 — the fixture is exactly proportional), and a
+    seeded shift (category mix flipped 80/20→20/80, values moved +100)
+    is flagged with the exact statistics: tvd=0.6, ks=1.0 (disjoint
+    supports) and auc=0.0 (every reference value below every batch
+    value — direction included). Deterministic arithmetic fixtures, no
+    RNG (repo rule)."""
+    from airflow_kafka_spark_spark.streaming.drift_monitor import (
+        make_drift_monitor,
+    )
+
+    def rows(shift: bool):
+        out = []
+        for i in range(200):
+            if shift:
+                cat = "b" if i % 10 < 8 else "a"
+                val = 100.0 + (i % 50)
+            else:
+                cat = "a" if i % 10 < 8 else "b"
+                val = float(i % 50)
+            out.append((i % 2, cat, val))
+        return out
+
+    schema = "cohort int, category string, value double"
+    ref = spark.createDataFrame(rows(shift=False), schema)
+
+    reports: dict[int, list] = {}
+    monitor = make_drift_monitor(
+        ref,
+        cohort="cohort",
+        category="category",
+        value="value",
+        on_report=lambda bid, rs: reports.setdefault(bid, rs),
+    )
+
+    workdir = tempfile.mkdtemp()
+    src = os.path.join(workdir, "in")
+    os.makedirs(src)
+    source = spark.readStream.schema(schema).parquet(src)
+    q = (
+        source.writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        # batch 0: same distribution; batch 1: seeded shift
+        spark.createDataFrame(rows(shift=False), schema).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(rows(shift=True), schema).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert set(reports) == {0, 1}
+    # one row per (cohort, metric): 2 cohorts x 3 metrics
+    for bid in (0, 1):
+        assert len(reports[bid]) == 6, reports[bid]
+        for r in reports[bid]:
+            assert r["n_ref"] == 100 and r["n_batch"] == 100
+
+    by = {
+        (r["cohort"], r["metric"]): r["stat"] for r in reports[0]
+    }
+    for c in (0, 1):
+        assert by[(c, "tvd")] == 0.0, by
+        assert by[(c, "ks")] == 0.0, by
+        assert abs(by[(c, "auc")] - 0.5) < 1e-12, by
+
+    by = {
+        (r["cohort"], r["metric"]): r["stat"] for r in reports[1]
+    }
+    for c in (0, 1):
+        assert abs(by[(c, "tvd")] - 0.6) < 1e-12, by
+        assert by[(c, "ks")] == 1.0, by
+        assert by[(c, "auc")] == 0.0, by
