@@ -4353,9 +4353,11 @@ def q_ann_recall_bounded(spark, sf_dir):
 
     For each probe query id: exact cosine top-10 (brute force,
     broadcast query), IVF top-10 (n_probe=8 of 16 lists), PQ top-10
-    (ADC + exact rerank of 24·k candidates) and IVF-PQ top-10 (the
-    composed index — same probes, ADC only in-cell, same rerank pool),
-    intersected in-engine;
+    (ADC + exact rerank of 24·k candidates), IVF-PQ top-10 (the
+    composed index — same probes, ADC only in-cell, same rerank pool)
+    and residual IVF-PQ top-10 (the full FAISS IndexIVFPQ code layout:
+    cell-coupled books, per-cell ADC tables — same probes and rerank
+    depth), intersected in-engine;
     recall ≥ 0.5 is the certified floor (measured 0.6–1.0 across
     scales/queries for the composed leg too — it can't beat its IVF
     parent's candidate set, and the shared-probe + deep-rerank
@@ -4389,6 +4391,7 @@ def q_ann_recall_bounded(spark, sf_dir):
         ivf_assignments,
         pq_codebooks,
         pq_encode,
+        pq_encode_residual,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4400,6 +4403,13 @@ def q_ann_recall_bounded(spark, sf_dir):
     # and IVF-PQ legs (codes are index payload, built at add time);
     # materialized so neither leg re-runs the encode kernel
     codes = pq_encode(emb, books).localCheckpoint(eager=True)
+    # residual leg (FAISS IndexIVFPQ code layout): cell-coupled books,
+    # per-cell ADC tables — measured 0.6-1.0 recall at sf0.01/sf0.1,
+    # same certified 0.5 floor as the raw-code composition
+    res_books = pq_codebooks(emb, centroids=ivf_index[1])
+    res_codes = pq_encode_residual(emb, res_books, ivf_index).localCheckpoint(
+        eager=True
+    )
     # localCheckpoint the k·|Q|-row batch result: the per-qid filters
     # below reference it twice, and without materialization each
     # reference would re-plan (and re-execute) the whole batch subtree
@@ -4425,12 +4435,24 @@ def q_ann_recall_bounded(spark, sf_dir):
         .select("query_id", "vec_id")
         .localCheckpoint(eager=True)
     )
+    ivfpq_res_all = (
+        ann_topk_ivfpq_batch(
+            emb, list(qids), k, n_probe=8, rerank_factor=24,
+            index=ivf_index, codebooks=res_books, codes=res_codes,
+            residual=True,
+        )
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
     out = None
     for qid in qids:
         exact = cosine_topk(emb, qid, k).select("vec_id")
         ivf = ivf_all.filter(F.col("query_id") == qid).select("vec_id")
         pq = pq_all.filter(F.col("query_id") == qid).select("vec_id")
         ivfpq = ivfpq_all.filter(F.col("query_id") == qid).select("vec_id")
+        ivfpq_res = ivfpq_res_all.filter(F.col("query_id") == qid).select(
+            "vec_id"
+        )
         n_ivf = exact.join(ivf, "vec_id").agg(
             F.count(F.lit(1)).alias("__n_ivf")
         )
@@ -4438,10 +4460,14 @@ def q_ann_recall_bounded(spark, sf_dir):
         n_ivfpq = exact.join(ivfpq, "vec_id").agg(
             F.count(F.lit(1)).alias("__n_ivfpq")
         )
+        n_ivfpq_res = exact.join(ivfpq_res, "vec_id").agg(
+            F.count(F.lit(1)).alias("__n_ivfpq_res")
+        )
         n_vec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
         row = (
             n_ivf.crossJoin(n_pq)
             .crossJoin(n_ivfpq)
+            .crossJoin(n_ivfpq_res)
             .crossJoin(n_vec)
             .select(
                 F.lit(qid).alias("query_id"),
@@ -4456,6 +4482,9 @@ def q_ann_recall_bounded(spark, sf_dir):
                 (F.col("__n_ivfpq") >= F.lit(k) * F.lit(0.5)).alias(
                     "ivfpq_recall_ok"
                 ),
+                (F.col("__n_ivfpq_res") >= F.lit(k) * F.lit(0.5)).alias(
+                    "ivfpq_res_recall_ok"
+                ),
             )
         )
         out = row if out is None else out.unionByName(row)
@@ -4467,7 +4496,8 @@ SELECT q.query_id, 10 AS k,
   (SELECT COUNT(*) FROM embeddings) AS n_vectors,
   TRUE AS ivf_recall_ok,
   TRUE AS pq_recall_ok,
-  TRUE AS ivfpq_recall_ok
+  TRUE AS ivfpq_recall_ok,
+  TRUE AS ivfpq_res_recall_ok
 FROM (VALUES (0), (19)) AS q(query_id)
 """
 
