@@ -428,6 +428,62 @@ def connected_components(
     )
 
 
+def canonical_docs(
+    components: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-based canonical selection per duplicate cluster — the
+    step a dedup pipeline ends with: :func:`connected_components` keeps
+    the MIN-ID doc per cluster (``is_keeper``), but production dedup
+    (RefinedWeb / SemDeDup style) keeps the HIGHEST-QUALITY member.
+    Quality here is character length (the standard keep-longest rule —
+    deterministic, engine-identical); ties break to the lower doc_id so
+    the pick is total.
+
+    Output one row per cluster: ``(component, canonical_id, n_chars,
+    n_members)``.
+
+    Scale shape: the components frame is node-sized (one row per doc
+    that appears in any pair) joined to the docs quality projection —
+    a node-table attach join, ``shuffle_hash``-pinned per the repo rule
+    (an AQE broadcast BUILD of a node-sized table is the
+    constrained-driver OOM class, and at 10¹⁰ docs it isn't
+    broadcastable anyway). The rank and the member count share ONE
+    window partitioning on ``component`` → one Exchange total after
+    the join.
+    """
+    from pyspark.sql import Window
+
+    quality = docs.select(
+        F.col(id_col), F.length(text_col).cast("bigint").alias("n_chars")
+    )
+    joined = components.select(id_col, "component").join(
+        quality.hint("shuffle_hash"), id_col
+    )
+    w_ord = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy("component")
+    return (
+        joined.select(
+            "component",
+            F.col(id_col),
+            "n_chars",
+            F.row_number().over(w_ord).alias("__rk"),
+            F.count(F.lit(1)).over(w_all).alias("n_members"),
+        )
+        .filter(F.col("__rk") == 1)
+        .select(
+            "component",
+            F.col(id_col).alias("canonical_id"),
+            "n_chars",
+            "n_members",
+        )
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens: per token take 64 bits of
     xxhash64, sum ±1 per bit position weighted by term frequency, sign →

@@ -1772,6 +1772,75 @@ FROM reach GROUP BY u
 """
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Quality-based canonical pick per duplicate cluster
+    (ext.dedup.canonical_docs): the full dedup resolution chain —
+    MinHash-LSH pairs → connected components (iterative pointer-jump
+    min-label) → keep the LONGEST member per cluster (ties → lower
+    doc_id), with member counts. The oracle replays the recursive-CTE
+    component resolution and the same keep-longest window pick."""
+    from ..ext.dedup import canonical_docs, connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.4)
+    comp = connected_components(pairs)
+    return canonical_docs(comp, docs)
+
+
+SQL_DEDUP_CANONICAL = f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+sig AS (
+  SELECT doc_id, shingles, {', '.join(_mh_sql(i) for i in range(8))}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, shingles, unnest([
+    md5('0|' || mh0 || '|' || mh1),
+    md5('1|' || mh2 || '|' || mh3),
+    md5('2|' || mh4 || '|' || mh5),
+    md5('3|' || mh6 || '|' || mh7)
+  ]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc1, c.doc2,
+         ROUND(CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+               / CAST(len(s1.shingles) + len(s2.shingles)
+                      - len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE), 6)
+           + CAST(0 AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN sh s1 ON c.doc1 = s1.doc_id
+  JOIN sh s2 ON c.doc2 = s2.doc_id
+),
+pairs AS (SELECT doc1, doc2 FROM verified WHERE jaccard >= 0.4),
+edges AS (
+  SELECT doc1 AS u, doc2 AS v FROM pairs
+  UNION ALL
+  SELECT doc2, doc1 FROM pairs
+),
+reach(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u
+),
+comp AS (
+  SELECT u AS doc_id, MIN(label) AS component FROM reach GROUP BY u
+),
+scored AS (
+  SELECT c.component, c.doc_id,
+         CAST(length(d.text) AS BIGINT) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY length(d.text) DESC, c.doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY c.component) AS n_members
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT component, doc_id AS canonical_id, n_chars, n_members
+FROM scored WHERE rk = 1
+"""
 
 
 def q_simhash(spark, sf_dir):
@@ -5967,6 +6036,7 @@ CATALOG: dict[str, Query] = {
     ),
     "minhash_lsh": Query(q_minhash_lsh, SQL_MINHASH_LSH, headline=True),
     "dedup_components": Query(q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "dedup_canonical": Query(q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "simhash": Query(q_simhash, None),  # engine-specific hash → rows-only
     "simhash_md5": Query(q_simhash_md5, SQL_SIMHASH_MD5),
     "sql_api_q6": Query(q_sql_api_q6, SQL_Q6),

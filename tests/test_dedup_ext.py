@@ -1239,3 +1239,31 @@ def test_incremental_dedup_gate_classifies_planted_docs(spark):
         batch_ids[1]: "near",
         batch_ids[2]: "new",
     }
+
+
+def test_canonical_docs_keep_longest_tie_to_lower_id(spark):
+    """Quality-based canonical pick: the longest member wins its
+    cluster, equal lengths tie to the lower doc_id, and member counts
+    come from the same single window partitioning."""
+    from airflow_kafka_spark_spark.ext.dedup import canonical_docs
+
+    comp = spark.createDataFrame(
+        [(1, 1, True), (2, 1, False), (3, 1, False), (5, 5, True), (6, 5, False)],
+        "doc_id long, component long, is_keeper boolean",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the longest document of cluster one"),
+            (3, "medium text"),
+            (5, "same size"),
+            (6, "same size"),
+            (7, "not in any cluster"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["component"]: (r["canonical_id"], r["n_chars"], r["n_members"])
+        for r in canonical_docs(comp, docs).collect()
+    }
+    assert rows == {1: (2, 35, 3), 5: (5, 9, 2)}
