@@ -96,11 +96,14 @@ def main() -> None:
     # flagged "contained" over-drops — in A ⊂ B ⊂ C both A and B get
     # flagged, leaving A with no surviving container. Feeding the
     # directed pairs through connected_components keeps exactly one doc
-    # per containment cluster (never zero). A production corpus build
-    # might instead keep the LONGEST doc per cluster; keeper identity
-    # doesn't matter for dedup volume, so the example reuses the same
-    # keeper rule as the MinHash stage.
-    from airflow_kafka_spark_spark.ext.dedup import containment_pairs
+    # per containment cluster (never zero) — and HERE the keeper is the
+    # production rule: canonical_docs keeps the LONGEST member per
+    # cluster (for containment clusters that is the container itself,
+    # the RefinedWeb-style pick), not the min-id.
+    from airflow_kafka_spark_spark.ext.dedup import (
+        canonical_docs,
+        containment_pairs,
+    )
 
     # localCheckpoint cuts the pairs' lineage before iterating: CC's
     # label-propagation loop otherwise replants the whole quality→dedup→
@@ -112,8 +115,12 @@ def main() -> None:
         .select("doc1", "doc2")
         .localCheckpoint()
     )
-    drop_contained = (
-        connected_components(cont).filter(~F.col("is_keeper")).select("doc_id")
+    cont_comp = connected_components(cont)
+    keep_longest = canonical_docs(cont_comp, docs).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    drop_contained = cont_comp.select("doc_id").join(
+        keep_longest, "doc_id", "left_anti"
     )
     docs = docs.join(drop_contained, "doc_id", "left_anti")
     n3a = docs.count()

@@ -522,3 +522,42 @@ def test_mw_drift_matches_python_reference_and_invariants(spark, rows):
                 na0, nb0, u2_0 = unflipped[c]
                 assert (got[c]["n_a"], got[c]["n_b"]) == (nb0, na0)
                 assert got[c]["u2_a"] == 2 * na0 * nb0 - u2_0
+
+
+_cluster_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),   # doc_id
+        st.integers(min_value=0, max_value=4),    # component
+        st.integers(min_value=0, max_value=12),   # text length
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=_cluster_rows)
+@settings(max_examples=10, deadline=None)
+def test_canonical_docs_property(spark, rows):
+    """canonical_docs == brute-force keep-longest-then-lowest-id per
+    component, with exact member counts, on arbitrary cluster/length
+    assignments (ties and single-member clusters included)."""
+    from airflow_kafka_spark_spark.ext.dedup import canonical_docs
+
+    comp = spark.createDataFrame(
+        [(d, c, False) for d, c, _ in rows],
+        "doc_id long, component long, is_keeper boolean",
+    )
+    docs = spark.createDataFrame(
+        [(d, "x" * ln) for d, _, ln in rows], "doc_id long, text string"
+    )
+    got = {
+        r["component"]: (r["canonical_id"], r["n_chars"], r["n_members"])
+        for r in canonical_docs(comp, docs).collect()
+    }
+    expect = {}
+    for d, c, ln in rows:
+        members = [(d2, l2) for d2, c2, l2 in rows if c2 == c]
+        best = min(members, key=lambda t: (-t[1], t[0]))
+        expect[c] = (best[0], best[1], len(members))
+    assert got == expect
