@@ -1267,3 +1267,18 @@ def test_canonical_docs_keep_longest_tie_to_lower_id(spark):
         for r in canonical_docs(comp, docs).collect()
     }
     assert rows == {1: (2, 35, 3), 5: (5, 9, 2)}
+
+
+def test_residual_codebooks_reject_dim_mismatch(spark):
+    """pq_codebooks(centroids=...) must refuse coarse centroids whose
+    dimension differs from the sampled vectors (an index trained on
+    different vectors) instead of broadcasting garbage residuals."""
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.similarity import pq_codebooks
+    from airflow_kafka_spark_spark.sources.files import load_table
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with _pytest.raises(ValueError, match="centroid dim"):
+        pq_codebooks(emb, centroids=[[0.0, 1.0], [1.0, 0.0]])

@@ -738,3 +738,18 @@ def test_streaming_drift_monitor_flags_seeded_shift(spark):
         assert abs(by[(c, "tvd")] - 0.6) < 1e-12, by
         assert by[(c, "ks")] == 1.0, by
         assert by[(c, "auc")] == 0.0, by
+
+
+def test_drift_monitor_requires_a_metric_column(spark):
+    """make_drift_monitor with neither category= nor value= has nothing
+    to monitor and must refuse loudly at construction, not at the first
+    micro-batch."""
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.streaming.drift_monitor import (
+        make_drift_monitor,
+    )
+
+    ref = spark.createDataFrame([(0, 1.0)], "cohort int, value double")
+    with _pytest.raises(ValueError, match="nothing to monitor"):
+        make_drift_monitor(ref, cohort="cohort")
