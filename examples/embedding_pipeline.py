@@ -89,6 +89,25 @@ def main() -> None:
         emb, probes, k=10, n_probe=8, index=index
     ).collect():
         ivf_by_probe[r["query_id"]].add(r["vec_id"])
+
+    # residual IVF-PQ leg: the full FAISS IndexIVFPQ serving layout —
+    # cell-coupled codebooks trained on residuals, the corpus encoded
+    # ONCE at add time (codes ARE the index payload), one batched plan
+    # for all probes. Same probes as the IVF leg by construction.
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_ivfpq_batch,
+        pq_encode_residual,
+    )
+
+    res_books = pq_codebooks(emb, centroids=index[1])
+    res_codes = pq_encode_residual(emb, res_books, index).localCheckpoint()
+    ivfpq_by_probe: dict[int, set] = {p: set() for p in probes}
+    for r in ann_topk_ivfpq_batch(
+        emb, probes, k=10, n_probe=8, rerank_factor=24,
+        index=index, codebooks=res_books, codes=res_codes, residual=True,
+    ).collect():
+        ivfpq_by_probe[r["query_id"]].add(r["vec_id"])
+
     recalls = []
     for probe in probes:
         exact = {r["vec_id"] for r in cosine_topk(emb, probe, k=10).collect()}
@@ -101,17 +120,19 @@ def main() -> None:
                 probe,
                 len(ivf_by_probe[probe] & exact) / len(exact),
                 len(pq & exact) / len(exact),
+                len(ivfpq_by_probe[probe] & exact) / len(exact),
             )
         )
 
     print(
         f"vectors={n0} after_near_dup={n1} quant_rows={n_q} "
         + " ".join(
-            f"probe={p}:ivf={ri:.2f}/pq={rp:.2f}" for p, ri, rp in recalls
+            f"probe={p}:ivf={ri:.2f}/pq={rp:.2f}/ivfpq_res={rr:.2f}"
+            for p, ri, rp, rr in recalls
         )
     )
     assert all(
-        ri >= 0.5 and rp >= 0.5 for _, ri, rp in recalls
+        ri >= 0.5 and rp >= 0.5 and rr >= 0.5 for _, ri, rp, rr in recalls
     ), f"ANN recall collapsed: {recalls}"
     spark.stop()
 
