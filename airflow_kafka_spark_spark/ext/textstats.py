@@ -186,6 +186,84 @@ def contamination_scores(
     )
 
 
+def contamination_spans(
+    docs: DataFrame, benchmark: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Span-level benchmark contamination: the longest CONSECUTIVE run
+    of contaminated n-gram positions per document — the measure behind
+    span-removal decontamination (Dolma / FineWeb style): a doc whose
+    hits scatter as isolated shingles is noise, a doc with a long
+    contiguous run embeds a verbatim slice of the benchmark.
+    :func:`contamination_scores` gives the overlap FRACTION; this gives
+    its worst-span shape. Fully integer output — no float anywhere.
+
+    Output per doc: ``(doc_id, n_sh, n_hits, max_run)`` with
+    ``max_run`` the longest streak of consecutive shingle positions
+    whose shingle appears in the benchmark's distinct shingle set
+    (0 when clean or shingle-less).
+
+    Unlike the set-based dedup/score paths (``word_shingles`` is
+    DISTINCT — fine for membership, wrong for spans: positions in a
+    deduped list are not text positions, and distinct-order is not a
+    cross-engine guarantee), the doc side here builds POSITIONAL
+    shingles — one per token position, duplicates kept in order — so a
+    run of k means k consecutive text positions. The benchmark side
+    stays a distinct set (membership only).
+
+    Scale shape: the benchmark shingle set broadcasts (the bounded
+    premise, as contamination_scores); hit positions are map-side
+    flagged, and the run detection is gaps-and-islands — ONE window
+    partitioned by doc (pos − row_number is constant within a streak)
+    over the hit rows only, then two hash aggregates. Per-doc frames
+    join back under a ``shuffle_hash`` pin, never a broadcast build.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import word_shingles
+
+    t = F.split(F.lower(F.col(text_col)), " ")
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+    pos_shingles = F.when(F.size(t) >= n, gram).otherwise(
+        F.array(F.concat_ws(" ", t))
+    )
+    d = docs.select("doc_id", pos_shingles.alias("__sh")).select(
+        "doc_id", "__sh", F.size("__sh").cast("long").alias("n_sh")
+    )
+    bench = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+    ).distinct()
+    hit_pos = d.select(
+        "doc_id", F.posexplode("__sh").alias("pos", "shingle")
+    ).join(F.broadcast(bench), "shingle")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        hit_pos.select(
+            "doc_id",
+            (F.col("pos") - F.row_number().over(w)).alias("__grp"),
+        )
+        .groupBy("doc_id", "__grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("__run"))
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.max("__run").alias("max_run"), F.sum("__run").alias("n_hits")
+    )
+    return (
+        d.select("doc_id", "n_sh")
+        .join(per_doc.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.col("max_run"), F.lit(0)).cast("long").alias("max_run"),
+        )
+    )
+
+
 def bigrams(t: Column) -> Column:
     """Adjacent token pairs as ``"a b"`` strings, JVM-side: two slices
     zipped — no explode needed to *build* them (consumers explode when

@@ -2257,6 +2257,70 @@ FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id
 """
 
 
+def q_contamination_spans(spark, sf_dir):
+    """Span-level benchmark contamination
+    (ext.textstats.contamination_spans): longest consecutive run of
+    contaminated 3-gram positions per doc — the span-removal measure
+    (a long run embeds a verbatim benchmark slice; scattered hits are
+    noise). Same 2% md5-bucket benchmark as ``decontaminate``; the doc
+    side uses POSITIONAL shingles (duplicates kept, text order), the
+    benchmark side the distinct set. Fully integer output."""
+    from ..ext.textstats import contamination_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return contamination_spans(docs, docs.filter(bucket < 2))
+
+
+SQL_CONTAMINATION_SPANS = f"""
+WITH {_SHINGLES_SQL},
+posed AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ELSE [array_to_string(t, ' ')]
+    END AS pos_sh
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 2
+),
+hitp AS (
+  SELECT p.doc_id, CAST(i AS BIGINT) AS pos
+  FROM (SELECT doc_id, pos_sh, unnest(range(1, len(pos_sh) + 1)) AS i
+        FROM posed) p
+  JOIN bench b ON p.pos_sh[CAST(p.i AS INTEGER)] = b.shingle
+),
+runs AS (
+  SELECT doc_id,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hitp
+),
+agg AS (
+  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run
+  FROM runs GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, MAX(run) AS max_run, SUM(run) AS n_hits
+  FROM agg GROUP BY 1
+)
+SELECT posed.doc_id,
+       CAST(len(posed.pos_sh) AS BIGINT) AS n_sh,
+       CAST(COALESCE(pd.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(pd.max_run, 0) AS BIGINT) AS max_run
+FROM posed LEFT JOIN per_doc pd ON posed.doc_id = pd.doc_id
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals
     (ext.textstats.repetition_stats): top-unigram / top-bigram / dup-
@@ -6062,6 +6126,7 @@ CATALOG: dict[str, Query] = {
     "stratified_sample": Query(q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "token_shards": Query(q_token_shards, SQL_TOKEN_SHARDS),
     "decontaminate": Query(q_decontaminate, SQL_DECONTAMINATE),
+    "contamination_spans": Query(q_contamination_spans, SQL_CONTAMINATION_SPANS),
     "repetition_stats": Query(q_repetition_stats, SQL_REPETITION_STATS),
     "pii_redact": Query(q_pii_redact, SQL_PII_REDACT),
     "tfidf_topk": Query(q_tfidf_topk, SQL_TFIDF_TOPK),

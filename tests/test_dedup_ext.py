@@ -1282,3 +1282,34 @@ def test_residual_codebooks_reject_dim_mismatch(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     with _pytest.raises(ValueError, match="centroid dim"):
         pq_codebooks(emb, centroids=[[0.0, 1.0], [1.0, 0.0]])
+
+
+def test_contamination_spans_planted_run(spark):
+    """A doc embedding a verbatim benchmark slice reports max_run equal
+    to the slice's shingle span; a doc with the same benchmark words
+    scattered reports max_run 1; clean docs report 0."""
+    from airflow_kafka_spark_spark.ext.textstats import contamination_spans
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # 10 tokens: positions 3-6 hold the 4-shingle benchmark run
+            (0, "one two three alpha beta gamma delta epsilon zeta ten"),
+            # benchmark trigram appears once, surrounded by clean text
+            (1, "one alpha beta gamma two three four five six seven"),
+            (2, "entirely clean text with no benchmark overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_sh"], r["n_hits"], r["max_run"])
+        for r in contamination_spans(docs, bench).collect()
+    }
+    # doc 0: tokens 4..9 are the 6 benchmark words -> shingles at
+    # positions 4..7 (1-based) hit = run of 4
+    assert rows[0] == (8, 4, 4), rows
+    assert rows[1] == (8, 1, 1), rows
+    assert rows[2] == (7, 0, 0), rows  # 9 tokens -> 7 positional shingles
