@@ -561,3 +561,47 @@ def test_canonical_docs_property(spark, rows):
         best = min(members, key=lambda t: (-t[1], t[0]))
         expect[c] = (best[0], best[1], len(members))
     assert got == expect
+
+
+_token_docs = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=1, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(doc_toks=_token_docs, bench_toks=_token_docs)
+@settings(max_examples=10, deadline=None)
+def test_contamination_spans_property(spark, doc_toks, bench_toks):
+    """contamination_spans == brute-force longest-consecutive-run over
+    positional 3-grams on arbitrary tiny-alphabet token docs (short-doc
+    fallback shingles, duplicate shingles, and empty overlap included
+    by the generator)."""
+    from airflow_kafka_spark_spark.ext.textstats import contamination_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(doc_toks)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1000 + i, " ".join(t)) for i, t in enumerate(bench_toks)],
+        "doc_id long, text string",
+    )
+
+    def grams(toks):
+        if len(toks) >= 3:
+            return [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        return [" ".join(toks)]
+
+    bench_set = {g for t in bench_toks for g in grams(t)}
+    got = {
+        r["doc_id"]: (r["n_sh"], r["n_hits"], r["max_run"])
+        for r in contamination_spans(docs, bench).collect()
+    }
+    for i, toks in enumerate(doc_toks):
+        hits = [g in bench_set for g in grams(toks)]
+        best = run = 0
+        for h in hits:
+            run = run + 1 if h else 0
+            best = max(best, run)
+        assert got[i] == (len(hits), sum(hits), best), (i, toks, got[i])
