@@ -74,36 +74,48 @@ def main() -> None:
         ),
     }
 
-    # $SPARK_GRAFT_BENCH_RUNS (default 2): best-of-N with per-run cache
-    # clearing. One timing per query is ±25% machine-load noise; min of N
-    # runs reports the engine, not the neighbors. N=3 additionally emits
-    # "queries_median" — the drift-settling mode (round-4's text_stats
-    # "regression" was ambient load; median-of-3 makes that visible
-    # without hand-arguing from single runs). The raw first-run timing is
-    # recorded too ("queries_single_run") so round-over-round regressions
-    # aren't masked by min(). clearCache before EVERY run: queries that
-    # persist intermediates (minhash_lsh) must not get a warm-cache
-    # second run, and cached state must not occupy memory while later
-    # queries are timed.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # $SPARK_GRAFT_BENCH_RUNS (default 3): min-of-N with per-run cache
+    # clearing, repetitions INTERLEAVED across the query set (VERDICT r9
+    # item 2: r9's three full runs spread 33.8-43.7 s on identical code —
+    # back-to-back repeats of one query all land inside the same ambient
+    # load spike, so even min() couldn't separate host noise from
+    # regressions). Pass p runs EVERY query once before pass p+1 starts:
+    # a load spike now inflates one pass of many queries instead of all
+    # N runs of a few, and the per-query min is drawn from time-separated
+    # samples. The first-pass timing is recorded too
+    # ("queries_single_run") so round-over-round regressions aren't
+    # masked by min(). clearCache before EVERY run: queries that persist
+    # intermediates (minhash_lsh) must not get a warm-cache repeat, and
+    # cached state must not occupy memory while later queries are timed.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    def timed(fn) -> list[float]:
-        runs = []
+    def run_once(fn) -> float:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    def interleaved(named_fns: list) -> dict[str, list[float]]:
+        runs: dict[str, list[float]] = {name: [] for name, _ in named_fns}
         for _ in range(n_runs):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            for name, fn in named_fns:
+                runs[name].append(run_once(fn))
         return runs
 
+    all_runs = interleaved(list(headline_queries().items()))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     first_run: dict[str, float] = {}
-    for name, fn in headline_queries().items():
-        runs = timed(fn)
+    normalized: dict[str, float] = {}
+    # calibration-normalized column (VERDICT r9 item 2): query_sec over
+    # the shuffle probe's sec — a host-independent number comparable
+    # across rounds (the probe and the query shift together under load)
+    shuffle_probe = calibration["shuffle_groupby_sec"]
+    for name, runs in all_runs.items():
         first_run[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
+        normalized[name] = round(min(runs) / shuffle_probe, 2)
 
     # fixed-point face-off, tracked per round (VERDICT r4 item 7):
     # the SAME three scale-6 q1 measures through decimal_sum vs the
@@ -128,9 +140,15 @@ def main() -> None:
             decimal_sum(disc).alias("sum_disc_price"),
         )
 
+    faceoff_runs = interleaved(
+        [
+            ("decimal_3sums", q1_decimal_3sums),
+            ("fixed_point_3sums", CATALOG["fixed_point_sums"].fn),
+        ]
+    )
     faceoff = {
-        "decimal_3sums": round(min(timed(q1_decimal_3sums)), 3),
-        "fixed_point_3sums": round(min(timed(CATALOG["fixed_point_sums"].fn)), 3),
+        "decimal_3sums": round(min(faceoff_runs["decimal_3sums"]), 3),
+        "fixed_point_3sums": round(min(faceoff_runs["fixed_point_3sums"]), 3),
         "q1_full_decimal": timings.get("q1_pricing_summary"),
     }
     spark.catalog.clearCache()
@@ -142,7 +160,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_single_run": first_run,
+        "queries_normalized": normalized,
         "runs_per_query": n_runs,
+        "interleaved": True,
         "calibration": calibration,
         "faceoff_fixed_point": faceoff,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
