@@ -721,3 +721,81 @@ def incremental_dedup_gate(
             .alias("status"),
         )
     )
+
+
+def url_dedup_domain_cap(
+    docs: DataFrame,
+    url_col: str = "url",
+    cap: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level dedup + per-domain share cap — the two web-corpus
+    curation passes every crawl pipeline runs before content dedup
+    (RefinedWeb, Penedo et al. 2023: dedupe by normalized URL, then
+    bound any single domain's share of the corpus).
+
+    Normalization (pure map, zero Exchange): lowercase; strip the
+    scheme; strip query string and fragment; strip ONE leading ``www.``
+    label; strip a trailing slash. The registered domain is
+    approximated as the host's last two labels (``regexp_extract`` —
+    a public-suffix list is a deployment artifact, not engine logic;
+    swap the regex for a suffix-table broadcast join when one ships).
+
+    Keep policy, fully deterministic (RNG-free, partition-stable, the
+    ``stratified_sample`` idiom): the URL keeper is the MIN id per
+    normalized URL; among keepers, each domain retains its first
+    ``cap`` docs in (md5(id), id) order. Output one row per input doc:
+    ``(doc_id, url_norm, domain, is_url_keeper INT, domain_rank
+    BIGINT — NULL for non-keepers, kept INT)``.
+
+    Scale shape: two keyed window shuffles — (url_norm) then (domain)
+    over keepers only — both on keys with bounded fan-in (a URL
+    repeats a handful of times; domain_rank is computed on the
+    post-dedup keeper set, and a genuinely hot domain is exactly what
+    the cap truncates: AQE skew-split handles the sort spill, and the
+    rank predicate prunes everything past ``cap`` immediately after).
+    No join anywhere — both flags derive from windows over the same
+    scan.
+    """
+    from pyspark.sql import Window
+
+    lowered = F.lower(F.col(url_col))
+    no_scheme = F.regexp_replace(lowered, r"^[a-z][a-z0-9+.-]*://", "")
+    no_qf = F.regexp_replace(no_scheme, r"[?#].*$", "")
+    no_www = F.regexp_replace(no_qf, r"^www\.", "")
+    url_norm = F.regexp_replace(no_www, r"/$", "")
+    host = F.regexp_extract(url_norm, r"^([^/]+)", 1)
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+    base = docs.select(
+        F.col(id_col),
+        url_norm.alias("url_norm"),
+        domain.alias("domain"),
+    )
+    w_url = Window.partitionBy("url_norm").orderBy(F.col(id_col).asc())
+    keepers = base.withColumn(
+        "is_url_keeper",
+        (F.row_number().over(w_url) == 1).cast("int"),
+    )
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w_dom = Window.partitionBy("domain").orderBy(h.asc(), F.col(id_col).asc())
+    ranked = keepers.withColumn(
+        "domain_rank",
+        F.when(
+            F.col("is_url_keeper") == 1,
+            F.sum("is_url_keeper").over(
+                w_dom.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ),
+    )
+    return ranked.select(
+        id_col,
+        "url_norm",
+        "domain",
+        "is_url_keeper",
+        F.col("domain_rank").cast("long").alias("domain_rank"),
+        (
+            (F.col("is_url_keeper") == 1)
+            & (F.col("domain_rank") <= F.lit(int(cap)))
+        ).cast("int").alias("kept"),
+    )

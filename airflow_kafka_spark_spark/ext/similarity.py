@@ -524,8 +524,10 @@ def ann_topk_ivf_batch(
     numpy centroid argsort); a 1000-query batch through it would
     serialize 1000 round-trips. Here the whole batch is data-plane:
 
-    - query vectors come from one ``isin`` filter over the corpus
-      (a pushed-down scan), broadcast to the executors;
+    - query vectors come from one ``isin`` filter over the corpus —
+      collected once and rebuilt as a deduplicated local relation under
+      ``validate=True``, left as the pushed-down scan under
+      ``validate=False`` — and broadcast to the executors either way;
     - centroid probe selection is a JVM expression per query row —
       distances to the (literal, kilobyte-sized) centroids are
       ``array_sort``-ed as (dist, list) structs and the first

@@ -751,3 +751,59 @@ def dsir_importance(
         "dsir_score",
         (F.col("dsir_score") >= F.col("__m")).cast("int").alias("kept"),
     )
+
+
+def linear_quality_scores(
+    docs: DataFrame,
+    weights: list[tuple[str, int]],
+    bias: int = 0,
+    threshold: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear quality-classifier INFERENCE — the CCNet/RefinedWeb-style
+    production gate (Wenzek et al. 2020 score web text with a trained
+    fastText classifier; the engine-side op is the same for any linear
+    bag-of-words model: score = bias + Σ_t count(t) · w_t, keep at a
+    threshold). Training happens offline; what a 100 TB pipeline needs
+    from the engine is exactly this scoring pass.
+
+    Cross-engine determinism (the DSIR trick, no log/pow anywhere):
+    ``weights``/``bias``/``threshold`` are INTEGER-QUANTIZED — a real
+    model's float weights are shipped as round(w · 10^s) BIGINTs — so
+    the dot product is a pure BIGINT sum, bit-identical on any engine
+    and any partitioning, and ``kept`` compares exactly.
+
+    Scale shape: one tokenize-explode over the corpus, ONE broadcast
+    hash join against the (model-vocab-sized) weights table — tokens
+    outside the vocabulary contribute 0 via the inner join, never a
+    row — and ONE per-doc hash aggregate with map-side combine. The
+    final attach join puts every document back (empty/no-vocab docs
+    score = bias); both sides are doc-count-scale, so it is pinned
+    shuffle_hash — an AQE broadcast build of a corpus-sized side is
+    the r7/r8 failure class.
+
+    Output: ``(doc_id, quality_score BIGINT, kept INT)``.
+    """
+    spark = docs.sparkSession
+    w = spark.createDataFrame(
+        [(str(t), int(v)) for t, v in weights], "__tok string, __w long"
+    )
+    ex = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    scored = (
+        ex.join(F.broadcast(w), "__tok")
+        .groupBy(id_col)
+        .agg(F.sum("__w").alias("__s"))
+    )
+    score = F.coalesce(F.col("__s"), F.lit(0)) + F.lit(int(bias))
+    return (
+        docs.select(id_col)
+        .join(scored.hint("shuffle_hash"), id_col, "left")
+        .select(
+            F.col(id_col),
+            score.cast("long").alias("quality_score"),
+            (score >= F.lit(int(threshold))).cast("int").alias("kept"),
+        )
+    )

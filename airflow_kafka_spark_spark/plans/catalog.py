@@ -6079,6 +6079,162 @@ FROM scores CROSS JOIN med
 """
 
 
+# Integer-quantized linear model (a trained fastText/logreg classifier
+# ships as round(w * 10^3) — the engine only ever sees BIGINTs, so the
+# dot product is bit-identical on any engine and partitioning).
+_QUALITY_WEIGHTS: list[tuple[str, int]] = [
+    ("data", 412),
+    ("query", 387),
+    ("vector", 566),
+    ("spark", 318),
+    ("table", 251),
+    ("join", 205),
+    ("window", 144),
+    ("merge", 92),
+    ("big", -37),
+    ("the", -156),
+    ("a", -203),
+    ("slow", -489),
+]
+_QUALITY_BIAS = -250
+_QUALITY_THRESHOLD = 500
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Linear quality-classifier inference
+    (ext.textstats.linear_quality_scores): the CCNet/RefinedWeb-style
+    trained-model gate — score = bias + Σ count(token) · weight over an
+    integer-quantized vocabulary, kept at an exact threshold. One
+    tokenize-explode, one broadcast join against the model vocabulary,
+    one per-doc hash aggregate; the keep-every-doc attach join is
+    shuffle_hash-pinned. All-BIGINT — the oracle reproduces the score
+    bit for bit."""
+    from ..ext.textstats import linear_quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_quality_scores(
+        docs,
+        _QUALITY_WEIGHTS,
+        bias=_QUALITY_BIAS,
+        threshold=_QUALITY_THRESHOLD,
+    )
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH w(tok, wt) AS (
+  VALUES {", ".join(f"('{t}', {v})" for t, v in _QUALITY_WEIGHTS)}
+),
+ex AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+scored AS (
+  SELECT ex.doc_id, CAST(SUM(w.wt) AS BIGINT) AS s
+  FROM ex JOIN w ON ex.tok = w.tok
+  GROUP BY ex.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.s, 0) + {_QUALITY_BIAS} AS BIGINT) AS quality_score,
+       CAST(CASE WHEN COALESCE(s.s, 0) + {_QUALITY_BIAS}
+                      >= {_QUALITY_THRESHOLD}
+            THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup + per-domain cap (ext.dedup.url_dedup_domain_cap):
+    the RefinedWeb web-curation passes — normalize (lowercase, strip
+    scheme/query/fragment/www./trailing slash), keep the min-id doc per
+    normalized URL, and cap each registered domain at 3 keepers in
+    deterministic md5(id) order. The documents table carries no URL, so
+    the entry derives a messy-but-deterministic one per doc (four
+    variants: uppercased www+trailing-slash, query-string, cdn.
+    subdomain, bare) — variants 0/1/3 of the same (source, path)
+    normalize to ONE url; the cdn. variant stays a distinct URL on the
+    same registered domain, proving normalization collapses exactly
+    what it should. Pure-map normalization + two keyed windows, no
+    join."""
+    from ..ext.dedup import url_dedup_domain_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    j = F.expr("doc_id div 20")
+    host = F.concat(F.col("source"), F.lit(".com"))
+    path = F.concat(F.lit("/p/"), (j % 5).cast("string"))
+    variant = j % 4
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(F.lit("HTTPS://WWW."), F.upper(host), path, F.lit("/")),
+        )
+        .when(
+            variant == 1,
+            F.concat(F.lit("http://"), host, path, F.lit("?utm_source=x")),
+        )
+        .when(
+            variant == 2,
+            F.concat(F.lit("https://cdn."), host, path, F.lit("#frag")),
+        )
+        .otherwise(F.concat(F.lit("https://"), host, path))
+    )
+    return url_dedup_domain_cap(docs.withColumn("url", url), cap=3)
+
+
+SQL_URL_DEDUP = r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE CAST((doc_id // 20) % 4 AS INTEGER)
+      WHEN 0 THEN 'HTTPS://WWW.' || upper(source || '.com')
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
+      WHEN 1 THEN 'http://' || source || '.com'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
+                  || '?utm_source=x'
+      WHEN 2 THEN 'https://cdn.' || source || '.com'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '#frag'
+      ELSE 'https://' || source || '.com'
+           || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
+    END AS url
+  FROM documents
+),
+norm AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(url),
+      '^[a-z][a-z0-9+.-]*://', ''),
+      '[?#].*$', ''),
+      '^www\.', ''),
+      '/$', '') AS url_norm
+  FROM u
+),
+base AS (
+  SELECT doc_id, url_norm,
+    regexp_extract(regexp_extract(url_norm, '^([^/]+)', 1),
+                   '([^.]+\.[^.]+)$', 1) AS domain
+  FROM norm
+),
+k AS (
+  SELECT doc_id, url_norm, domain,
+    CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
+         THEN 1 ELSE 0 END AS INTEGER) AS is_url_keeper
+  FROM base
+),
+r AS (
+  SELECT *,
+    CASE WHEN is_url_keeper = 1 THEN
+      SUM(is_url_keeper) OVER (
+        PARTITION BY domain
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    END AS dr
+  FROM k
+)
+SELECT doc_id, url_norm, domain, is_url_keeper,
+       CAST(dr AS BIGINT) AS domain_rank,
+       CAST(CASE WHEN is_url_keeper = 1 AND dr <= 3 THEN 1 ELSE 0 END
+            AS INTEGER) AS kept
+FROM r
+"""
+
+
 CATALOG: dict[str, Query] = {
     # reference parity
     "parse_json_props": Query(q_parse_json_props, SQL_PARSE_JSON_PROPS),
@@ -6247,6 +6403,8 @@ CATALOG: dict[str, Query] = {
     "assoc_rules": Query(q_assoc_rules, SQL_ASSOC_RULES),
     "pattern_match": Query(q_pattern_match, SQL_PATTERN_MATCH),
     "dsir_importance": Query(q_dsir_importance, SQL_DSIR_IMPORTANCE),
+    "quality_classifier": Query(q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
 }
 
 

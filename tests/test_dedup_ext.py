@@ -1383,3 +1383,75 @@ def test_contamination_spans_planted_run(spark):
     assert rows[0] == (8, 4, 4), rows
     assert rows[1] == (8, 1, 1), rows
     assert rows[2] == (7, 0, 0), rows  # 9 tokens -> 7 positional shingles
+
+
+def test_url_dedup_domain_cap_normalization_and_cap(spark):
+    """Every normalization rule on handcrafted URLs: scheme + case +
+    www. + trailing slash + query + fragment all collapse to one
+    normalized URL (keeper = min doc_id); a cdn. subdomain stays a
+    DISTINCT url_norm but the SAME registered domain; the per-domain
+    cap keeps exactly `cap` keepers in md5(doc_id) order."""
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Site.COM/A/"),       # case+www+slash
+            (2, "http://site.com/a?utm=x"),        # scheme+query
+            (3, "https://site.com/a#frag"),        # fragment
+            (4, "https://site.com/a"),             # already canonical
+            (5, "https://cdn.site.com/a"),         # distinct host, same domain
+            (6, "https://site.com/b"),
+            (7, "https://other.org/x/"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in url_dedup_domain_cap(docs, cap=2).collect()}
+
+    for d in (1, 2, 3, 4):
+        assert out[d]["url_norm"] == "site.com/a", out[d]
+        assert out[d]["domain"] == "site.com", out[d]
+    assert out[1]["is_url_keeper"] == 1  # min doc_id wins
+    for d in (2, 3, 4):
+        assert out[d]["is_url_keeper"] == 0
+        assert out[d]["domain_rank"] is None
+        assert out[d]["kept"] == 0
+    assert out[5]["url_norm"] == "cdn.site.com/a"  # not over-collapsed
+    assert out[5]["domain"] == "site.com"
+    assert out[7]["url_norm"] == "other.org/x"
+    assert out[7]["domain"] == "other.org"
+
+    # site.com keepers: docs 1, 5, 6 — cap=2 keeps the first two in
+    # md5(id) order; md5("6")=1679… < md5("1")=c4ca… < md5("5")=e4da…
+    site = sorted(
+        (r["domain_rank"], d)
+        for d, r in out.items()
+        if r["domain"] == "site.com" and r["is_url_keeper"] == 1
+    )
+    assert site == [(1, 6), (2, 1), (3, 5)], site
+    assert out[6]["kept"] == 1 and out[1]["kept"] == 1 and out[5]["kept"] == 0
+    assert out[7]["kept"] == 1  # other.org under its own cap
+
+
+def test_linear_quality_scores_bias_and_threshold_exact(spark):
+    """Docs with no vocabulary tokens still get a row (score = bias);
+    the kept flag is an EXACT >= threshold comparison (a doc landing
+    precisely on the threshold is kept); repeated tokens weigh by
+    count."""
+    from airflow_kafka_spark_spark.ext.textstats import linear_quality_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data data query"),   # 2*3 + 2 = 8
+            (2, "junk words only"),   # no vocab → bias only
+            (3, "data slow"),         # 3 - 1 = 2 → +bias = 7 == threshold
+        ],
+        "doc_id long, text string",
+    )
+    weights = [("data", 3), ("query", 2), ("slow", -1)]
+    out = {
+        r["doc_id"]: (r["quality_score"], r["kept"])
+        for r in linear_quality_scores(
+            docs, weights, bias=5, threshold=7
+        ).collect()
+    }
+    assert out == {1: (13, 1), 2: (5, 0), 3: (7, 1)}, out

@@ -681,3 +681,31 @@ def test_ann_recall_bounded_no_cartesian_corpus_join(spark):
     cartesian product would mean the exact leg regressed to all-pairs."""
     s = _explain(CATALOG["ann_recall_bounded"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in s, s
+
+
+def test_quality_classifier_broadcast_model_one_explode(spark):
+    """Linear quality-classifier inference (VERDICT r9 item 4): exactly
+    one Generate (the tokenize explode), the model vocabulary is the
+    ONLY broadcast build (never the documents scan), the per-doc dot
+    product is one hash aggregate, and the keep-every-doc attach join
+    is a shuffled hash join (an AQE broadcast build of the doc-count
+    side is the r7/r8 OOM class)."""
+    s = _explain(CATALOG["quality_classifier"].fn(spark, SF_DIR))
+    assert s.count("Generate") == 1, s
+    assert "BroadcastHashJoin" in s, s
+    assert "ShuffledHashJoin" in s, s
+    assert s.count("hashpartitioning") == 2, s  # dot-product agg + attach
+    for sub in _broadcast_subtrees(s):
+        assert "documents" not in sub, f"corpus under BroadcastExchange:\n{sub}"
+        assert "ExistingRDD" in sub, sub  # the weights local relation
+
+
+def test_url_dedup_map_normalize_two_window_exchanges(spark):
+    """URL dedup + domain cap (VERDICT r9 item 5): normalization is
+    pure map (one documents scan), both keep flags derive from windows
+    over that scan — no join anywhere — and the plan shuffles exactly
+    twice (url_norm, then domain)."""
+    s = _explain(CATALOG["url_dedup"].fn(spark, SF_DIR))
+    assert "Join" not in s, s
+    assert s.count("hashpartitioning") == 2, s
+    assert s.count("Location: InMemoryFileIndex") <= 1, s

@@ -753,3 +753,54 @@ def test_drift_monitor_requires_a_metric_column(spark):
     ref = spark.createDataFrame([(0, 1.0)], "cohort int, value double")
     with _pytest.raises(ValueError, match="nothing to monitor"):
         make_drift_monitor(ref, cohort="cohort")
+
+
+def test_drift_monitor_marks_one_sided_cohorts(spark):
+    """A cohort present in only one of reference/micro-batch has no
+    comparison: its rows carry stat=None (the drift family's
+    NULL-on-0/0 contract) and one_sided=True, so a thresholding
+    on_report can guard before comparing numerically (ADVICE r9).
+    Two-sided cohorts in the same batch stay one_sided=False with
+    numeric stats."""
+    from airflow_kafka_spark_spark.streaming.drift_monitor import (
+        make_drift_monitor,
+    )
+
+    schema = "cohort int, category string, value double"
+    # reference: cohorts 0 and 1; the stream will carry cohorts 1 and 2
+    ref = spark.createDataFrame(
+        [(c, "a" if i % 2 == 0 else "b", float(i))
+         for c in (0, 1) for i in range(20)],
+        schema,
+    )
+    reports: dict[int, list] = {}
+    monitor = make_drift_monitor(
+        ref,
+        cohort="cohort",
+        category="category",
+        value="value",
+        on_report=lambda bid, rs: reports.setdefault(bid, rs),
+    )
+    batch = spark.createDataFrame(
+        [(c, "a" if i % 2 == 0 else "b", float(i))
+         for c in (1, 2) for i in range(20)],
+        schema,
+    )
+    monitor(batch, 0)  # foreachBatch callables run fine on a batch frame
+
+    rows = reports[0]
+    by = {(r["cohort"], r["metric"]): r for r in rows}
+    assert {c for c, _ in by} == {0, 1, 2}
+    for metric in ("tvd", "ks", "auc"):
+        assert by[(0, metric)]["one_sided"] is True      # ref-only
+        assert by[(0, metric)]["stat"] is None
+        assert by[(0, metric)]["n_batch"] == 0
+        assert by[(2, metric)]["one_sided"] is True      # batch-only
+        assert by[(2, metric)]["stat"] is None
+        assert by[(2, metric)]["n_ref"] == 0
+        assert by[(1, metric)]["one_sided"] is False     # both sides
+        assert by[(1, metric)]["stat"] is not None
+    # identical distributions on the shared cohort: exact no-drift stats
+    assert by[(1, "tvd")]["stat"] == 0.0
+    assert by[(1, "ks")]["stat"] == 0.0
+    assert abs(by[(1, "auc")]["stat"] - 0.5) < 1e-12
