@@ -72,6 +72,26 @@ def main() -> None:
             .mode("overwrite")
             .save()
         ),
+        # Fourth probe (r10): a chain of 12 tiny sequential actions.
+        # The three single-shot probes measure throughput; iterative
+        # queries (pagerank, connected components, the checkpointing
+        # loops) are bound by PER-STAGE-BARRIER latency — under bursty
+        # external load every barrier waits for a straggler, so a
+        # 20-stage job inflates with stage COUNT, not wall share (the
+        # r10 A/B bisection showed the throughput probes under-correct
+        # exactly these queries). This probe inflates the same way.
+        "stage_chain_sec": _best_of(
+            lambda: [
+                spark.range(200_000)
+                .selectExpr("id % 1000 AS g")
+                .groupBy("g")
+                .count()
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+                for _ in range(12)
+            ]
+        ),
     }
 
     # $SPARK_GRAFT_BENCH_RUNS (default 3): min-of-N with per-run cache

@@ -5,7 +5,14 @@ operators a 100 TB pretraining-corpus build actually chains, in order.
     raw docs
       → schema audit           (relational.quality_checks — refuse to
                                 train on a corpus failing its contract)
+      → URL curation           (ext.dedup.url_dedup_domain_cap — dedupe
+                                by normalized URL, cap per-domain share;
+                                RefinedWeb runs this FIRST, before any
+                                content pass touches the text)
       → quality gate           (ext.textstats.with_text_stats rule filter)
+      → trained classifier     (ext.textstats.linear_quality_scores —
+                                the CCNet/fastText-style model gate on
+                                integer-quantized weights)
       → exact dedup            (md5 fingerprint, keep min doc_id)
       → near-dup resolution    (MinHash-LSH pairs → connected components
                                 → drop non-keepers)
@@ -72,12 +79,58 @@ def main() -> None:
     bad = {r["check"]: r["violations"] for r in audit.collect() if r["violations"]}
     assert not bad, f"corpus fails its contract: {bad}"
 
+    # 0b. URL curation — the first pass a crawl pipeline runs, BEFORE
+    # any content is read: dedupe by normalized URL (a page crawled
+    # under http/https/www./?utm= variants is one page) and cap any
+    # single domain's share of the corpus. Pure map + two keyed
+    # windows — no text touched, so at 100 TB this prunes the corpus
+    # before the expensive content stages scan it. The fixtures carry
+    # no URL column; a real crawl supplies one — here each doc gets a
+    # deterministic messy URL (the q_url_dedup derivation).
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    # distinct pages live at distinct PATHS; the ?session= tracking
+    # param is exactly what normalization strips, so re-crawls of one
+    # page under different sessions collapse to one URL
+    j = F.expr("doc_id div 20")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".com/p/"),
+        (j % 5).cast("string"), F.lit("/"), (j % 3).cast("string"),
+        F.lit("?session="), (j % 7).cast("string"),
+    )
+    url_keep = (
+        url_dedup_domain_cap(docs.withColumn("url", url), cap=12)
+        .filter(F.col("kept") == 1)
+        .select("doc_id")
+    )
+    docs = docs.join(url_keep, "doc_id", "left_semi")
+    n0b = docs.count()
+
     # 1. quality gate (with_text_stats emits doc_id + stats + is_quality)
     good = with_text_stats(docs).filter(F.col("is_quality") == 1).select("doc_id")
     docs = docs.join(good, "doc_id", "left_semi").select(
         "doc_id", "text", "lang", "source"
     )
     n1 = docs.count()
+
+    # 1b. trained-classifier gate — the rule gate above catches
+    # structural junk; a production pipeline then scores with a TRAINED
+    # linear model (CCNet/RefinedWeb ship fastText classifiers). The
+    # model arrives integer-quantized (round(w·10³)), so the scoring
+    # pass is a pure BIGINT dot product: one explode, one broadcast
+    # vocab join, one per-doc aggregate.
+    from airflow_kafka_spark_spark.ext.textstats import linear_quality_scores
+
+    model = [
+        ("data", 412), ("query", 387), ("vector", 566), ("spark", 318),
+        ("table", 251), ("join", 205), ("the", -156), ("a", -203),
+        ("slow", -489),
+    ]
+    scored = linear_quality_scores(docs, model, bias=-250, threshold=0)
+    docs = docs.join(
+        scored.filter(F.col("kept") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
+    n1b = docs.count()
 
     # 2. exact dedup: keep each fingerprint's min doc_id
     keepers = exact_duplicates(docs).select(F.col("keep_doc_id").alias("doc_id"))
@@ -207,7 +260,8 @@ def main() -> None:
 
     release_minhash_caches()
     print(
-        f"raw={n0} quality={n1} exact_dedup={n2} near_dup={n3} "
+        f"raw={n0} url_curated={n0b} quality={n1} classifier={n1b} "
+        f"exact_dedup={n2} near_dup={n3} "
         f"containment={n3a} semantic_dedup={n3c} chunk_dedup={n3b} "
         f"decontaminated={n4} mixture={n4b} written={n5} "
         f"shards={n_shards} out={out}"
