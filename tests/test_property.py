@@ -605,3 +605,104 @@ def test_contamination_spans_property(spark, doc_toks, bench_toks):
             run = run + 1 if h else 0
             best = max(best, run)
         assert got[i] == (len(hits), sum(hits), best), (i, toks, got[i])
+
+
+_urls = st.lists(
+    st.tuples(
+        st.sampled_from(["http://", "https://", "HTTPS://", ""]),   # scheme
+        st.sampled_from(["", "www.", "WWW.", "cdn."]),              # sub
+        st.sampled_from(["alpha.com", "beta.org"]),                 # reg domain
+        st.sampled_from(["/a", "/a/", "/b", ""]),                   # path
+        st.sampled_from(["", "?q=1", "#f", "?q=1#f"]),              # junk
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(parts=_urls, cap=st.integers(min_value=1, max_value=4))
+@settings(max_examples=10, deadline=None)
+def test_url_dedup_domain_cap_property(spark, parts, cap):
+    """url_dedup_domain_cap == a brute-force python reference on
+    arbitrary scheme/sub/path/junk combinations: normalization
+    equality, exactly one min-id keeper per normalized URL, per-domain
+    keeper counts bounded by cap, kept = the first `cap` keepers in
+    (md5(id), id) order."""
+    import hashlib
+    import re
+
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    rows = [
+        (i, f"{sch}{sub}{dom}{path}{junk}")
+        for i, (sch, sub, dom, path, junk) in enumerate(parts)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in url_dedup_domain_cap(docs, cap=cap).collect()}
+
+    def norm(u):
+        u = u.lower()
+        u = re.sub(r"^[a-z][a-z0-9+.-]*://", "", u)
+        u = re.sub(r"[?#].*$", "", u)
+        u = re.sub(r"^www\.", "", u)
+        return re.sub(r"/$", "", u)
+
+    def domain(u):
+        host = re.match(r"^([^/]*)", u).group(1)
+        m = re.search(r"([^.]+\.[^.]+)$", host)
+        return m.group(1) if m else ""
+
+    norms = {i: norm(u) for i, u in rows}
+    keepers = {}  # url_norm -> min doc_id
+    for i, _ in rows:
+        keepers.setdefault(norms[i], i)
+    for i, u in rows:
+        assert got[i]["url_norm"] == norms[i], (u, got[i])
+        assert got[i]["domain"] == domain(norms[i]), (u, got[i])
+        assert got[i]["is_url_keeper"] == (1 if keepers[norms[i]] == i else 0)
+
+    by_domain: dict[str, list[int]] = {}
+    for n, i in keepers.items():
+        by_domain.setdefault(domain(n), []).append(i)
+    for dom, ids in by_domain.items():
+        order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for rank, i in enumerate(order, start=1):
+            assert got[i]["domain_rank"] == rank, (dom, i, got[i])
+            assert got[i]["kept"] == (1 if rank <= cap else 0)
+
+
+_weight_toks = st.sampled_from(["aa", "bb", "cc", "dd"])
+
+
+@given(
+    docs_toks=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "zz"]), max_size=10),
+        min_size=1,
+        max_size=8,
+    ),
+    weights=st.dictionaries(
+        _weight_toks, st.integers(min_value=-50, max_value=50), min_size=1
+    ),
+    bias=st.integers(min_value=-100, max_value=100),
+    threshold=st.integers(min_value=-100, max_value=100),
+)
+@settings(max_examples=10, deadline=None)
+def test_linear_quality_scores_property(spark, docs_toks, weights, bias, threshold):
+    """linear_quality_scores == the python dot product on arbitrary
+    token bags (out-of-vocab tokens contribute 0, empty docs score
+    exactly bias, kept is an exact >= threshold compare)."""
+    from airflow_kafka_spark_spark.ext.textstats import linear_quality_scores
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_toks)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["quality_score"], r["kept"])
+        for r in linear_quality_scores(
+            docs, list(weights.items()), bias=bias, threshold=threshold
+        ).collect()
+    }
+    for i, toks in enumerate(docs_toks):
+        # tokens() is a whitespace split: an empty text tokenizes to
+        # [""], which is out-of-vocab — same bias-only score
+        score = bias + sum(weights.get(t, 0) for t in toks)
+        assert got[i] == (score, 1 if score >= threshold else 0), (i, toks)
