@@ -102,6 +102,63 @@ def main() -> None:
             "sec": round(dt, 3),
             "docs_per_sec": round(n / dt),
         }
+    # URL curation (r10): pure-map normalization + two keyed windows.
+    # Replicas keep the SAME derived URLs under shifted doc_ids, so the
+    # per-URL duplicate group and the per-domain keeper set both grow
+    # with the multiplier — the two window sorts absorb the growth;
+    # wall time must stay near-linear in docs.
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    url_results = {}
+    for mult in (1, 4, 10):
+        big = reduce(
+            lambda a, b: a.unionByName(b),
+            [docs.withColumn("doc_id", F.col("doc_id") + did_shift * i) for i in range(mult)],
+        )
+        n = big.count()
+        url = F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".com/p/"),
+            (F.col("doc_id") % 50).cast("string"),
+        )
+        t0 = time.perf_counter()
+        url_dedup_domain_cap(big.withColumn("url", url), cap=20).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        url_results[f"{mult}x"] = {
+            "docs": n,
+            "sec": round(dt, 3),
+            "docs_per_sec": round(n / dt),
+        }
+
+    # linear quality-classifier inference (r10): one explode + broadcast
+    # vocab join + one agg + pinned attach join. The model is fixed-size
+    # (broadcast), so scaling is pure corpus throughput.
+    from airflow_kafka_spark_spark.ext.textstats import linear_quality_scores
+
+    clf_model = [
+        ("data", 412), ("query", 387), ("vector", 566), ("spark", 318),
+        ("table", 251), ("join", 205), ("the", -156), ("a", -203),
+        ("slow", -489),
+    ]
+    clf_results = {}
+    for mult in (1, 4, 10):
+        big = reduce(
+            lambda a, b: a.unionByName(b),
+            [docs.withColumn("doc_id", F.col("doc_id") + did_shift * i) for i in range(mult)],
+        )
+        n = big.count()
+        t0 = time.perf_counter()
+        linear_quality_scores(big, clf_model, bias=-250, threshold=0).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        clf_results[f"{mult}x"] = {
+            "docs": n,
+            "sec": round(dt, 3),
+            "docs_per_sec": round(n / dt),
+        }
+
     # PQ encoding is the 100 TB-embeddings path: codebooks train once on
     # a bounded sample, then encoding must stream map-only. Replicas get
     # shifted ids so corpus size grows; codebooks are trained ONCE and
@@ -751,6 +808,8 @@ def main() -> None:
                 "results": results,
                 "minhash_scaling": dedup_results,
                 "chunk_dedup_scaling": chunk_results,
+                "url_dedup_scaling": url_results,
+                "quality_classifier_scaling": clf_results,
                 "pq_encode_scaling": pq_results,
                 "ann_serving_batch": ann_results,
                 "ivfpq_face_off": ivfpq_results,
