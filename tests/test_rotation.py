@@ -183,3 +183,23 @@ def test_changed_entries_outrank_unchanged_greens():
             assert tier == 2, (name, tier)
             # changed greens sit in the measurement window
             assert names.index(name) < 50, name
+
+
+def test_rows_only_no_oracle_entries_are_clean_not_err():
+    """VERDICT r9 nit: the rows-only-by-design entries surface as
+    err='no_oracle' in every driver artifact they rotate through. They
+    must classify as CLEAN (the check completed; there is simply no
+    oracle), never as err-tier — an err classification would park them
+    at the head of the window every round and starve genuine refresh
+    rows behind four permanent occupants."""
+    from airflow_kafka_spark_spark.plans.catalog import (
+        CATALOG,
+        _correctness_history,
+    )
+
+    hist = _correctness_history()
+    rows_only = [n for n, q in CATALOG.items() if q.oracle is None and n in hist]
+    assert rows_only, "expected at least one measured rows-only entry"
+    for n in rows_only:
+        rnd, status = hist[n]
+        assert status == "clean", (n, rnd, status)
