@@ -748,14 +748,20 @@ def url_dedup_domain_cap(
     ``(doc_id, url_norm, domain, is_url_keeper INT, domain_rank
     BIGINT — NULL for non-keepers, kept INT)``.
 
-    Scale shape: two keyed window shuffles — (url_norm) then (domain)
-    over keepers only — both on keys with bounded fan-in (a URL
-    repeats a handful of times; domain_rank is computed on the
-    post-dedup keeper set, and a genuinely hot domain is exactly what
-    the cap truncates: AQE skew-split handles the sort spill, and the
-    rank predicate prunes everything past ``cap`` immediately after).
-    No join anywhere — both flags derive from windows over the same
-    scan.
+    Scale shape: two keyed window shuffles — (url_norm), then (domain)
+    over ALL rows with a conditional running count, the single-pass way
+    to rank the keeper subset without a branch-and-union (non-keepers
+    ride through with a NULL rank; re-running the url_norm window per
+    branch would double the dominant cost). No join anywhere — both
+    flags derive from windows over the same scan. The honest skew
+    exposure: the url_norm key has bounded fan-in (a URL repeats a
+    handful of times), but one genuinely hot DOMAIN sorts in one
+    partition — window partitions get no AQE skew-split. When one
+    domain dominates the corpus, pre-filter ``is_url_keeper == 1``
+    before the domain window (dup-heavy hot domains shrink most under
+    URL dedup) or bound the sort with a (domain, salt) two-phase
+    top-(cap) — the cap output itself is salt-mergeable because md5
+    order is position-independent.
     """
     from pyspark.sql import Window
 

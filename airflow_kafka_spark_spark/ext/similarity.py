@@ -187,9 +187,19 @@ def _validate_codes(codes: DataFrame, codebooks, caller: str) -> None:
         F.max(
             F.exists("codes", lambda x: x.isNull()).cast("int")
         ).alias("has_null"),
+        # a whole-row NULL array slips past every aggregate above
+        # (exists(NULL) is NULL → ignored by max; min/max skip NULLs)
+        # and then silently vanishes in the posexplode — count it
+        F.sum(F.col("codes").isNull().cast("long")).alias("null_rows"),
+        F.count(F.lit(1)).alias("n_rows"),
     ).first()
-    if row["m_min"] is None:
+    if row["n_rows"] == 0:
         return  # empty frame — nothing will join, nothing to validate
+    if row["null_rows"]:
+        raise ValueError(
+            f"{caller}: null code value in codes frame "
+            f"({row['null_rows']} whole-row NULL arrays)"
+        )
     if row["m_min"] != m or row["m_max"] != m:
         raise ValueError(
             f"{caller}: codes rows have {row['m_min']}..{row['m_max']} "

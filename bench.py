@@ -127,15 +127,22 @@ def main() -> None:
     medians: dict[str, float] = {}
     first_run: dict[str, float] = {}
     normalized: dict[str, float] = {}
-    # calibration-normalized column (VERDICT r9 item 2): query_sec over
-    # the shuffle probe's sec — a host-independent number comparable
-    # across rounds (the probe and the query shift together under load)
+    normalized_chain: dict[str, float] = {}
+    # calibration-normalized columns (VERDICT r9 item 2): query_sec over
+    # a probe's sec — host-independent numbers comparable across rounds.
+    # Two denominators because queries live in two cost regimes: the
+    # shuffle probe tracks throughput-bound queries; the stage-chain
+    # probe tracks iterative/barrier-bound queries (pagerank, cc — the
+    # r10 A/B bisection showed the throughput probes under-correct
+    # them). Quote queries_normalized_chain for iterative rows.
     shuffle_probe = calibration["shuffle_groupby_sec"]
+    chain_probe = calibration["stage_chain_sec"]
     for name, runs in all_runs.items():
         first_run[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
         normalized[name] = round(min(runs) / shuffle_probe, 2)
+        normalized_chain[name] = round(min(runs) / chain_probe, 2)
 
     # fixed-point face-off, tracked per round (VERDICT r4 item 7):
     # the SAME three scale-6 q1 measures through decimal_sum vs the
@@ -181,6 +188,7 @@ def main() -> None:
         "queries": timings,
         "queries_single_run": first_run,
         "queries_normalized": normalized,
+        "queries_normalized_chain": normalized_chain,
         "runs_per_query": n_runs,
         "interleaved": True,
         "calibration": calibration,

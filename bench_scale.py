@@ -133,14 +133,16 @@ def main() -> None:
 
     # linear quality-classifier inference (r10): one explode + broadcast
     # vocab join + one agg + pinned attach join. The model is fixed-size
-    # (broadcast), so scaling is pure corpus throughput.
+    # (broadcast), so scaling is pure corpus throughput. ONE model
+    # definition — the catalog's oracled constants — so the probe can
+    # never drift from what correctness measures.
     from airflow_kafka_spark_spark.ext.textstats import linear_quality_scores
+    from airflow_kafka_spark_spark.plans.catalog import (
+        _QUALITY_BIAS,
+        _QUALITY_WEIGHTS,
+    )
 
-    clf_model = [
-        ("data", 412), ("query", 387), ("vector", 566), ("spark", 318),
-        ("table", 251), ("join", 205), ("the", -156), ("a", -203),
-        ("slow", -489),
-    ]
+    clf_model = _QUALITY_WEIGHTS
     clf_results = {}
     for mult in (1, 4, 10):
         big = reduce(
@@ -149,9 +151,9 @@ def main() -> None:
         )
         n = big.count()
         t0 = time.perf_counter()
-        linear_quality_scores(big, clf_model, bias=-250, threshold=0).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        linear_quality_scores(
+            big, clf_model, bias=_QUALITY_BIAS, threshold=0
+        ).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         clf_results[f"{mult}x"] = {
             "docs": n,

@@ -89,17 +89,32 @@ def main() -> None:
     # deterministic messy URL (the q_url_dedup derivation).
     from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
 
-    # distinct pages live at distinct PATHS; the ?session= tracking
-    # param is exactly what normalization strips, so re-crawls of one
-    # page under different sessions collapse to one URL
+    # Scale-proportional crawl shape (every knob grows with the corpus,
+    # so the funnel stays meaningful at any SF): ~25% of docs are
+    # re-crawls of the previous page under a fresh ?session= (the
+    # tracking param normalization strips — they collapse in URL
+    # dedup); ~10% of docs live on one hot aggregator domain with
+    # per-source paths (too many DISTINCT pages for dedup to touch —
+    # that is what the domain cap bounds); the rest spread across
+    # source×shard hosts the cap never binds. Cap = a 2% corpus share,
+    # the RefinedWeb semantic, computed from the count the audit above
+    # already paid for.
     j = F.expr("doc_id div 20")
+    page = F.when(j % 4 == 0, j - 1).otherwise(j)
+    is_hub = F.pmod(j, F.lit(10)) == 0
+    host = F.when(is_hub, F.lit("hub")).otherwise(
+        F.concat(F.col("source"), F.pmod(page, F.lit(5)).cast("string"))
+    )
+    path = F.when(
+        is_hub,
+        F.concat(F.lit("/r/"), F.col("source"), F.lit("/"), page.cast("string")),
+    ).otherwise(F.concat(F.lit("/p/"), page.cast("string")))
     url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".com/p/"),
-        (j % 5).cast("string"), F.lit("/"), (j % 3).cast("string"),
-        F.lit("?session="), (j % 7).cast("string"),
+        F.lit("https://"), host, F.lit(".com"), path,
+        F.lit("?session="), F.pmod(j, F.lit(7)).cast("string"),
     )
     url_keep = (
-        url_dedup_domain_cap(docs.withColumn("url", url), cap=12)
+        url_dedup_domain_cap(docs.withColumn("url", url), cap=max(25, n0 // 50))
         .filter(F.col("kept") == 1)
         .select("doc_id")
     )
@@ -120,13 +135,17 @@ def main() -> None:
     # pass is a pure BIGINT dot product: one explode, one broadcast
     # vocab join, one per-doc aggregate.
     from airflow_kafka_spark_spark.ext.textstats import linear_quality_scores
+    from airflow_kafka_spark_spark.plans.catalog import (
+        _QUALITY_BIAS,
+        _QUALITY_WEIGHTS,
+    )
 
-    model = [
-        ("data", 412), ("query", 387), ("vector", 566), ("spark", 318),
-        ("table", 251), ("join", 205), ("the", -156), ("a", -203),
-        ("slow", -489),
-    ]
-    scored = linear_quality_scores(docs, model, bias=-250, threshold=0)
+    # the catalog's oracled model constants — one definition, no drift;
+    # threshold 0 (vs the catalog entry's 500) keeps a gentler gate for
+    # the demo funnel
+    scored = linear_quality_scores(
+        docs, _QUALITY_WEIGHTS, bias=_QUALITY_BIAS, threshold=0
+    )
     docs = docs.join(
         scored.filter(F.col("kept") == 1).select("doc_id"), "doc_id", "left_semi"
     )

@@ -536,6 +536,17 @@ def test_validate_codes_mixed_provenance_and_null_elements(spark):
     with _pytest.raises(ValueError, match="null code value"):
         _validate_codes(with_null, books, "t")
 
+    # a whole-row NULL array (e.g. from a left join against an
+    # incomplete encode) slips past size/array_min/exists aggregates —
+    # min/max ignore NULLs — and must raise the null error, not pass
+    # or masquerade as a quantizer mismatch
+    null_row = spark.createDataFrame(
+        [(0, [0, 1]), (1, None)],
+        "vec_id long, codes array<int>",
+    )
+    with _pytest.raises(ValueError, match="null code value"):
+        _validate_codes(null_row, books, "t")
+
     out_of_range_late = spark.createDataFrame(
         [(0, [0, 1]), (1, [0, 7])],  # bad value NOT on the first row
         "vec_id long, codes array<int>",
