@@ -748,6 +748,16 @@ def url_dedup_domain_cap(
     ``(doc_id, url_norm, domain, is_url_keeper INT, domain_rank
     BIGINT — NULL for non-keepers, kept INT)``.
 
+    Missing-URL contract: a NULL or blank ``url_col`` is absence of
+    evidence, not a duplicate group — such docs pass through KEPT
+    (their own keeper, NULL url_norm/domain/rank). The naive window
+    would instead pool every url-less doc into one NULL partition and
+    silently keep ONE of millions — the data-loss class this guards;
+    they also get per-doc window keys so the NULL pool never becomes a
+    single sort partition. A single-label host (``localhost``) keeps
+    itself as its registered domain rather than pooling into a shared
+    ``""`` pseudo-domain under the last-two-labels approximation.
+
     Scale shape: two keyed window shuffles — (url_norm), then (domain)
     over ALL rows with a conditional running count, the single-pass way
     to rank the keeper subset without a branch-and-union (non-keepers
@@ -765,30 +775,43 @@ def url_dedup_domain_cap(
     """
     from pyspark.sql import Window
 
+    no_url = F.col(url_col).isNull() | (F.trim(F.col(url_col)) == "")
     lowered = F.lower(F.col(url_col))
     no_scheme = F.regexp_replace(lowered, r"^[a-z][a-z0-9+.-]*://", "")
     no_qf = F.regexp_replace(no_scheme, r"[?#].*$", "")
     no_www = F.regexp_replace(no_qf, r"^www\.", "")
-    url_norm = F.regexp_replace(no_www, r"/$", "")
+    norm_raw = F.regexp_replace(no_www, r"/$", "")
+    # a URL that normalizes to nothing ("https://", "?q=1") carries no
+    # evidence either — same keep-exempt path as NULL/blank
+    url_norm = F.when(~no_url & (norm_raw != ""), norm_raw)
     host = F.regexp_extract(url_norm, r"^([^/]+)", 1)
-    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    two_labels = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    # single-label hosts (no dot) fail the two-label extract with "";
+    # they are their OWN registered domain, not a shared "" pool
+    domain = F.when(~no_url, F.when(two_labels != "", two_labels).otherwise(host))
 
     base = docs.select(
         F.col(id_col),
         url_norm.alias("url_norm"),
         domain.alias("domain"),
     )
-    w_url = Window.partitionBy("url_norm").orderBy(F.col(id_col).asc())
+    # url-less rows get a per-doc partition key (\x00 never survives a
+    # real URL's normalization) so the NULL pool is neither one giant
+    # sort partition nor one dedup group
+    uid = F.col(id_col).cast("string")
+    url_key = F.coalesce(F.col("url_norm"), F.concat(F.lit("\x00nourl:"), uid))
+    w_url = Window.partitionBy(url_key).orderBy(F.col(id_col).asc())
     keepers = base.withColumn(
         "is_url_keeper",
         (F.row_number().over(w_url) == 1).cast("int"),
     )
     h = F.md5(F.col(id_col).cast("string").cast("binary"))
-    w_dom = Window.partitionBy("domain").orderBy(h.asc(), F.col(id_col).asc())
+    dom_key = F.coalesce(F.col("domain"), F.concat(F.lit("\x00nodom:"), uid))
+    w_dom = Window.partitionBy(dom_key).orderBy(h.asc(), F.col(id_col).asc())
     ranked = keepers.withColumn(
         "domain_rank",
         F.when(
-            F.col("is_url_keeper") == 1,
+            (F.col("is_url_keeper") == 1) & F.col("domain").isNotNull(),
             F.sum("is_url_keeper").over(
                 w_dom.rowsBetween(Window.unboundedPreceding, 0)
             ),
@@ -800,8 +823,12 @@ def url_dedup_domain_cap(
         "domain",
         "is_url_keeper",
         F.col("domain_rank").cast("long").alias("domain_rank"),
-        (
-            (F.col("is_url_keeper") == 1)
-            & (F.col("domain_rank") <= F.lit(int(cap)))
-        ).cast("int").alias("kept"),
+        F.when(F.col("domain").isNull(), F.lit(1))
+        .otherwise(
+            (
+                (F.col("is_url_keeper") == 1)
+                & (F.col("domain_rank") <= F.lit(int(cap)))
+            ).cast("int")
+        )
+        .alias("kept"),
     )

@@ -1466,3 +1466,39 @@ def test_linear_quality_scores_bias_and_threshold_exact(spark):
         ).collect()
     }
     assert out == {1: (13, 1), 2: (5, 0), 3: (7, 1)}, out
+
+
+def test_url_dedup_missing_url_keep_exempt_contract(spark):
+    """Docs with NULL / blank / normalizes-to-nothing URLs carry no
+    dedup evidence: each passes through KEPT as its own keeper with
+    NULL url_norm/domain/rank (the naive NULL window partition would
+    silently keep ONE of them all). Single-label hosts are their own
+    registered domain, not a shared '' pseudo-domain."""
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),                      # NULL url
+            (2, None),                      # NULL url — must NOT dedup vs 1
+            (3, "   "),                     # blank
+            (4, "https://"),                # normalizes to nothing
+            (5, "http://localhost/admin"),  # single-label host
+            (6, "http://intranet/wiki"),    # another single-label host
+            (7, "https://site.com/a"),
+            (8, "https://site.com/a?x=1"),  # real duplicate of 7
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in url_dedup_domain_cap(docs, cap=5).collect()}
+
+    for d in (1, 2, 3, 4):  # evidence-free: kept, own keeper, all NULLs
+        r = out[d]
+        assert (r["url_norm"], r["domain"], r["domain_rank"]) == (None, None, None), r
+        assert r["is_url_keeper"] == 1 and r["kept"] == 1, r
+
+    assert out[5]["domain"] == "localhost"
+    assert out[6]["domain"] == "intranet"   # not pooled with 5
+    assert out[5]["kept"] == 1 and out[6]["kept"] == 1
+
+    assert out[7]["is_url_keeper"] == 1 and out[7]["kept"] == 1
+    assert out[8]["is_url_keeper"] == 0 and out[8]["kept"] == 0  # real dup
