@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext.dedup import (
+    _PUBLIC_SUFFIXES_2,
+    _PUBLIC_SUFFIXES_3,
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -6141,27 +6143,22 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
-def q_url_dedup(spark, sf_dir):
-    """URL-level dedup + per-domain cap (ext.dedup.url_dedup_domain_cap):
-    the RefinedWeb web-curation passes — normalize (lowercase, strip
-    scheme/query/fragment/www./trailing slash), keep the min-id doc per
-    normalized URL, and cap each registered domain at 3 keepers in
-    deterministic md5(id) order. The documents table carries no URL, so
-    the entry derives a messy-but-deterministic one per doc (four
-    variants: uppercased www+trailing-slash, query-string, cdn.
-    subdomain, bare) — variants 0/1/3 of the same (source, path)
-    normalize to ONE url; the cdn. variant stays a distinct URL on the
-    same registered domain, proving normalization collapses exactly
-    what it should. Pure-map normalization + two keyed windows, no
-    join."""
-    from ..ext.dedup import url_dedup_domain_cap
-
-    docs = load_table(spark, sf_dir, "documents")
+def _url_dedup_urls():
+    """The shared messy-but-deterministic URL derivation for the
+    url_dedup entries. Six variants per (source, path): 0/1/3 normalize
+    to ONE .com url (scheme/case/www./slash/query junk); variant 2 is a
+    cdn. subdomain — a distinct URL on the same registered .com domain;
+    variants 4/5 are ccTLD-bearing — a bare and a cdn. host under
+    ``source.co.uk``, which the public-suffix tiers must group under
+    the same 3-label registered domain (a last-two-labels regex would
+    pool EVERY source into one "co.uk" pseudo-domain — the r10-verdict
+    data-loss class this entry now proves fixed)."""
     j = F.expr("doc_id div 20")
     host = F.concat(F.col("source"), F.lit(".com"))
+    cchost = F.concat(F.col("source"), F.lit(".co.uk"))
     path = F.concat(F.lit("/p/"), (j % 5).cast("string"))
-    variant = j % 4
-    url = (
+    variant = j % 6
+    return (
         F.when(
             variant == 0,
             F.concat(F.lit("HTTPS://WWW."), F.upper(host), path, F.lit("/")),
@@ -6174,15 +6171,54 @@ def q_url_dedup(spark, sf_dir):
             variant == 2,
             F.concat(F.lit("https://cdn."), host, path, F.lit("#frag")),
         )
+        .when(variant == 4, F.concat(F.lit("https://"), cchost, path))
+        .when(
+            variant == 5,
+            F.concat(F.lit("https://cdn."), cchost, path, F.lit("/")),
+        )
         .otherwise(F.concat(F.lit("https://"), host, path))
     )
-    return url_dedup_domain_cap(docs.withColumn("url", url), cap=3)
 
 
-SQL_URL_DEDUP = r"""
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup + per-domain cap (ext.dedup.url_dedup_domain_cap):
+    the RefinedWeb web-curation passes — normalize (lowercase, strip
+    scheme/query/fragment/www./trailing slash), keep the min-id doc per
+    normalized URL, and cap each registered domain at 3 keepers in
+    deterministic md5(id) order. Registered domains follow the bundled
+    public-suffix tiers (``a.co.uk`` ≠ ``b.co.uk``; ``cdn.a.co.uk``
+    groups under ``a.co.uk``) — see ``_url_dedup_urls`` for the derived
+    URL mix. Pure-map normalization + two keyed windows, no join."""
+    from ..ext.dedup import url_dedup_domain_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return url_dedup_domain_cap(docs.withColumn("url", _url_dedup_urls()), cap=3)
+
+
+def q_url_dedup_salted(spark, sf_dir):
+    """The SAME url_dedup computation through the salted two-phase
+    domain rank (``salt_partitions=8``): the hot-domain straggler
+    mitigation the r10 verdict ordered coded, certified bit-exact —
+    this entry runs against the IDENTICAL oracle SQL as `url_dedup`,
+    so a green hash row IS the salted ≡ unsalted proof. Salt buckets
+    are contiguous md5-prefix ranges, so per-bucket running counts plus
+    earlier-bucket keeper totals recompose the exact global rank; each
+    sort partition holds ~1/8 of the hottest domain."""
+    from ..ext.dedup import url_dedup_domain_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return url_dedup_domain_cap(
+        docs.withColumn("url", _url_dedup_urls()), cap=3, salt_partitions=8
+    )
+
+
+_PSL2_SQL = ", ".join(f"'{s}'" for s in _PUBLIC_SUFFIXES_2)
+_PSL3_SQL = ", ".join(f"'{s}'" for s in _PUBLIC_SUFFIXES_3)
+
+SQL_URL_DEDUP = rf"""
 WITH u AS (
   SELECT doc_id,
-    CASE CAST((doc_id // 20) % 4 AS INTEGER)
+    CASE CAST((doc_id // 20) % 6 AS INTEGER)
       WHEN 0 THEN 'HTTPS://WWW.' || upper(source || '.com')
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
       WHEN 1 THEN 'http://' || source || '.com'
@@ -6190,6 +6226,10 @@ WITH u AS (
                   || '?utm_source=x'
       WHEN 2 THEN 'https://cdn.' || source || '.com'
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '#frag'
+      WHEN 4 THEN 'https://' || source || '.co.uk'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
+      WHEN 5 THEN 'https://cdn.' || source || '.co.uk'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
       ELSE 'https://' || source || '.com'
            || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
     END AS url
@@ -6205,11 +6245,27 @@ norm AS (
       '/$', '') AS url_norm
   FROM u
 ),
+hosted AS (
+  SELECT doc_id, url_norm,
+    regexp_extract(url_norm, '^([^/]+)', 1) AS host
+  FROM norm
+),
 base AS (
   SELECT doc_id, url_norm,
-    regexp_extract(regexp_extract(url_norm, '^([^/]+)', 1),
-                   '([^.]+\.[^.]+)$', 1) AS domain
-  FROM norm
+    CASE
+      WHEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+             IN ({_PSL3_SQL})
+           AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+        THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1)
+      WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+             IN ({_PSL2_SQL})
+           AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+        THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+      WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+        THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+      ELSE host
+    END AS domain
+  FROM hosted
 ),
 k AS (
   SELECT doc_id, url_norm, domain,
@@ -6405,6 +6461,9 @@ CATALOG: dict[str, Query] = {
     "dsir_importance": Query(q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "quality_classifier": Query(q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
+    # the salted two-phase domain rank against the SAME oracle —
+    # green hash row == salted ≡ unsalted bit-exact certification
+    "url_dedup_salted": Query(q_url_dedup_salted, SQL_URL_DEDUP),
 }
 
 

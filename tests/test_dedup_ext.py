@@ -1502,3 +1502,105 @@ def test_url_dedup_missing_url_keep_exempt_contract(spark):
 
     assert out[7]["is_url_keeper"] == 1 and out[7]["kept"] == 1
     assert out[8]["is_url_keeper"] == 0 and out[8]["kept"] == 0  # real dup
+
+
+def test_url_dedup_public_suffix_registered_domains(spark):
+    """The bundled public-suffix tiers (VERDICT r10 item 1): under a
+    2-label public suffix the registered domain is the last THREE
+    labels — a.co.uk and b.co.uk are DISTINCT domains (the
+    last-two-labels regex pooled them all into 'co.uk', silently
+    capping away whole ccTLD corpora) and cdn.a.co.uk groups under
+    a.co.uk; under a 3-label suffix (k12.ca.us) it is the last FOUR;
+    plain TLDs keep the last-two-labels answer; a host that IS a bare
+    public suffix stays its own domain."""
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.co.uk/x"),
+            (2, "https://b.co.uk/x"),
+            (3, "https://cdn.a.co.uk/y"),
+            (4, "https://www.a.co.uk/z"),          # www. stripped first
+            (5, "https://school.k12.ca.us/home"),
+            (6, "https://www.district.k12.ca.us/home"),
+            (7, "https://cdn.site.com/a"),          # plain TLD default
+            (8, "https://co.uk/odd"),               # bare suffix host
+            (9, "https://shop.example.com.au/p"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in url_dedup_domain_cap(docs, cap=9).collect()}
+
+    assert out[1]["domain"] == "a.co.uk"
+    assert out[2]["domain"] == "b.co.uk"            # NOT pooled with 1
+    assert out[3]["domain"] == "a.co.uk"            # subdomain groups
+    assert out[4]["domain"] == "a.co.uk"
+    assert out[5]["domain"] == "school.k12.ca.us"   # 3-label suffix tier
+    assert out[6]["domain"] == "district.k12.ca.us"
+    assert out[7]["domain"] == "site.com"
+    assert out[8]["domain"] == "co.uk"              # own domain, not ''
+    assert out[9]["domain"] == "example.com.au"
+    assert all(r["kept"] == 1 for r in out.values())  # all distinct URLs
+
+
+def test_url_dedup_empty_host_cap_exempt_still_dedups(spark):
+    """ADVICE r10: a URL whose host normalizes to EMPTY
+    ('https:///path' -> url_norm '/path') carries no domain evidence —
+    domain is NULL and the row is CAP-exempt with a per-doc window key
+    (no shared '' pseudo-domain pool) — but URL dedup still applies:
+    two docs with the same hostless URL keep only the min id."""
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https:///path"),
+            (2, "https:///path?q=1"),   # same hostless url_norm
+            (3, "https:///other"),
+            (4, "https://site.com/a"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in url_dedup_domain_cap(docs, cap=1).collect()}
+
+    for d in (1, 2, 3):
+        assert out[d]["url_norm"] is not None, out[d]
+        assert out[d]["domain"] is None, out[d]
+        assert out[d]["domain_rank"] is None, out[d]
+    assert out[1]["is_url_keeper"] == 1 and out[1]["kept"] == 1
+    assert out[2]["is_url_keeper"] == 0 and out[2]["kept"] == 0  # dedups!
+    assert out[3]["is_url_keeper"] == 1 and out[3]["kept"] == 1
+    assert out[4]["kept"] == 1
+
+
+def test_url_dedup_salted_bit_identical_to_unsalted(spark):
+    """The salted two-phase domain rank (VERDICT r10 item 2) is
+    BIT-identical to the single-window path on a skew-shaped fixture —
+    one hot domain holding most rows, URL duplicates, a second domain,
+    ccTLD hosts, NULL/blank/hostless URLs — across several salt counts
+    (including P > distinct md5 prefixes and P = 1, the degenerate
+    single-bucket case)."""
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    rows = []
+    for i in range(60):
+        rows.append((i, f"https://hot.com/page/{i}"))          # hot domain
+    rows += [
+        (100, "https://hot.com/page/0"),                       # URL dup
+        (101, "HTTP://WWW.HOT.COM/page/1/"),                   # URL dup
+        (102, "https://cold.org/a"),
+        (103, "https://cold.org/b"),
+        (104, "https://x.co.uk/a"),
+        (105, "https://cdn.x.co.uk/b"),
+        (106, None),
+        (107, "  "),
+        (108, "https:///hostless"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+
+    def canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    base = canon(url_dedup_domain_cap(docs, cap=5))
+    for p in (1, 4, 16, 257):
+        got = canon(url_dedup_domain_cap(docs, cap=5, salt_partitions=p))
+        assert got == base, f"salt_partitions={p} diverged"

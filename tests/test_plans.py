@@ -701,11 +701,38 @@ def test_quality_classifier_broadcast_model_one_explode(spark):
 
 
 def test_url_dedup_map_normalize_two_window_exchanges(spark):
-    """URL dedup + domain cap (VERDICT r9 item 5): normalization is
-    pure map (one documents scan), both keep flags derive from windows
-    over that scan — no join anywhere — and the plan shuffles exactly
-    twice (url_norm, then domain)."""
+    """URL dedup + domain cap (VERDICT r9 item 5, r10 item 1):
+    normalization is map-shaped over one documents scan, both keep
+    flags derive from windows over that scan, and the plan shuffles
+    exactly twice (url_norm, then domain). The ONLY joins are the two
+    explicit-broadcast public-suffix lookups, and the only broadcast
+    builds are those bounded-by-contract suffix local relations —
+    never the corpus."""
     s = _explain(CATALOG["url_dedup"].fn(spark, SF_DIR))
-    assert "Join" not in s, s
+    assert "ShuffledHashJoin" not in s and "SortMergeJoin" not in s, s
+    tree = s.split("(1) Scan")[0]
+    assert tree.count("BroadcastHashJoin") == 2, s
     assert s.count("hashpartitioning") == 2, s
     assert s.count("Location: InMemoryFileIndex") <= 1, s
+    for sub in _broadcast_subtrees(s):
+        assert "documents" not in sub, f"corpus under BroadcastExchange:\n{sub}"
+
+
+def test_url_dedup_salted_two_phase_shape(spark):
+    """The salted two-phase domain rank (VERDICT r10 item 2,
+    salt_partitions=8): the single (domain) window is replaced by a
+    (domain, salt) window + a per-bucket offset aggregate attached via
+    a ShuffledHashJoin — never an AQE broadcast build of a corpus-sized
+    side; broadcast builds remain the suffix lookups only."""
+    from airflow_kafka_spark_spark.plans.catalog import q_url_dedup_salted
+
+    s = _explain(q_url_dedup_salted(spark, SF_DIR))
+    tree = s.split("(1) Scan")[0]
+    assert tree.count("ShuffledHashJoin") == 1, s
+    assert "SortMergeJoin" not in s, s
+    # two-phase: url window, (dk, salt) window ×2 branches share the
+    # same keys, offset agg, join — strictly more exchanges than the
+    # single-window path, each bounded to ~1/P of the hottest domain
+    assert "__salt" in s, s
+    for sub in _broadcast_subtrees(s):
+        assert "documents" not in sub, f"corpus under BroadcastExchange:\n{sub}"

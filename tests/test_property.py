@@ -611,7 +611,9 @@ _urls = st.lists(
     st.tuples(
         st.sampled_from(["http://", "https://", "HTTPS://", ""]),   # scheme
         st.sampled_from(["", "www.", "WWW.", "cdn."]),              # sub
-        st.sampled_from(["alpha.com", "beta.org"]),                 # reg domain
+        st.sampled_from(                                            # reg domain
+            ["alpha.com", "beta.org", "gamma.co.uk", "delta.k12.ca.us"]
+        ),
         st.sampled_from(["/a", "/a/", "/b", ""]),                   # path
         st.sampled_from(["", "?q=1", "#f", "?q=1#f"]),              # junk
     ),
@@ -648,9 +650,20 @@ def test_url_dedup_domain_cap_property(spark, parts, cap):
         return re.sub(r"/$", "", u)
 
     def domain(u):
+        # the public-suffix tier algorithm, independently re-derived
+        from airflow_kafka_spark_spark.ext.dedup import (
+            _PUBLIC_SUFFIXES_2,
+            _PUBLIC_SUFFIXES_3,
+        )
+
         host = re.match(r"^([^/]*)", u).group(1)
+        labels = host.split(".")
+        if len(labels) >= 4 and ".".join(labels[-3:]) in _PUBLIC_SUFFIXES_3:
+            return ".".join(labels[-4:])
+        if len(labels) >= 3 and ".".join(labels[-2:]) in _PUBLIC_SUFFIXES_2:
+            return ".".join(labels[-3:])
         m = re.search(r"([^.]+\.[^.]+)$", host)
-        return m.group(1) if m else ""
+        return m.group(1) if m else host
 
     norms = {i: norm(u) for i, u in rows}
     keepers = {}  # url_norm -> min doc_id
