@@ -225,10 +225,23 @@ def _adc_fold(joined: DataFrame, id_col: str) -> Column:
     guaranteed under sort-based fallback or an upstream repartition),
     shifting adist by ulps. This is THE single source of the
     point/batch decision-identity contract — both batch paths call it.
-    Returns the (query_id, id, adist) frame with query rows excluded."""
+    Returns the (query_id, id, adist) frame with query rows excluded.
+
+    The array_distinct collapses the repeats a DUPLICATED corpus id
+    injects (ADVICE r10: an id stored twice with the identical vector
+    doubles every (j, d2) term through the codes/candidate joins,
+    doubling adist and silently pushing the document OUT of the rerank
+    candidate set). Legitimate terms are unique in j per (query, id)
+    group, so only duplicate-id repeats are removed; conflicting-code
+    duplicates (different d2 for one j) remain the caller's risk, as
+    documented on the batch entry points."""
     return (
         joined.groupBy("query_id", id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("j", "d2"))).alias("__terms"))
+        .agg(
+            F.array_distinct(
+                F.array_sort(F.collect_list(F.struct("j", "d2")))
+            ).alias("__terms")
+        )
         .select(
             "query_id",
             id_col,
@@ -257,6 +270,34 @@ def _adc_candidates(adist: DataFrame, id_col: str, n: int) -> DataFrame:
     )
 
 
+def _topk_dedup_ids(scored: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Per-query top-k over the total (cosine desc, id asc) ordering
+    with duplicated corpus ids collapsed to ONE slot (ADVICE r10): a
+    corpus id stored twice with the IDENTICAL vector yields two
+    identical (query_id, id, cosine) rows through the retrieval joins,
+    and a bare row_number would hand one document two top-k slots for
+    EVERY query. Equal (cosine, id) rows are ADJACENT under the
+    window's ordering, so a lag() over the SAME window spec marks the
+    repeats and the row_number stacks on the same sort — the dedup
+    costs ZERO extra exchanges (one hashpartitioning(query_id), one
+    sort, two window functions). Conflicting-vector corpus duplicates
+    (different cosines for one id) remain the caller's risk — the
+    validated batch paths raise for QUERY ids only, and no bounded
+    action can certify the whole corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__prev", F.lag(id_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(id_col)))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__prev", "__rk")
+    )
+
+
 def _rerank_topk(
     embeddings: DataFrame,
     cand_ids: DataFrame,
@@ -270,8 +311,6 @@ def _rerank_topk(
     from the bounded collect instead of a second corpus scan
     (float→double widening is exact, so the cosines are bit-identical
     to an in-plan cast)."""
-    from pyspark.sql import Window
-
     spark = embeddings.sparkSession
     q = spark.createDataFrame(
         [(int(r["query_id"]), [float(x) for x in r["qvec"]]) for r in q_rows],
@@ -288,15 +327,10 @@ def _rerank_topk(
     cos = _dot(F.col(vec_col), F.col("qvec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("qvec"))
     )
-    w_cos = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
+    scored = cand.select(
+        "query_id", F.col(id_col), (F.round(cos, 6) + F.lit(0.0)).alias("cosine")
     )
-    return (
-        cand.select("query_id", F.col(id_col), (F.round(cos, 6) + F.lit(0.0)).alias("cosine"))
-        .withColumn("__rk", F.row_number().over(w_cos))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return _topk_dedup_ids(scored, id_col, k)
 
 
 def cosine_topk(
@@ -528,8 +562,12 @@ def ann_topk_ivf_batch(
     error contract instead of silently returning truncated or
     candidate-doubled result sets; the deduplicated collected rows then
     BECOME the query frame, so validation costs no extra scan. Pass
-    ``validate=False`` for a fully action-free plan builder — duplicate
-    corpus ids are then the caller's risk.) :func:`ann_topk_ivf` is the point-lookup contract (two
+    ``validate=False`` for a fully action-free plan builder.) Either
+    way, a corpus id duplicated with an IDENTICAL vector occupies at
+    most one top-k slot per query — :func:`_topk_dedup_ids` collapses
+    the repeated candidate rows the assigned/embeddings joins inject
+    (ADVICE r10); conflicting-vector corpus duplicates remain the
+    caller's risk. :func:`ann_topk_ivf` is the point-lookup contract (two
     driver round-trips per call: the query-vector ``first()`` and the
     numpy centroid argsort); a 1000-query batch through it would
     serialize 1000 round-trips. Here the whole batch is data-plane:
@@ -554,8 +592,6 @@ def ann_topk_ivf_batch(
     ``index`` shares a prebuilt :func:`ivf_assignments` result exactly
     as the point path does; omitted → built in-call.
     """
-    from pyspark.sql import Window
-
     assigned, centroids = (
         index
         if index is not None
@@ -625,15 +661,13 @@ def ann_topk_ivf_batch(
     cos = _dot(F.col(vec_col), F.col("qvec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("qvec"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
+    scored = cand.select(
+        "query_id", F.col(id_col), (F.round(cos, 6) + F.lit(0.0)).alias("cosine")
     )
-    return (
-        cand.select("query_id", F.col(id_col), (F.round(cos, 6) + F.lit(0.0)).alias("cosine"))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    # duplicated corpus ids would otherwise hold multiple top-k slots
+    # through the assigned/embeddings joins (ADVICE r10) — collapse
+    # identical-vector repeats on the same window sort, zero extra cost
+    return _topk_dedup_ids(scored, id_col, k)
 
 
 def ann_topk_pq_batch(

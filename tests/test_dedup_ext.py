@@ -510,6 +510,63 @@ def test_ivf_batch_duplicate_corpus_id_contract(spark):
         ann_topk_ivf_batch(emb_bad, [0], k=5, n_lists=4)
 
 
+def test_ann_batch_duplicated_corpus_id_lands_one_topk_slot(spark):
+    """ADVICE r10 strengthened: the duplicated corpus id's vector is
+    built to be EXACTLY parallel to query 7's ([0,1,1] · 2), so it MUST
+    rank first in query 7's top-k — the r10 test passed only because
+    its duplicate happened to miss the top-5. Across all three batch
+    paths (IVF / PQ / IVF-PQ incl. residual): the duplicated id appears
+    EXACTLY once per query result, every query still gets k distinct
+    rows, and on the PQ paths the doubled (j, d2) ADC terms no longer
+    double adist (which silently dropped the doc from the rerank set)."""
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_ivf_batch,
+        ann_topk_ivfpq_batch,
+        ann_topk_pq_batch,
+    )
+
+    base = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)]
+    dup = (99, [0.0, 2.0, 2.0])  # cosine 1.0 with query 7's [0,1,1]
+    emb = spark.createDataFrame(
+        base + [dup, dup],
+        "vec_id long, embedding array<float>",
+    )
+
+    def check(out, name):
+        per_q: dict[int, list[int]] = {}
+        for r in out:
+            per_q.setdefault(r["query_id"], []).append(r["vec_id"])
+        assert sorted(per_q) == [7, 14], (name, sorted(per_q))
+        for qid, ids in per_q.items():
+            assert len(ids) == 5, (name, qid, ids)
+            assert len(set(ids)) == 5, (name, qid, ids)
+        assert ids_top1[name] == 99, (name, ids_top1)
+
+    ids_top1 = {}
+    for name, fn in {
+        "ivf": lambda: ann_topk_ivf_batch(
+            emb, [7, 14], k=5, n_lists=4, n_probe=4
+        ),
+        "pq": lambda: ann_topk_pq_batch(
+            emb, [7, 14], k=5, m=3, n_codes=8, rerank_factor=8
+        ),
+        "ivfpq": lambda: ann_topk_ivfpq_batch(
+            emb, [7, 14], k=5, n_lists=4, n_probe=4, m=3, n_codes=8
+        ),
+        "ivfpq_res": lambda: ann_topk_ivfpq_batch(
+            emb, [7, 14], k=5, n_lists=4, n_probe=4, m=3, n_codes=8,
+            residual=True,
+        ),
+    }.items():
+        out = fn().collect()
+        top = sorted(
+            (r for r in out if r["query_id"] == 7),
+            key=lambda r: (-r["cosine"], r["vec_id"]),
+        )
+        ids_top1[name] = top[0]["vec_id"]
+        check(out, name)
+
+
 def test_validate_codes_mixed_provenance_and_null_elements(spark):
     """_validate_codes aggregates over the WHOLE codes frame (ADVICE
     r9: a single-row .first() sample let mixed-provenance frames pass
