@@ -6180,6 +6180,80 @@ def _url_dedup_urls():
     )
 
 
+# the subword leg of the classifier entry: char 3-/4-grams drawn from
+# the synthetic vocabulary's word bodies ("sca"→scan, "merg"→merge, …).
+# "agg" is deliberately BOTH a word token and its own 3-gram — a
+# length-n word fires the word leg and the n-gram leg, and the oracle
+# must reproduce that double count exactly.
+_QUALITY_NGRAM_WEIGHTS: list[tuple[str, int]] = _QUALITY_WEIGHTS + [
+    ("sca", 77),
+    ("ort", -31),
+    ("joi", 101),
+    ("agg", 23),
+    ("dow", 12),
+    ("merg", 143),
+    ("trea", 59),
+    ("ilte", -17),
+    ("tabl", 41),
+]
+
+
+def q_quality_classifier_ngram(spark, sf_dir):
+    """The fastText-style subword leg (VERDICT r10 item 5): the SAME
+    linear inference pass with ``char_ngrams=(3, 4)`` — every
+    within-token substring of length 3-4 is an additional feature in
+    the same integer-quantized weight table, so misspellings and
+    boilerplate fragments carry signal a unigram vocabulary cannot
+    see. Still one explode, vocab-only broadcast, one per-doc
+    aggregate, shuffle_hash attach — only the explode fan-out grows.
+    All-BIGINT; the oracle reproduces the score bit for bit (including
+    the word+gram double count for length-3 vocabulary words)."""
+    from ..ext.textstats import linear_quality_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_quality_scores(
+        docs,
+        _QUALITY_NGRAM_WEIGHTS,
+        bias=_QUALITY_BIAS,
+        threshold=_QUALITY_THRESHOLD,
+        char_ngrams=(3, 4),
+    )
+
+
+SQL_QUALITY_CLASSIFIER_NGRAM = f"""
+WITH w(tok, wt) AS (
+  VALUES {", ".join(f"('{t}', {v})" for t, v in _QUALITY_NGRAM_WEIGHTS)}
+),
+tox AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+feats AS (
+  SELECT doc_id, tok AS feat FROM tox
+  UNION ALL
+  SELECT doc_id,
+         unnest([substring(tok, CAST(i AS INTEGER), 3)
+                 FOR i IN generate_series(1, length(tok) - 2)]) AS feat
+  FROM tox
+  UNION ALL
+  SELECT doc_id,
+         unnest([substring(tok, CAST(i AS INTEGER), 4)
+                 FOR i IN generate_series(1, length(tok) - 3)]) AS feat
+  FROM tox
+),
+scored AS (
+  SELECT f.doc_id, CAST(SUM(w.wt) AS BIGINT) AS s
+  FROM feats f JOIN w ON f.feat = w.tok
+  GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.s, 0) + {_QUALITY_BIAS} AS BIGINT) AS quality_score,
+       CAST(CASE WHEN COALESCE(s.s, 0) + {_QUALITY_BIAS}
+                      >= {_QUALITY_THRESHOLD}
+            THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level dedup + per-domain cap (ext.dedup.url_dedup_domain_cap):
     the RefinedWeb web-curation passes — normalize (lowercase, strip
@@ -6460,6 +6534,9 @@ CATALOG: dict[str, Query] = {
     "pattern_match": Query(q_pattern_match, SQL_PATTERN_MATCH),
     "dsir_importance": Query(q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "quality_classifier": Query(q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "quality_classifier_ngram": Query(
+        q_quality_classifier_ngram, SQL_QUALITY_CLASSIFIER_NGRAM
+    ),
     "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
     # the salted two-phase domain rank against the SAME oracle —
     # green hash row == salted ≡ unsalted bit-exact certification

@@ -1525,6 +1525,44 @@ def test_linear_quality_scores_bias_and_threshold_exact(spark):
     assert out == {1: (13, 1), 2: (5, 0), 3: (7, 1)}, out
 
 
+def test_linear_quality_scores_char_ngrams(spark):
+    """The char_ngrams leg: within-token substrings of length lo..hi
+    join the SAME weight table — a token shorter than n yields no
+    n-grams (never a sub-length gram through the sequence clamp), a
+    length-n vocabulary word fires BOTH the word leg and its own
+    n-gram, and repeated grams weigh by count. (lo, hi) must satisfy
+    1 <= lo <= hi."""
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.textstats import linear_quality_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "scan"),      # 3-grams: sca(7) + can; 4-gram: scan
+            (2, "sc"),        # shorter than 3 -> no grams, no vocab
+            (3, "agg"),       # word agg(100) + own 3-gram agg(100)
+            (4, "scascan x"), # sca twice (pos 1 and 4): 7*2
+        ],
+        "doc_id long, text string",
+    )
+    weights = [("agg", 100), ("sca", 7), ("scan", 3)]
+    out = {
+        r["doc_id"]: r["quality_score"]
+        for r in linear_quality_scores(
+            docs, weights, bias=0, threshold=0, char_ngrams=(3, 4)
+        ).collect()
+    }
+    # doc 1: word "scan"=3, grams sca=7, scan(4-gram)=3 -> 13
+    # doc 4: "scascan" grams include sca@1, sca@4 (7*2), scan@4 (3),
+    #        plus 4-gram "scas"? no weight; word "scascan" no weight
+    assert out == {1: 13, 2: 0, 3: 200, 4: 17}, out
+
+    with _pytest.raises(ValueError, match="char_ngrams"):
+        linear_quality_scores(docs, weights, char_ngrams=(0, 2))
+    with _pytest.raises(ValueError, match="char_ngrams"):
+        linear_quality_scores(docs, weights, char_ngrams=(3, 2))
+
+
 def test_url_dedup_missing_url_keep_exempt_contract(spark):
     """Docs with NULL / blank / normalizes-to-nothing URLs carry no
     dedup evidence: each passes through KEPT as its own keeper with

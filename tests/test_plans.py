@@ -700,6 +700,22 @@ def test_quality_classifier_broadcast_model_one_explode(spark):
         assert "ExistingRDD" in sub, sub  # the weights local relation
 
 
+def test_quality_classifier_ngram_same_shape_one_generate(spark):
+    """The char-ngram leg (VERDICT r10 item 5) must not change the
+    plan class: the subword expansion is HOF arithmetic concatenated
+    onto the token array BEFORE the single explode — still exactly one
+    Generate, vocab-only broadcast build, two shuffles, shuffled-hash
+    attach."""
+    s = _explain(CATALOG["quality_classifier_ngram"].fn(spark, SF_DIR))
+    assert s.count("Generate") == 1, s
+    assert "BroadcastHashJoin" in s, s
+    assert "ShuffledHashJoin" in s, s
+    assert s.count("hashpartitioning") == 2, s
+    for sub in _broadcast_subtrees(s):
+        assert "documents" not in sub, f"corpus under BroadcastExchange:\n{sub}"
+        assert "ExistingRDD" in sub, sub
+
+
 def test_url_dedup_map_normalize_two_window_exchanges(spark):
     """URL dedup + domain cap (VERDICT r9 item 5, r10 item 1):
     normalization is map-shaped over one documents scan, both keep

@@ -689,6 +689,50 @@ _weight_toks = st.sampled_from(["aa", "bb", "cc", "dd"])
 
 @given(
     docs_toks=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "abc", "abab", "zz", "z"]),
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    weights=st.dictionaries(
+        st.sampled_from(["aa", "bb", "ab", "ba", "abc", "bab"]),
+        st.integers(min_value=-50, max_value=50),
+        min_size=1,
+    ),
+    bias=st.integers(min_value=-100, max_value=100),
+)
+@settings(max_examples=10, deadline=None)
+def test_linear_quality_scores_char_ngrams_property(
+    spark, docs_toks, weights, bias
+):
+    """char_ngrams=(2,3) == the python brute force: features are the
+    word tokens PLUS every within-token substring of length 2 and 3
+    (a 2-char word fires as word AND its own 2-gram; overlapping
+    repeats like 'abab' -> 'ab','ba','ab' weigh by count; 1-char
+    tokens yield no grams)."""
+    from airflow_kafka_spark_spark.ext.textstats import linear_quality_scores
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_toks)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["quality_score"]
+        for r in linear_quality_scores(
+            docs, list(weights.items()), bias=bias, char_ngrams=(2, 3)
+        ).collect()
+    }
+    for i, toks in enumerate(docs_toks):
+        feats = list(toks)
+        for t in toks:
+            for n in (2, 3):
+                feats += [t[j : j + n] for j in range(len(t) - n + 1)]
+        want = bias + sum(weights.get(f, 0) for f in feats)
+        assert got[i] == want, (i, toks, got[i], want)
+
+
+@given(
+    docs_toks=st.lists(
         st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "zz"]), max_size=10),
         min_size=1,
         max_size=8,
