@@ -181,7 +181,7 @@ def main() -> None:
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    out = {
+    detail = {
         "metric": "headline_query_set_seconds",
         "value": total,
         "unit": "sec",
@@ -196,9 +196,140 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if n_runs >= 3:
-        out["queries_median"] = medians
-    print(json.dumps(out))
+        detail["queries_median"] = medians
+    detail["vs_prev_normalized"] = _vs_prev_normalized(
+        normalized, normalized_chain, detail["sf"]
+    )
+
+    # The driver captures only the LAST 2000 chars of stdout and parses
+    # THAT: r10's line grew past 2000 with the normalized columns and
+    # the round's BENCH artifact recorded parsed=null (front-truncated
+    # JSON). The full payload goes to bench_detail.json (committed at
+    # round close — bench_compare.py and the changelog read it); the
+    # printed LINE carries the driver-contract keys plus the compact
+    # cross-round verdict (calibration probes, normalized-median
+    # ratios, watch list) and is length-guarded.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_detail.json"), "w"
+        ) as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+    vs_prev = detail["vs_prev_normalized"] or {}
+    out = {
+        "metric": "headline_query_set_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": detail["sf"],
+        "runs_per_query": n_runs,
+        "interleaved": True,
+        "calibration": calibration,
+        "vs_prev_normalized": {
+            k: vs_prev.get(k)
+            for k in (
+                "prev",
+                "median_normalized_ratio",
+                "median_normalized_chain_ratio",
+                "watch_over_1p5x_both",
+            )
+        }
+        if vs_prev
+        else None,
+        "detail": "bench_detail.json",
+    }
+    line = json.dumps(out)
+    if len(line) > 1950:  # the driver's 2000-char tail, with margin
+        for drop in ("vs_prev_normalized", "calibration"):
+            out.pop(drop, None)
+            line = json.dumps(out)
+            if len(line) <= 1950:
+                break
+    print(line)
     spark.stop()
+
+
+def _vs_prev_normalized(
+    normalized: dict[str, float],
+    normalized_chain: dict[str, float],
+    sf,
+) -> dict | None:
+    """THE standing cross-round verdict (VERDICT r10 item 4): raw
+    seconds are officially non-comparable on this host (r10's probes
+    measured 4.1x r8's identical probes), so the artifact itself
+    records the probe-normalized comparison against the newest prior
+    BENCH_r*.json. Per query, the ratio is taken on queries_normalized
+    AND queries_normalized_chain; a query is a WATCH item only when
+    BOTH exceed the 1.5x bar (neither cost-regime normalization
+    explains it) — watch items get the r10 A/B-bisect methodology (old
+    tree in a /tmp worktree, old vs new minutes apart on today's box)
+    before either 'regression' or 'noise' is believed. Never fails the
+    bench: any problem degrades to None."""
+    import glob
+    import re
+
+    def _read(path):
+        text = open(path).read().strip()
+        try:
+            d = json.loads(text)
+        except json.JSONDecodeError:
+            d = json.loads(text.splitlines()[-1])
+        return (d.get("parsed") or d) if isinstance(d, dict) else {}
+
+    try:
+        prevs = sorted(
+            f
+            for f in glob.glob("BENCH_r*.json")
+            if re.fullmatch(r"BENCH_r\d+\.json", f)
+        )
+        if not prevs:
+            return None
+        prev_file = prevs[-1]
+        prev = _read(prev_file)
+        if not prev.get("queries_normalized"):
+            # slim-line rounds park the full columns in the committed
+            # round-stamped detail archive (round-close ritual)
+            n = re.search(r"r(\d+)", prev_file).group(1)
+            det = f"BENCH_DETAIL_r{n}.json"
+            if glob.glob(det):
+                prev, prev_file = _read(det), det
+        if prev.get("sf") != sf:
+            return None  # cross-sf normalized ratios are nonsense
+        p_norm = prev.get("queries_normalized") or {}
+        p_chain = prev.get("queries_normalized_chain") or {}
+        ratios: dict[str, float] = {}
+        ratios_chain: dict[str, float] = {}
+        watch: list[str] = []
+        for q in sorted(set(p_norm) & set(normalized)):
+            if p_norm.get(q) and normalized.get(q):
+                ratios[q] = round(normalized[q] / p_norm[q], 2)
+            if p_chain.get(q) and normalized_chain.get(q):
+                ratios_chain[q] = round(
+                    normalized_chain[q] / p_chain[q], 2
+                )
+            if ratios.get(q, 0) > 1.5 and ratios_chain.get(q, 0) > 1.5:
+                watch.append(q)
+        if not ratios:
+            return None
+        med = sorted(ratios.values())[len(ratios) // 2]
+        med_chain = (
+            sorted(ratios_chain.values())[len(ratios_chain) // 2]
+            if ratios_chain
+            else None
+        )
+        return {
+            "prev": prev_file,
+            "median_normalized_ratio": med,
+            "median_normalized_chain_ratio": med_chain,
+            "watch_over_1p5x_both": watch,
+            "normalized_ratio": ratios,
+            "normalized_chain_ratio": ratios_chain,
+        }
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

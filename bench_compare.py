@@ -20,12 +20,27 @@ import sys
 
 
 def _load(path: str) -> dict:
+    import os
+    import re
+
     text = open(path).read().strip()
     try:
         data = json.loads(text)  # whole file (driver artifact, pretty-printed)
     except json.JSONDecodeError:
         data = json.loads(text.splitlines()[-1])  # bench.py's one-line stdout
-    return data.get("parsed", data)
+    data = data.get("parsed") or data
+    if not data.get("queries_normalized"):
+        # slim-line artifact (r11+): the full columns live in the
+        # committed round-stamped detail archive next to it
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            det = os.path.join(
+                os.path.dirname(os.path.abspath(path)),
+                f"BENCH_DETAIL_r{m.group(1)}.json",
+            )
+            if os.path.exists(det):
+                return json.loads(open(det).read())
+    return data
 
 
 def main() -> int:
@@ -63,6 +78,43 @@ def main() -> int:
         norms = [r[4] for r in rows]
         print(f"median NORMALIZED ratio: {statistics.median(norms):.3f} "
               "(>1 = slower than host shift explains)")
+
+    # THE standing cross-round verdict (VERDICT r10 item 4): compare
+    # the probe-normalized columns directly — queries_normalized for
+    # throughput-bound queries, queries_normalized_chain for
+    # iterative/barrier-bound ones. A query is a WATCH item only when
+    # BOTH ratios exceed 1.5x (neither cost regime explains it); watch
+    # items get the A/B-bisect methodology (old tree in a worktree, old
+    # vs new minutes apart on today's box) before being believed.
+    on, nn = old.get("queries_normalized"), new.get("queries_normalized")
+    oc = old.get("queries_normalized_chain") or {}
+    nc = new.get("queries_normalized_chain") or {}
+    if on and nn:
+        qs = sorted(set(on) & set(nn))
+        print("\n== normalized-column verdict (the quotable numbers) ==")
+        print(f"{'query':28s} {'old_n':>7s} {'new_n':>7s} {'ratio':>6s} "
+              f"{'chain':>6s}")
+        watch = []
+        nrs, crs = [], []
+        for q in qs:
+            r = nn[q] / on[q] if on[q] else float("nan")
+            rc = (nc[q] / oc[q]) if oc.get(q) and nc.get(q) else None
+            nrs.append(r)
+            if rc is not None:
+                crs.append(rc)
+            flag = ""
+            if r > 1.5 and (rc or 0) > 1.5:
+                watch.append(q)
+                flag = "  WATCH"
+            print(f"{q:28s} {on[q]:7.2f} {nn[q]:7.2f} {r:6.2f} "
+                  + (f"{rc:6.2f}" if rc is not None else "     -") + flag)
+        print(f"median normalized ratio: {statistics.median(nrs):.3f}"
+              + (f"; chain: {statistics.median(crs):.3f}" if crs else ""))
+        if watch:
+            print(f"WATCH (>1.5x on BOTH normalizations, A/B-bisect "
+                  f"before believing): {', '.join(watch)}")
+        else:
+            print("no watch items (nothing >1.5x on both normalizations)")
     return 0
 
 
