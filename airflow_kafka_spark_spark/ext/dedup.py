@@ -890,7 +890,11 @@ def url_dedup_domain_cap(
     shuffle_hash-pinned equi-join — the node-table-attach rule). The
     output is BIT-IDENTICAL to the unsalted path (the `url_dedup_salted`
     catalog entry certifies it against the same oracle SQL) while each
-    sort partition holds ~1/P of the hottest domain.
+    sort partition holds ~1/P of the hottest domain. Measured honestly:
+    on the UNskewed sf0.1 fixture the two-phase shape costs ~1.4x the
+    single window (1.35 -> 1.86 s min-of-3, P=8) — the knob is for
+    corpora where one domain dominates a partition-sized share, not a
+    default.
     """
     from pyspark.sql import Window
 
