@@ -683,6 +683,16 @@ def test_url_dedup_domain_cap_property(spark, parts, cap):
             assert got[i]["domain_rank"] == rank, (dom, i, got[i])
             assert got[i]["kept"] == (1 if rank <= cap else 0)
 
+    # the salted two-phase rank must be BIT-identical on the same
+    # arbitrary inputs (odd non-power-of-two P exercises uneven
+    # md5-prefix buckets)
+    salted = {
+        r["doc_id"]: r
+        for r in url_dedup_domain_cap(docs, cap=cap, salt_partitions=3).collect()
+    }
+    for i, _ in rows:
+        assert tuple(salted[i]) == tuple(got[i]), (i, salted[i], got[i])
+
 
 _weight_toks = st.sampled_from(["aa", "bb", "cc", "dd"])
 
