@@ -964,21 +964,31 @@ def url_dedup_domain_cap(
         F.col("url_norm"),
         domain.alias("domain"),
     )
-    # url-less rows get a per-doc partition key (\x00 never survives a
-    # real URL's normalization) so the NULL pool is neither one giant
-    # sort partition nor one dedup group
+    # url-less rows get a per-doc partition key so the NULL pool is
+    # neither one giant sort partition nor one dedup group. The key is
+    # a (is-exempt, value) COLUMN PAIR, not a sentinel-prefixed string:
+    # a sentinel like "\x00nourl:<id>" could collide with a corrupt URL
+    # that genuinely contains \x00 bytes (normalization strips nothing
+    # inside the string), silently pooling an exempt row with a real
+    # one — the flag column makes collision structurally impossible
     uid = F.col(id_col).cast("string")
-    url_key = F.coalesce(F.col("url_norm"), F.concat(F.lit("\x00nourl:"), uid))
-    w_url = Window.partitionBy(url_key).orderBy(F.col(id_col).asc())
+    url_exempt = F.col("url_norm").isNull()
+    url_key = F.coalesce(F.col("url_norm"), uid)
+    w_url = Window.partitionBy(url_exempt, url_key).orderBy(
+        F.col(id_col).asc()
+    )
     keepers = base.withColumn(
         "is_url_keeper",
         (F.row_number().over(w_url) == 1).cast("int"),
     )
     h = F.md5(F.col(id_col).cast("string").cast("binary"))
-    dom_key = F.coalesce(F.col("domain"), F.concat(F.lit("\x00nodom:"), uid))
+    dom_exempt = F.col("domain").isNull()
+    dom_key = F.coalesce(F.col("domain"), uid)
     rank_cond = (F.col("is_url_keeper") == 1) & F.col("domain").isNotNull()
     if salt_partitions is None:
-        w_dom = Window.partitionBy(dom_key).orderBy(h.asc(), F.col(id_col).asc())
+        w_dom = Window.partitionBy(dom_exempt, dom_key).orderBy(
+            h.asc(), F.col(id_col).asc()
+        )
         ranked = keepers.withColumn(
             "domain_rank",
             F.when(
@@ -993,10 +1003,15 @@ def url_dedup_domain_cap(
         # first 16 bits), so per-bucket ranks offset-compose exactly
         p = int(salt_partitions)
         prefix16 = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
-        salted = keepers.withColumn("__dk", dom_key).withColumn(
-            "__salt", F.floor(prefix16 * F.lit(p) / F.lit(65536)).cast("int")
+        salted = (
+            keepers.withColumn("__dx", dom_exempt)
+            .withColumn("__dk", dom_key)
+            .withColumn(
+                "__salt",
+                F.floor(prefix16 * F.lit(p) / F.lit(65536)).cast("int"),
+            )
         )
-        w_ds = Window.partitionBy("__dk", "__salt").orderBy(
+        w_ds = Window.partitionBy("__dx", "__dk", "__salt").orderBy(
             h.asc(), F.col(id_col).asc()
         )
         local = salted.withColumn(
@@ -1016,18 +1031,18 @@ def url_dedup_domain_cap(
         # partition keys, so the aggregate runs exchange-FREE on the
         # window's output partitioning and documents scans ONCE.
         w_off = (
-            Window.partitionBy("__dk")
+            Window.partitionBy("__dx", "__dk")
             .orderBy("__salt")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         offsets = (
-            local.groupBy("__dk", "__salt")
+            local.groupBy("__dx", "__dk", "__salt")
             .agg(F.sum(F.when(rank_cond, 1).otherwise(0)).alias("__cnt"))
             .withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
-            .select("__dk", "__salt", "__off")
+            .select("__dx", "__dk", "__salt", "__off")
         )
         ranked = (
-            local.join(offsets.hint("shuffle_hash"), ["__dk", "__salt"])
+            local.join(offsets.hint("shuffle_hash"), ["__dx", "__dk", "__salt"])
             .withColumn(
                 "domain_rank",
                 F.when(rank_cond, F.col("__local") + F.col("__off")),

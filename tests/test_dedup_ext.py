@@ -1667,6 +1667,34 @@ def test_url_dedup_empty_host_cap_exempt_still_dedups(spark):
     assert out[4]["kept"] == 1
 
 
+def test_url_dedup_exempt_keys_immune_to_sentinel_shaped_urls(spark):
+    """The exempt-row window keys are (is-exempt, value) column pairs,
+    not sentinel-prefixed strings: a corrupt URL that literally
+    contains the old "\\x00nourl:<id>" byte pattern (normalization
+    strips nothing inside the string) must NOT pool with the url-less
+    doc of that id — and two such corrupt URLs still dedup against
+    each other as ordinary equal url_norms."""
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),                # exempt: per-doc key from uid "1"
+            (2, "\x00nourl:1"),       # corrupt URL shaped like the old key
+            (3, "\x00nourl:1"),       # its genuine duplicate
+            (4, "1"),                 # url_norm "1" == uid of doc 1
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in url_dedup_domain_cap(docs, cap=5).collect()}
+
+    assert out[1]["url_norm"] is None and out[1]["kept"] == 1
+    assert out[2]["url_norm"] == "\x00nourl:1"
+    assert out[2]["is_url_keeper"] == 1 and out[2]["kept"] == 1
+    assert out[3]["is_url_keeper"] == 0 and out[3]["kept"] == 0  # real dup
+    # url_norm "1" must not collide with exempt doc 1's uid-keyed group
+    assert out[4]["is_url_keeper"] == 1 and out[4]["kept"] == 1
+
+
 def test_url_dedup_salted_bit_identical_to_unsalted(spark):
     """The salted two-phase domain rank (VERDICT r10 item 2) is
     BIT-identical to the single-window path on a skew-shaped fixture —
