@@ -505,7 +505,12 @@ def ann_topk_ivf(
     left-to-right sequential double fold per centroid and a sort keyed
     (distance, list_id) — so point and batch paths pick identical
     probe lists even on tied centroid distances (numpy's pairwise
-    summation + unstable argsort could diverge by an ulp/tie)."""
+    summation + unstable argsort could diverge by an ulp/tie).
+
+    Duplicate-corpus-id note: this one-shot convenience path assumes
+    unique ids (a duplicated id's identical rows would occupy multiple
+    top-k slots through the TakeOrdered); the BATCH paths collapse such
+    repeats (:func:`_topk_dedup_ids`) — serve through them."""
     assigned, centroids = (
         index
         if index is not None
@@ -1275,6 +1280,10 @@ def ann_topk_pq(
     queries share ONE quantizer (the FAISS train/search split — only
     the query-specific ADC tables are rebuilt per call); omit it for
     one-shot convenience and the model trains in-call.
+
+    Duplicate-corpus-id note: this one-shot convenience path assumes
+    unique ids; the BATCH paths collapse identical-vector repeats to
+    one top-k slot (:func:`_topk_dedup_ids`) — serve through them.
     """
     import numpy as np
 
