@@ -852,3 +852,78 @@ def linear_quality_scores(
             (score >= F.lit(int(threshold))).cast("int").alias("kept"),
         )
     )
+
+
+# decode order matters: specific entities first, "&amp;" LAST —
+# decoding it first would turn "&amp;lt;" into "&lt;" and then "<",
+# double-decoding what the author escaped once
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_text_extract(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """HTML → visible-text extraction — the FIRST pass of every
+    web-curation pipeline (CCNet/RefinedWeb strip markup before any
+    language-ID, quality gate, or dedup sees the text). Engine-side it
+    is pure-map regexp work, deterministic and oracle-expressible:
+
+    1. drop ``<script>``/``<style>`` blocks with their contents
+       (non-greedy, case-insensitive, dotall — a script's body is not
+       text) and HTML comments;
+    2. strip remaining tags (``<[^>]+>`` → space, so ``a<br>b`` stays
+       two words instead of fusing);
+    3. decode the six entities that dominate real markup
+       (``&lt; &gt; &quot; &#39; &nbsp; &amp;`` — ``&amp;`` LAST, see
+       ``_HTML_ENTITIES``);
+    4. collapse whitespace runs and trim.
+
+    Regex semantics are verified identical between Spark (Java regex,
+    inline ``(?is)`` flags, global replace) and DuckDB (RE2 with
+    ``'gis'`` options) — the oracle reproduces the output byte for
+    byte. This is deliberately a MARKUP stripper, not a boilerplate
+    classifier (trafilatura-style main-content extraction is a model,
+    not an operator); ``text_ratio`` — visible-text share of raw bytes
+    — is the standard cheap signal a downstream quality gate uses to
+    drop chrome-heavy pages.
+
+    Output: ``(id, clean_text, raw_len, text_len, text_ratio)`` —
+    lengths as BIGINT, ratio ROUND(·,6)+0.0. NULL html passes through
+    as NULL clean_text / NULL stats (absence of evidence, the
+    ``url_dedup_domain_cap`` contract). Scale shape: map-only, zero
+    Exchange, one scan — staged projections keep each regexp evaluated
+    once per row (the janino-64KB lesson from the PSL work)."""
+    x = F.col(html_col)
+    x = F.regexp_replace(x, r"(?is)<script[^>]*>.*?</script>", " ")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    staged = docs.select(
+        F.col(id_col),
+        F.length(F.col(html_col)).cast("long").alias("raw_len"),
+        x.alias("clean_text"),
+    )
+    ratio = F.round(
+        F.length("clean_text").cast("double")
+        / F.col("raw_len").cast("double"),
+        6,
+    ) + F.lit(0.0)
+    return staged.select(
+        id_col,
+        "clean_text",
+        "raw_len",
+        F.length("clean_text").cast("long").alias("text_len"),
+        F.when(F.col("raw_len") > 0, ratio).alias("text_ratio"),
+    )

@@ -6143,6 +6143,76 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML → visible-text extraction (ext.textstats.html_text_extract):
+    the pass every web pipeline runs BEFORE language-ID / quality /
+    dedup sees the text. The documents table carries plain text, so the
+    entry wraps each doc in a deterministic page — title, style block,
+    a script whose body embeds the doc_id, an HTML comment, heading,
+    paragraph with entity-escaped punctuation, footer div — and the
+    operator must strip every non-text construct and decode the
+    entities, byte-identically to the DuckDB oracle (Java-regex (?is)
+    inline flags ≡ RE2 'gis' options, verified). Pure map, zero
+    Exchange."""
+    from ..ext.textstats import html_text_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>Doc</title><style>p{margin:0}</style>'
+            '<script type="text/javascript">var n='
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(';</script></head><body><!-- hdr --><h1>'),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            ' &amp; more</p><div class="footer">links &lt;here&gt;'
+            "</div></body></html>"
+        ),
+    )
+    return html_text_extract(docs.withColumn("html", html), html_col="html")
+
+
+SQL_HTML_EXTRACT = r"""
+WITH u AS (
+  SELECT doc_id,
+    '<html><head><title>Doc</title><style>p{margin:0}</style>'
+    || '<script type="text/javascript">var n=' || CAST(doc_id AS VARCHAR)
+    || ';</script></head><body><!-- hdr --><h1>' || source
+    || '</h1><p>' || text
+    || ' &amp; more</p><div class="footer">links &lt;here&gt;'
+    || '</div></body></html>' AS html
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, length(html) AS raw_len,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gis'),
+              '<style[^>]*>.*?</style>', ' ', 'gis'),
+            '<!--.*?-->', ' ', 'gs'),
+          '<[^>]+>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '\s+', ' ', 'gs')) AS clean_text
+  FROM u
+)
+SELECT doc_id, clean_text,
+       CAST(raw_len AS BIGINT) AS raw_len,
+       CAST(length(clean_text) AS BIGINT) AS text_len,
+       CASE WHEN raw_len > 0 THEN
+         ROUND(CAST(length(clean_text) AS DOUBLE)
+               / CAST(raw_len AS DOUBLE), 6) + 0.0
+       END AS text_ratio
+FROM s1
+"""
+
+
 def _url_dedup_urls():
     """The shared messy-but-deterministic URL derivation for the
     url_dedup entries. Six variants per (source, path): 0/1/3 normalize
@@ -6537,6 +6607,7 @@ CATALOG: dict[str, Query] = {
     "quality_classifier_ngram": Query(
         q_quality_classifier_ngram, SQL_QUALITY_CLASSIFIER_NGRAM
     ),
+    "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
     "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
     # the salted two-phase domain rank against the SAME oracle —
     # green hash row == salted ≡ unsalted bit-exact certification

@@ -1727,3 +1727,38 @@ def test_url_dedup_salted_bit_identical_to_unsalted(spark):
     for p in (1, 4, 16, 257):
         got = canon(url_dedup_domain_cap(docs, cap=5, salt_partitions=p))
         assert got == base, f"salt_partitions={p} diverged"
+
+
+def test_html_text_extract_edges(spark):
+    """Markup stripping edges: script/style bodies vanish wholesale
+    (case-insensitive, multi-line, multiple blocks), comments vanish,
+    tags become word separators (a<br>b stays two words), the six
+    bundled entities decode in an order that never double-decodes
+    ('&amp;lt;' -> '&lt;', not '<'), whitespace collapses, and NULL /
+    empty html pass through as NULL clean_text / NULL ratio."""
+    from airflow_kafka_spark_spark.ext.textstats import html_text_extract
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a<SCRIPT a=1>x\ny</script>b<script>z</script>c"),
+            (2, "<style>p {color: red}</style>hello<!-- note -->world"),
+            (3, "a<br>b<div class='x'>c</div>"),
+            (4, "&lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y &amp;lt;"),
+            (5, "   lots\n\tof    space   "),
+            (6, None),
+            (7, ""),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r["doc_id"]: r for r in html_text_extract(docs).collect()}
+
+    assert out[1]["clean_text"] == "a b c"
+    assert out[2]["clean_text"] == "hello world"
+    assert out[3]["clean_text"] == "a b c"
+    assert out[4]["clean_text"] == "<tag> \"q\" 's' x y &lt;"
+    assert out[5]["clean_text"] == "lots of space"
+    assert out[6]["clean_text"] is None
+    assert out[6]["raw_len"] is None and out[6]["text_ratio"] is None
+    assert out[7]["clean_text"] == "" and out[7]["raw_len"] == 0
+    assert out[7]["text_ratio"] is None  # 0-length raw: no ratio
+    assert out[1]["raw_len"] == 45 and out[1]["text_len"] == 5

@@ -700,6 +700,16 @@ def test_quality_classifier_broadcast_model_one_explode(spark):
         assert "ExistingRDD" in sub, sub  # the weights local relation
 
 
+def test_html_extract_pure_map_zero_exchange(spark):
+    """HTML text extraction is a map-only pass: one documents scan,
+    zero Exchange, no join, no aggregate — the plan a 100 TB strip
+    pass must have."""
+    s = _explain(CATALOG["html_extract"].fn(spark, SF_DIR))
+    assert "Exchange" not in s, s
+    assert "Join" not in s, s
+    assert s.count("Location: InMemoryFileIndex") <= 1, s
+
+
 def test_quality_classifier_ngram_same_shape_one_generate(spark):
     """The char-ngram leg (VERDICT r10 item 5) must not change the
     plan class: the subword expansion is HOF arithmetic concatenated
