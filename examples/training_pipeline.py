@@ -79,6 +79,47 @@ def main() -> None:
     bad = {r["check"]: r["violations"] for r in audit.collect() if r["violations"]}
     assert not bad, f"corpus fails its contract: {bad}"
 
+    # 0a. markup strip — a real crawl hands the pipeline HTML, not
+    # text (ext.textstats.html_text_extract): script/style/comment
+    # blocks drop wholesale, tags become separators, entities decode,
+    # and text_ratio (visible-text share) gates out chrome-heavy pages
+    # before any content stage pays to scan them. The fixtures carry
+    # plain text, so each doc is wrapped in a page whose VISIBLE text
+    # is exactly the original — the strip must recover it byte for
+    # byte (asserted), and the funnel below is unaffected.
+    from airflow_kafka_spark_spark.ext.textstats import html_text_extract
+
+    page_html = F.concat(
+        F.lit(
+            "<html><head><title></title><style>body{margin:0}</style>"
+            '<script type="text/javascript">var n='
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></head><body><!-- crawler chrome --><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    stripped = html_text_extract(
+        docs.withColumn("html", page_html), html_col="html"
+    )
+    mismatch = (
+        stripped.join(docs.select("doc_id", "text"), "doc_id")
+        .filter(
+            (F.col("clean_text") != F.col("text"))
+            | (F.col("text_ratio") <= 0.2)
+        )
+        .count()
+    )
+    assert mismatch == 0, f"{mismatch} docs did not strip cleanly"
+    docs = docs.join(
+        stripped.filter(F.col("text_ratio") > 0.2)
+        .select("doc_id")
+        .hint("shuffle_hash"),
+        "doc_id",
+        "left_semi",
+    )
+    n0a = docs.count()
+
     # 0b. URL curation — the first pass a crawl pipeline runs, BEFORE
     # any content is read: dedupe by normalized URL (a page crawled
     # under http/https/www./?utm= variants is one page) and cap any
@@ -279,7 +320,8 @@ def main() -> None:
 
     release_minhash_caches()
     print(
-        f"raw={n0} url_curated={n0b} quality={n1} classifier={n1b} "
+        f"raw={n0} html_stripped={n0a} url_curated={n0b} quality={n1} "
+        f"classifier={n1b} "
         f"exact_dedup={n2} near_dup={n3} "
         f"containment={n3a} semantic_dedup={n3c} chunk_dedup={n3b} "
         f"decontaminated={n4} mixture={n4b} written={n5} "
