@@ -880,8 +880,11 @@ def html_text_extract(
     1. drop ``<script>``/``<style>`` blocks with their contents
        (non-greedy, case-insensitive, dotall — a script's body is not
        text) and HTML comments;
-    2. strip remaining tags (``<[^>]+>`` → space, so ``a<br>b`` stays
-       two words instead of fusing);
+    2. strip remaining tags — ``</?[a-zA-Z!][^>]*>`` → space, so
+       ``a<br>b`` stays two words instead of fusing, while a BARE
+       ``<`` in prose survives (``a < b and c > d`` keeps all four
+       words; the naive ``<[^>]+>`` would swallow ``< b and c >`` —
+       real tags always open with a letter, ``/`` or ``!``);
     3. decode the six entities that dominate real markup
        (``&lt; &gt; &quot; &#39; &nbsp; &amp;`` — ``&amp;`` LAST, see
        ``_HTML_ENTITIES``);
@@ -906,7 +909,7 @@ def html_text_extract(
     x = F.regexp_replace(x, r"(?is)<script[^>]*>.*?</script>", " ")
     x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style>", " ")
     x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
-    x = F.regexp_replace(x, r"<[^>]+>", " ")
+    x = F.regexp_replace(x, r"(?s)</?[a-zA-Z!][^>]*>", " ")
     for ent, ch in _HTML_ENTITIES:
         x = F.replace(x, F.lit(ent), F.lit(ch))
     x = F.trim(F.regexp_replace(x, r"\s+", " "))

@@ -6196,7 +6196,7 @@ s1 AS (
               regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gis'),
               '<style[^>]*>.*?</style>', ' ', 'gis'),
             '<!--.*?-->', ' ', 'gs'),
-          '<[^>]+>', ' ', 'g'),
+          '</?[a-zA-Z!][^>]*>', ' ', 'gs'),
         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
         '&nbsp;', ' '), '&amp;', '&'),
       '\s+', ' ', 'gs')) AS clean_text

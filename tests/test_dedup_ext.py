@@ -1743,6 +1743,7 @@ def test_html_text_extract_edges(spark):
             (1, "a<SCRIPT a=1>x\ny</script>b<script>z</script>c"),
             (2, "<style>p {color: red}</style>hello<!-- note -->world"),
             (3, "a<br>b<div class='x'>c</div>"),
+            (8, "a < b and c > d 1<3 <!DOCTYPE html>ok"),
             (4, "&lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y &amp;lt;"),
             (5, "   lots\n\tof    space   "),
             (6, None),
@@ -1755,6 +1756,8 @@ def test_html_text_extract_edges(spark):
     assert out[1]["clean_text"] == "a b c"
     assert out[2]["clean_text"] == "hello world"
     assert out[3]["clean_text"] == "a b c"
+    # bare '<' in prose survives; DOCTYPE and real tags do not
+    assert out[8]["clean_text"] == "a < b and c > d 1<3 ok"
     assert out[4]["clean_text"] == "<tag> \"q\" 's' x y &lt;"
     assert out[5]["clean_text"] == "lots of space"
     assert out[6]["clean_text"] is None
