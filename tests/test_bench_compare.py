@@ -49,3 +49,53 @@ def test_main_normalizes_by_calibration(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "host-shift factor (median calibration ratio): 2.000" in out
     assert "median NORMALIZED ratio: 1.000" in out
+
+
+def test_load_resolves_slim_artifact_via_detail_archive(tmp_path):
+    """r11+ bench lines are slim (the driver keeps only a 2000-char
+    stdout tail — r10's full line overflowed it and recorded
+    parsed=null): a BENCH_r{N}.json without queries_normalized must
+    resolve through the committed BENCH_DETAIL_r{N}.json next to it."""
+    slim = {"queries": {"q1": 1.0}, "detail": "bench_detail.json"}
+    detail = {"queries": {"q1": 1.0}, "queries_normalized": {"q1": 2.5}}
+    _write(tmp_path, "BENCH_DETAIL_r12.json", detail)
+    got = _load(_write(tmp_path, "BENCH_r12.json", {"parsed": slim}))
+    assert got == detail
+    # no archive -> the slim dict itself comes back
+    got2 = _load(_write(tmp_path, "BENCH_r13.json", {"parsed": slim}))
+    assert got2 == slim
+
+
+def test_main_normalized_verdict_and_watch_bar(tmp_path, capsys, monkeypatch):
+    """The standing verdict section prints the normalized-column table
+    and flags WATCH only when BOTH normalizations exceed 1.5x: q_slow
+    (2x on both) is flagged; q_chainy (2x throughput-normalized but
+    1.0x chain-normalized — an iterative query under barrier latency)
+    is NOT."""
+    from bench_compare import main
+
+    old = {
+        "queries": {"q_slow": 1.0, "q_chainy": 1.0, "q_ok": 1.0},
+        "calibration": {"cpu": 0.1},
+        "queries_normalized": {"q_slow": 1.0, "q_chainy": 1.0, "q_ok": 1.0},
+        "queries_normalized_chain": {"q_slow": 0.5, "q_chainy": 0.5,
+                                     "q_ok": 0.5},
+    }
+    new = {
+        "queries": {"q_slow": 2.0, "q_chainy": 2.0, "q_ok": 1.0},
+        "calibration": {"cpu": 0.1},
+        "queries_normalized": {"q_slow": 2.0, "q_chainy": 2.0, "q_ok": 1.0},
+        "queries_normalized_chain": {"q_slow": 1.0, "q_chainy": 0.5,
+                                     "q_ok": 0.5},
+    }
+    monkeypatch.setattr(sys, "argv", [
+        "bench_compare.py",
+        _write(tmp_path, "old.json", old),
+        _write(tmp_path, "new.json", new),
+    ])
+    assert main() == 0
+    out = capsys.readouterr().out
+    assert "normalized-column verdict" in out
+    assert "WATCH (>1.5x on BOTH normalizations" in out
+    watch_line = [l for l in out.splitlines() if l.startswith("WATCH")][0]
+    assert "q_slow" in watch_line and "q_chainy" not in watch_line

@@ -694,6 +694,47 @@ def test_url_dedup_domain_cap_property(spark, parts, cap):
         assert tuple(salted[i]) == tuple(got[i]), (i, salted[i], got[i])
 
 
+_html_chars = st.text(
+    alphabet="ab <>&/!-script=\"'\n.?;",
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(htmls=st.lists(_html_chars, min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_html_text_extract_property(spark, htmls):
+    """html_text_extract == the identical regex pipeline in python re,
+    on ADVERSARIAL strings (unclosed tags, bare '<'/'&', nested angle
+    brackets, half-written script blocks, newline runs): a third regex
+    engine agreeing with Spark's Java regex — the DuckDB RE2 oracle is
+    the second — pins the cross-engine semantics of every pattern."""
+    import re
+
+    from airflow_kafka_spark_spark.ext.textstats import (
+        _HTML_ENTITIES,
+        html_text_extract,
+    )
+
+    def ref(h):
+        x = re.sub(r"(?is)<script[^>]*>.*?</script>", " ", h)
+        x = re.sub(r"(?is)<style[^>]*>.*?</style>", " ", x)
+        x = re.sub(r"(?s)<!--.*?-->", " ", x)
+        x = re.sub(r"(?s)</?[a-zA-Z!][^>]*>", " ", x)
+        for ent, ch in _HTML_ENTITIES:
+            x = x.replace(ent, ch)
+        return re.sub(r"\s+", " ", x).strip()
+
+    rows = [(i, h) for i, h in enumerate(htmls)]
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r["doc_id"]: r for r in html_text_extract(docs).collect()}
+    for i, h in rows:
+        want = ref(h)
+        assert got[i]["clean_text"] == want, (repr(h), got[i], repr(want))
+        assert got[i]["raw_len"] == len(h)
+        assert got[i]["text_len"] == len(want)
+
+
 _weight_toks = st.sampled_from(["aa", "bb", "cc", "dd"])
 
 
