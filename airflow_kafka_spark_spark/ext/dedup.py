@@ -999,6 +999,16 @@ def url_dedup_domain_cap(
             ),
         )
     else:
+        # The rank rows and the offset aggregate both derive from
+        # `keepers`, and column pruning gives the two subtrees
+        # DIFFERENT schemas — AQE's stage dedup never fires (verified:
+        # no ReusedExchange, documents scanned + url-windowed twice).
+        # A LAZY localCheckpoint materializes keepers once on first
+        # use and both branches read the same blocks — no extra driver
+        # action, lineage truncated, and the duplicate corpus
+        # scan+shuffle is gone (at 100 TB that duplicate is a full
+        # extra pass over the corpus).
+        keepers = keepers.localCheckpoint(eager=False)
         # salt = a CONTIGUOUS range of the md5 sort key (bucket by its
         # first 16 bits), so per-bucket ranks offset-compose exactly
         p = int(salt_partitions)
