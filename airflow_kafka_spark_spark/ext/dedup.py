@@ -844,9 +844,11 @@ def url_dedup_domain_cap(
     TWO are, the last three (``a.co.uk`` and ``b.co.uk`` are distinct
     domains; ``cdn.a.co.uk`` groups under ``a.co.uk``); else the
     last-two-labels default (correct under every single-label TLD).
-    The suffix membership test compiles to a Catalyst ``InSet`` — a
-    pure-map predicate, NOT a join — so the zero-join plan shape is
-    preserved; a deployment shipping the full PSL extends the tuples.
+    The suffix lookup is two explicit-broadcast left joins against the
+    bundled table — bounded by contract at a few hundred rows, still
+    kilobytes with the full 9k-entry PSL; a deployment extends the
+    tuples. (An InSet literal was tried first and blew janino's 64 KB
+    generated-method limit on the salted path — see the code comment.)
 
     Keep policy, fully deterministic (RNG-free, partition-stable, the
     ``stratified_sample`` idiom): the URL keeper is the MIN id per
@@ -874,8 +876,9 @@ def url_dedup_domain_cap(
     over ALL rows with a conditional running count, the single-pass way
     to rank the keeper subset without a branch-and-union (non-keepers
     ride through with a NULL rank; re-running the url_norm window per
-    branch would double the dominant cost). No join anywhere — both
-    flags derive from windows over the same scan. The honest skew
+    branch would double the dominant cost). The only joins are the two
+    suffix broadcasts — both keep flags derive from windows over the
+    same scan. The honest skew
     exposure: the url_norm key has bounded fan-in (a URL repeats a
     handful of times), but one genuinely hot DOMAIN sorts in one
     partition — window partitions get no AQE skew-split.
@@ -1036,10 +1039,8 @@ def url_dedup_domain_cap(
         # keeper count per (domain, salt) -> running offset of EARLIER
         # buckets; domain×P rows, windowed per domain, then attached
         # back shuffle_hash-pinned (node-table attach: never let AQE
-        # broadcast-BUILD an unbounded side). Derived from `local`, not
-        # the pre-window frame: the groupBy keys equal the window
-        # partition keys, so the aggregate runs exchange-FREE on the
-        # window's output partitioning and documents scans ONCE.
+        # broadcast-BUILD an unbounded side). Both this aggregate and
+        # the rank rows read the checkpointed keepers blocks above.
         w_off = (
             Window.partitionBy("__dx", "__dk")
             .orderBy("__salt")
