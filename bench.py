@@ -248,6 +248,14 @@ def main() -> None:
             line = json.dumps(out)
             if len(line) <= 1950:
                 break
+    # Hard floor (ADVICE r11): if the headline-query dict itself grows
+    # past the guard, trim its longest-named tail entries rather than
+    # silently reproducing the r10 parsed=null hole — bench_detail.json
+    # always carries the full payload.
+    while len(line) > 1950 and out.get("queries"):
+        out["queries"].pop(max(out["queries"], key=len))
+        out["queries_truncated"] = True
+        line = json.dumps(out)
     print(line)
     spark.stop()
 
@@ -281,9 +289,14 @@ def _vs_prev_normalized(
 
     try:
         prevs = sorted(
-            f
-            for f in glob.glob("BENCH_r*.json")
-            if re.fullmatch(r"BENCH_r\d+\.json", f)
+            (
+                f
+                for f in glob.glob("BENCH_r*.json")
+                if re.fullmatch(r"BENCH_r\d+\.json", f)
+            ),
+            # numeric round order: lexicographic puts BENCH_r100 before
+            # BENCH_r11 (ADVICE r11)
+            key=lambda f: int(re.search(r"r(\d+)", f).group(1)),
         )
         if not prevs:
             return None

@@ -52,10 +52,12 @@ def parse_processed_records(records: DataFrame) -> DataFrame:
     ``date`` derived from ``time`` (the dashboard's
     ``pd.to_datetime(df['date'])``)."""
     return (
-        records.select(
-            F.from_json(F.col("value"), WIRE_VALUE_SCHEMA).alias("m")
+        records.withColumn("ingest_seq", F.monotonically_increasing_id())
+        .select(
+            F.from_json(F.col("value"), WIRE_VALUE_SCHEMA).alias("m"),
+            "ingest_seq",
         )
-        .select("m.*")
+        .select("m.*", "ingest_seq")
         .withColumn("date", F.to_date("time"))
     )
 
@@ -65,10 +67,14 @@ def symbol_frames(parsed: DataFrame) -> DataFrame:
     DataFrame holding every symbol's series with an in-symbol ``seq``
     order column (the dashboard's ``df.sort_values('date')``). A UI
     filters one symbol out and draws; sorting happens once here, in one
-    window shuffle, not per symbol driver-side."""
+    window shuffle, not per symbol driver-side.
+
+    ``ingest_seq`` breaks day-granular ``date`` ties in arrival order —
+    the reference app's pandas sort is stable, so two messages for one
+    symbol-day keep their arrival order there too (app.py:113,365)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("symbol").orderBy("date")
+    w = Window.partitionBy("symbol").orderBy("date", "ingest_seq")
     return parsed.withColumn("seq", F.row_number().over(w))
 
 
@@ -87,7 +93,11 @@ def metric_tiles(parsed: DataFrame) -> DataFrame:
     """
     from airflow_kafka_spark_spark.functions.windows import last_per_key
 
-    last = last_per_key(parsed, ["symbol"], [F.col("date")])
+    # ingest_seq tiebreak: "last row" for a symbol-day means last
+    # ARRIVED, matching the app's stable fold (ADVICE r11)
+    last = last_per_key(
+        parsed, ["symbol"], [F.col("date"), F.col("ingest_seq")]
+    )
     sugg = F.col("suggestion")
     rsi = F.col("rsi")
     delta = F.col("macd_line") - F.col("macd_signal")

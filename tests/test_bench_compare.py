@@ -99,3 +99,25 @@ def test_main_normalized_verdict_and_watch_bar(tmp_path, capsys, monkeypatch):
     assert "WATCH (>1.5x on BOTH normalizations" in out
     watch_line = [l for l in out.splitlines() if l.startswith("WATCH")][0]
     assert "q_slow" in watch_line and "q_chainy" not in watch_line
+
+
+def test_vs_prev_picks_numerically_newest_round(tmp_path, monkeypatch):
+    """bench.py's vs-prev baseline must be the numerically newest
+    BENCH_r*.json: lexicographic sorted() puts BENCH_r100 before
+    BENCH_r11 (ADVICE r11), silently comparing against a stale round."""
+    import bench
+
+    for n, val in (("11", 1.0), ("100", 2.0)):
+        (tmp_path / f"BENCH_r{n}.json").write_text(
+            json.dumps(
+                {
+                    "sf": 0.1,
+                    "queries_normalized": {"q1": val},
+                    "queries_normalized_chain": {"q1": val},
+                }
+            )
+        )
+    monkeypatch.chdir(tmp_path)
+    got = bench._vs_prev_normalized({"q1": 2.0}, {"q1": 2.0}, 0.1)
+    assert got["prev"] == "BENCH_r100.json"
+    assert got["median_normalized_ratio"] == 1.0

@@ -274,6 +274,43 @@ def test_dashboard_feed_contract(spark):
     assert t["macd_delta"] is None and t["macd_delta_color"] == "inverse"
 
 
+def test_dashboard_feed_same_day_tiebreak(spark):
+    """Two messages for one symbol-day: the wire ``time`` is
+    day-granular, so without a tiebreak the tile's 'last row' is
+    nondeterministic (ADVICE r11). The engine stamps an arrival-order
+    ``ingest_seq`` at parse time — the LATER-ARRIVING message wins the
+    tile and sorts later in the chart frame, matching the reference
+    app's stable pandas fold (app.py:113,365)."""
+    import json
+
+    mod = _load_dashboard_feed()
+
+    def msg(close, sugg):
+        return json.dumps(
+            {
+                "symbol": "AAA", "time": "2024-01-02", "open": close,
+                "high": close, "low": close, "close": close,
+                "volume": 10.0, "current_price": close, "ma5": 1.0,
+                "ma20": 2.0, "rsi": 50.0, "macd_line": 1.0,
+                "macd_signal": 1.0, "macd_histogram": 0.0,
+                "suggestion": sugg, "reason": "r",
+            }
+        )
+
+    records = spark.createDataFrame(
+        [("AAA", msg(10.0, "HOLD")), ("AAA", msg(11.0, "WATCH/BUY"))],
+        "key string, value string",
+    ).coalesce(1)
+    parsed = mod.parse_processed_records(records)
+    tile = mod.metric_tiles(parsed).collect()[0]
+    assert tile["current_price"] == 11.0 and tile["suggestion_color"] == "green"
+    seqs = [
+        (r["seq"], r["close"])
+        for r in mod.symbol_frames(parsed).orderBy("seq").collect()
+    ]
+    assert seqs == [(1, 10.0), (2, 11.0)]
+
+
 def test_dashboard_feed_end_to_end_wire_roundtrip(spark):
     """The example's producer-side replay: engine pipeline -> 16-field
     wire format -> parse -> tiles gives exactly one tile per symbol and
