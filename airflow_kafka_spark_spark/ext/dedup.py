@@ -821,6 +821,38 @@ _PUBLIC_SUFFIXES_3 = (
     "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au", "sa.edu.au",
     "tas.edu.au", "vic.edu.au", "wa.edu.au",
 )
+# PSL PRIVATE section (same publicsuffix.org file, below the
+# "===BEGIN PRIVATE DOMAINS===" marker): platform suffixes under which
+# INDEPENDENT users register sites. Without these, every user site on
+# a platform pools under one capped pseudo-domain (alice.github.io and
+# bob.github.io would share registered domain "github.io" and the
+# per-domain cap would silently discard most platform-hosted content —
+# the r11-verdict data-loss class, one tier beyond the ccTLD fix).
+_PRIVATE_SUFFIXES_2 = (
+    # code-hosting pages
+    "github.io", "githubusercontent.com", "gitlab.io", "bitbucket.io",
+    # Google / Blogger
+    "blogspot.com", "appspot.com", "web.app", "firebaseapp.com",
+    # PaaS / static-site hosts
+    "herokuapp.com", "netlify.app", "vercel.app", "onrender.com",
+    "fly.dev", "pages.dev", "workers.dev", "glitch.me", "surge.sh",
+    "repl.co", "readthedocs.io", "neocities.org", "webflow.io",
+    # site builders / blogs
+    "wordpress.com", "weebly.com", "wixsite.com",
+    # cloud infra tenant hosts
+    "azurewebsites.net", "cloudapp.net", "cloudfront.net", "ngrok.io",
+    # dynamic-DNS tenants
+    "duckdns.org",
+)
+_PRIVATE_SUFFIXES_3 = (
+    # AWS S3 website/bucket hosts (per-bucket registrants)
+    "s3.amazonaws.com", "s3-website-us-east-1.amazonaws.com",
+    # Blogger ccTLD mirrors
+    "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br",
+)
+# the lookup tables the engine joins against: ICANN + private sections
+_SUFFIXES_2 = _PUBLIC_SUFFIXES_2 + _PRIVATE_SUFFIXES_2
+_SUFFIXES_3 = _PUBLIC_SUFFIXES_3 + _PRIVATE_SUFFIXES_3
 
 
 def url_dedup_domain_cap(
@@ -838,8 +870,11 @@ def url_dedup_domain_cap(
     Normalization (pure map, zero Exchange): lowercase; strip the
     scheme; strip query string and fragment; strip ONE leading ``www.``
     label; strip a trailing slash. The registered domain follows the
-    public-suffix algorithm over the bundled PSL subset
-    (``_PUBLIC_SUFFIXES_2/3``): if the host's last THREE labels are a
+    public-suffix algorithm over the bundled PSL subset — ICANN
+    multi-label suffixes PLUS the private platform section
+    (``_SUFFIXES_2/3``; ``alice.github.io`` and ``bob.github.io`` are
+    distinct registered domains, not one pooled ``github.io``): if the
+    host's last THREE labels are a
     public suffix, the domain is the last four labels; else if the last
     TWO are, the last three (``a.co.uk`` and ``b.co.uk`` are distinct
     domains; ``cdn.a.co.uk`` groups under ``a.co.uk``); else the
@@ -946,10 +981,10 @@ def url_dedup_domain_cap(
     # exactly when url_norm is — the no-url keep-exempt rows)
     spark = docs.sparkSession
     s2df = spark.createDataFrame(
-        [(s,) for s in _PUBLIC_SUFFIXES_2], "__psl2 string"
+        [(s,) for s in _SUFFIXES_2], "__psl2 string"
     )
     s3df = spark.createDataFrame(
-        [(s,) for s in _PUBLIC_SUFFIXES_3], "__psl3 string"
+        [(s,) for s in _SUFFIXES_3], "__psl3 string"
     )
     staged = staged.join(
         F.broadcast(s2df), staged["__l2"] == s2df["__psl2"], "left"

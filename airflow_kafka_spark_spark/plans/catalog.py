@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ext.dedup import (
-    _PUBLIC_SUFFIXES_2,
-    _PUBLIC_SUFFIXES_3,
+    _SUFFIXES_2,
+    _SUFFIXES_3,
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -6222,12 +6222,20 @@ def _url_dedup_urls():
     ``source.co.uk``, which the public-suffix tiers must group under
     the same 3-label registered domain (a last-two-labels regex would
     pool EVERY source into one "co.uk" pseudo-domain — the r10-verdict
-    data-loss class this entry now proves fixed)."""
+    data-loss class this entry now proves fixed); variants 6/7 are PSL
+    PRIVATE-section platform hosts — ``source.github.io`` (2-label
+    private suffix → 3-label registered domain, so each source's user
+    site is its OWN domain, not one pooled "github.io") and a ``www.``
+    -bearing ``source.s3.amazonaws.com`` bucket host (3-label private
+    suffix → 4-label registered domain) — the r11-verdict pooling
+    class."""
     j = F.expr("doc_id div 20")
     host = F.concat(F.col("source"), F.lit(".com"))
     cchost = F.concat(F.col("source"), F.lit(".co.uk"))
+    ghhost = F.concat(F.col("source"), F.lit(".github.io"))
+    s3host = F.concat(F.col("source"), F.lit(".s3.amazonaws.com"))
     path = F.concat(F.lit("/p/"), (j % 5).cast("string"))
-    variant = j % 6
+    variant = j % 8
     return (
         F.when(
             variant == 0,
@@ -6245,6 +6253,11 @@ def _url_dedup_urls():
         .when(
             variant == 5,
             F.concat(F.lit("https://cdn."), cchost, path, F.lit("/")),
+        )
+        .when(variant == 6, F.concat(F.lit("https://"), ghhost, path))
+        .when(
+            variant == 7,
+            F.concat(F.lit("http://www."), s3host, path, F.lit("?s=1")),
         )
         .otherwise(F.concat(F.lit("https://"), host, path))
     )
@@ -6330,9 +6343,12 @@ def q_url_dedup(spark, sf_dir):
     scheme/query/fragment/www./trailing slash), keep the min-id doc per
     normalized URL, and cap each registered domain at 3 keepers in
     deterministic md5(id) order. Registered domains follow the bundled
-    public-suffix tiers (``a.co.uk`` ≠ ``b.co.uk``; ``cdn.a.co.uk``
-    groups under ``a.co.uk``) — see ``_url_dedup_urls`` for the derived
-    URL mix. Pure-map normalization + two keyed windows, no join."""
+    public-suffix tiers, ICANN + PRIVATE sections (``a.co.uk`` ≠
+    ``b.co.uk``; ``cdn.a.co.uk`` groups under ``a.co.uk``;
+    ``alice.github.io`` ≠ ``bob.github.io``; a ``source.s3.amazonaws
+    .com`` bucket is its own 4-label domain) — see ``_url_dedup_urls``
+    for the derived URL mix. Pure-map normalization + two broadcast
+    suffix lookups + two keyed windows."""
     from ..ext.dedup import url_dedup_domain_cap
 
     docs = load_table(spark, sf_dir, "documents")
@@ -6356,13 +6372,13 @@ def q_url_dedup_salted(spark, sf_dir):
     )
 
 
-_PSL2_SQL = ", ".join(f"'{s}'" for s in _PUBLIC_SUFFIXES_2)
-_PSL3_SQL = ", ".join(f"'{s}'" for s in _PUBLIC_SUFFIXES_3)
+_PSL2_SQL = ", ".join(f"'{s}'" for s in _SUFFIXES_2)
+_PSL3_SQL = ", ".join(f"'{s}'" for s in _SUFFIXES_3)
 
 SQL_URL_DEDUP = rf"""
 WITH u AS (
   SELECT doc_id,
-    CASE CAST((doc_id // 20) % 6 AS INTEGER)
+    CASE CAST((doc_id // 20) % 8 AS INTEGER)
       WHEN 0 THEN 'HTTPS://WWW.' || upper(source || '.com')
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
       WHEN 1 THEN 'http://' || source || '.com'
@@ -6374,6 +6390,10 @@ WITH u AS (
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
       WHEN 5 THEN 'https://cdn.' || source || '.co.uk'
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
+      WHEN 6 THEN 'https://' || source || '.github.io'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
+      WHEN 7 THEN 'http://www.' || source || '.s3.amazonaws.com'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '?s=1'
       ELSE 'https://' || source || '.com'
            || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
     END AS url

@@ -1638,6 +1638,45 @@ def test_url_dedup_public_suffix_registered_domains(spark):
     assert all(r["kept"] == 1 for r in out.values())  # all distinct URLs
 
 
+def test_url_dedup_psl_private_section_platform_domains(spark):
+    """PSL PRIVATE section (VERDICT r11 item 2): user sites on a
+    hosting platform are DISTINCT registered domains —
+    alice.github.io ≠ bob.github.io (pre-fix both pooled under one
+    capped 'github.io' pseudo-domain, silently discarding most
+    platform-hosted content); a subdomain still groups under its user
+    site; 3-label private suffixes (s3.amazonaws.com,
+    blogspot.co.uk) yield 4-label domains; a platform apex host stays
+    its own domain."""
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://alice.github.io/p"),
+            (2, "https://bob.github.io/p"),
+            (3, "https://cdn.alice.github.io/img"),
+            (4, "https://www.alice.github.io/about"),  # www. stripped
+            (5, "https://mysite.herokuapp.com/api"),
+            (6, "https://data.s3.amazonaws.com/key"),
+            (7, "https://assets.data.s3.amazonaws.com/key"),
+            (8, "https://alice.blogspot.co.uk/post"),
+            (9, "https://github.io/odd"),              # bare suffix host
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in url_dedup_domain_cap(docs, cap=9).collect()}
+
+    assert out[1]["domain"] == "alice.github.io"
+    assert out[2]["domain"] == "bob.github.io"        # NOT pooled with 1
+    assert out[3]["domain"] == "alice.github.io"      # subdomain groups
+    assert out[4]["domain"] == "alice.github.io"
+    assert out[5]["domain"] == "mysite.herokuapp.com"
+    assert out[6]["domain"] == "data.s3.amazonaws.com"  # 3-label private
+    assert out[7]["domain"] == "data.s3.amazonaws.com"
+    assert out[8]["domain"] == "alice.blogspot.co.uk"
+    assert out[9]["domain"] == "github.io"            # own domain, not ''
+    assert all(r["kept"] == 1 for r in out.values())
+
+
 def test_url_dedup_empty_host_cap_exempt_still_dedups(spark):
     """ADVICE r10: a URL whose host normalizes to EMPTY
     ('https:///path' -> url_norm '/path') carries no domain evidence —

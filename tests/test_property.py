@@ -612,7 +612,14 @@ _urls = st.lists(
         st.sampled_from(["http://", "https://", "HTTPS://", ""]),   # scheme
         st.sampled_from(["", "www.", "WWW.", "cdn."]),              # sub
         st.sampled_from(                                            # reg domain
-            ["alpha.com", "beta.org", "gamma.co.uk", "delta.k12.ca.us"]
+            [
+                "alpha.com",
+                "beta.org",
+                "gamma.co.uk",
+                "delta.k12.ca.us",
+                "eps.github.io",              # PSL private, 2-label
+                "zeta.s3.amazonaws.com",      # PSL private, 3-label
+            ]
         ),
         st.sampled_from(["/a", "/a/", "/b", ""]),                   # path
         st.sampled_from(["", "?q=1", "#f", "?q=1#f"]),              # junk
@@ -652,15 +659,15 @@ def test_url_dedup_domain_cap_property(spark, parts, cap):
     def domain(u):
         # the public-suffix tier algorithm, independently re-derived
         from airflow_kafka_spark_spark.ext.dedup import (
-            _PUBLIC_SUFFIXES_2,
-            _PUBLIC_SUFFIXES_3,
+            _SUFFIXES_2,
+            _SUFFIXES_3,
         )
 
         host = re.match(r"^([^/]*)", u).group(1)
         labels = host.split(".")
-        if len(labels) >= 4 and ".".join(labels[-3:]) in _PUBLIC_SUFFIXES_3:
+        if len(labels) >= 4 and ".".join(labels[-3:]) in _SUFFIXES_3:
             return ".".join(labels[-4:])
-        if len(labels) >= 3 and ".".join(labels[-2:]) in _PUBLIC_SUFFIXES_2:
+        if len(labels) >= 3 and ".".join(labels[-2:]) in _SUFFIXES_2:
             return ".".join(labels[-3:])
         m = re.search(r"([^.]+\.[^.]+)$", host)
         return m.group(1) if m else host
