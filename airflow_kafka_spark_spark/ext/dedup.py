@@ -928,11 +928,16 @@ def url_dedup_domain_cap(
     shuffle_hash-pinned equi-join — the node-table-attach rule). The
     output is BIT-IDENTICAL to the unsalted path (the `url_dedup_salted`
     catalog entry certifies it against the same oracle SQL) while each
-    sort partition holds ~1/P of the hottest domain. Measured honestly:
-    on the UNskewed sf0.1 fixture the two-phase shape costs ~1.4x the
-    single window (1.35 -> 1.86 s min-of-3, P=8) — the knob is for
-    corpora where one domain dominates a partition-sized share, not a
-    default.
+    sort partition holds ~1/P of the hottest domain. Measured both
+    ways (bench_scale `url_dedup_salted_skew`, same-run face-offs):
+    on an UNskewed sf0.1 fixture the two-phase shape costs ~1.4x the
+    single window (1.35 -> 1.86 s min-of-3, P=8); on a PLANTED hot
+    domain holding 40% of a 3.2M-row corpus it wins 1.6x at P=8 and
+    1.9x at P=32 (10.4 -> 6.3 -> 5.6 s best-of-2) — turn the knob on
+    when one domain's keeper count approaches a sort-partition-sized
+    corpus share (the win grows with the hot share; at 100 TB the
+    unsalted hot sort is a single-task straggler), leave it off
+    otherwise.
     """
     from pyspark.sql import Window
 

@@ -131,6 +131,61 @@ def main() -> None:
             "docs_per_sec": round(n / dt),
         }
 
+    # salted two-phase domain cap on a PLANTED hot domain (VERDICT r11
+    # item 3): 40% of a 3.2M-row corpus under ONE registered domain
+    # (distinct URLs, so every row is a keeper entering the domain
+    # window), the rest spread over ~5000 cold domains. The unsalted
+    # window sorts the hot domain in ONE task while 31 cores idle;
+    # salt P splits it into contiguous md5 ranges. Same-run face-off
+    # (raw seconds comparable — the cross-round caveat doesn't apply),
+    # best-of-2 per P. The companion cost number is the UNskewed
+    # 1.4x overhead in url_dedup_domain_cap's docstring: together they
+    # are the knob's usage guidance — turn it on when one domain holds
+    # a partition-sized corpus share, leave it off otherwise.
+    salted_skew_results = {}
+    skew_ids = (
+        docs.select("doc_id")
+        .crossJoin(spark.range(640).select(F.col("id").alias("rep")))
+        .select((F.col("doc_id") + did_shift * F.col("rep")).alias("doc_id"))
+    )
+    hot = (F.col("doc_id") % 5) < 2
+    skew_url = F.when(
+        hot,
+        F.concat(
+            F.lit("https://hot.example.com/p/"), F.col("doc_id").cast("string")
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://src"),
+            (F.col("doc_id") % 5000).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    skew_frame = (
+        skew_ids.withColumn("url", skew_url).repartition(32).localCheckpoint()
+    )
+    n_skew = skew_frame.count()
+    kept_by_p = {}
+    for p in (None, 1, 8, 32):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = url_dedup_domain_cap(skew_frame, cap=5, salt_partitions=p)
+            kept = out.agg(F.sum("kept")).first()[0]
+            best = min(best, time.perf_counter() - t0)
+        kept_by_p[p] = kept
+        salted_skew_results[f"P={p or 'off'}"] = {
+            "docs": n_skew,
+            "sec": round(best, 3),
+            "speedup_vs_off": None,
+        }
+    # the salted paths must agree with the unsalted keep decision
+    assert len(set(kept_by_p.values())) == 1, kept_by_p
+    off = salted_skew_results["P=off"]["sec"]
+    for v in salted_skew_results.values():
+        v["speedup_vs_off"] = round(off / v["sec"], 2)
+
     # linear quality-classifier inference (r10): one explode + broadcast
     # vocab join + one agg + pinned attach join. The model is fixed-size
     # (broadcast), so scaling is pure corpus throughput. ONE model
@@ -811,6 +866,7 @@ def main() -> None:
                 "minhash_scaling": dedup_results,
                 "chunk_dedup_scaling": chunk_results,
                 "url_dedup_scaling": url_results,
+                "url_dedup_salted_skew": salted_skew_results,
                 "quality_classifier_scaling": clf_results,
                 "pq_encode_scaling": pq_results,
                 "ann_serving_batch": ann_results,
