@@ -753,6 +753,47 @@ def dsir_importance(
     )
 
 
+def _with_char_ngrams(toks, char_ngrams, caller: str):
+    """The fastText-style subword expansion shared by the linear
+    classifiers: every contiguous within-token substring of length
+    lo..hi becomes an additional feature array concatenated onto the
+    token array BEFORE the single explode. Pure HOF arithmetic — the
+    caller's plan keeps exactly ONE Generate."""
+    if char_ngrams is None:
+        return toks
+    lo, hi = int(char_ngrams[0]), int(char_ngrams[1])
+    if not 1 <= lo <= hi:
+        raise ValueError(
+            f"{caller}: char_ngrams must be (lo, hi) "
+            f"with 1 <= lo <= hi — got {char_ngrams!r}"
+        )
+
+    def grams_of(n):
+        # sequence's stop is clamped to >= 1 (a descending
+        # sequence(1, 0) would enumerate backwards, not empty);
+        # the length filter drops the sub-length gram a too-short
+        # token would otherwise emit through that clamp
+        return F.flatten(
+            F.transform(
+                toks,
+                lambda tok: F.filter(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(
+                                F.length(tok) - F.lit(n - 1), F.lit(1)
+                            ),
+                        ),
+                        lambda i: tok.substr(i, F.lit(n)),
+                    ),
+                    lambda g: F.length(g) == n,
+                ),
+            )
+        )
+
+    return F.concat(toks, *[grams_of(n) for n in range(lo, hi + 1)])
+
+
 def linear_quality_scores(
     docs: DataFrame,
     weights: list[tuple[str, int]],
@@ -802,40 +843,9 @@ def linear_quality_scores(
     w = spark.createDataFrame(
         [(str(t), int(v)) for t, v in weights], "__tok string, __w long"
     )
-    toks = tokens(F.col(text_col))
-    feats = toks
-    if char_ngrams is not None:
-        lo, hi = int(char_ngrams[0]), int(char_ngrams[1])
-        if not 1 <= lo <= hi:
-            raise ValueError(
-                f"linear_quality_scores: char_ngrams must be (lo, hi) "
-                f"with 1 <= lo <= hi — got {char_ngrams!r}"
-            )
-
-        def grams_of(n):
-            # sequence's stop is clamped to >= 1 (a descending
-            # sequence(1, 0) would enumerate backwards, not empty);
-            # the length filter drops the sub-length gram a too-short
-            # token would otherwise emit through that clamp
-            return F.flatten(
-                F.transform(
-                    toks,
-                    lambda tok: F.filter(
-                        F.transform(
-                            F.sequence(
-                                F.lit(1),
-                                F.greatest(
-                                    F.length(tok) - F.lit(n - 1), F.lit(1)
-                                ),
-                            ),
-                            lambda i: tok.substr(i, F.lit(n)),
-                        ),
-                        lambda g: F.length(g) == n,
-                    ),
-                )
-            )
-
-        feats = F.concat(toks, *[grams_of(n) for n in range(lo, hi + 1)])
+    feats = _with_char_ngrams(
+        tokens(F.col(text_col)), char_ngrams, "linear_quality_scores"
+    )
     ex = docs.select(F.col(id_col), F.explode(feats).alias("__tok"))
     scored = (
         ex.join(F.broadcast(w), "__tok")
@@ -850,6 +860,94 @@ def linear_quality_scores(
             F.col(id_col),
             score.cast("long").alias("quality_score"),
             (score >= F.lit(int(threshold))).cast("int").alias("kept"),
+        )
+    )
+
+
+def language_id_scores(
+    docs: DataFrame,
+    lang_weights: dict[str, list[tuple[str, int]]],
+    biases: dict[str, int] | None = None,
+    keep_langs: tuple[str, ...] | None = None,
+    min_margin: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    char_ngrams: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Per-document language-ID gate — the pass every real curation
+    pipeline runs BEFORE quality scoring (CCNet langid.py/fastText,
+    Wenzek et al. 2020; RefinedWeb gates on the predicted language +
+    classifier confidence). The engine-side op is multi-class linear
+    inference: k integer-quantized bag-of-words models (one per
+    language, same quantization contract as ``linear_quality_scores``
+    — ship round(w · 10^s) BIGINTs, never floats), argmax over the k
+    BIGINT dot products with ties broken by DECLARED language order.
+
+    Scale shape — identical to the binary classifier, the k classes
+    ride the SAME scan: one tokenize-explode (plus the shared
+    ``char_ngrams`` subword expansion — still exactly ONE Generate),
+    ONE broadcast join against a vocab-sized table carrying k weight
+    COLUMNS (the union of the per-language vocabularies; a token
+    absent from language L's model carries weight 0 in L's column),
+    ONE per-doc hash aggregate producing the k sums, and the pinned
+    shuffle_hash attach join that puts back no-vocab docs (they score
+    bias-only in every language — the argmax then falls to biases,
+    ties to the first declared language).
+
+    Output: ``(doc_id, lang STRING, lang_score BIGINT, margin BIGINT,
+    kept INT)`` where margin = best − second-best (the integer
+    confidence a gate thresholds on) and kept = 1 iff the predicted
+    language is in ``keep_langs`` (None = all) AND margin ≥
+    ``min_margin``. Needs ≥ 2 languages (margin is undefined for 1).
+    """
+    langs = list(lang_weights)
+    if len(langs) < 2:
+        raise ValueError(
+            f"language_id_scores: need >= 2 languages, got {langs!r}"
+        )
+    spark = docs.sparkSession
+    k = len(langs)
+    by_tok: dict[str, list[int]] = {}
+    for i, lang in enumerate(langs):
+        for tok, wt in lang_weights[lang]:
+            by_tok.setdefault(str(tok), [0] * k)[i] += int(wt)
+    w = spark.createDataFrame(
+        [(t, *ws) for t, ws in sorted(by_tok.items())],
+        "__tok string, " + ", ".join(f"__w{i} long" for i in range(k)),
+    )
+    feats = _with_char_ngrams(
+        tokens(F.col(text_col)), char_ngrams, "language_id_scores"
+    )
+    ex = docs.select(F.col(id_col), F.explode(feats).alias("__tok"))
+    scored = (
+        ex.join(F.broadcast(w), "__tok")
+        .groupBy(id_col)
+        .agg(*[F.sum(f"__w{i}").alias(f"__s{i}") for i in range(k)])
+    )
+    bias = {lang: int((biases or {}).get(lang, 0)) for lang in langs}
+    scores = [
+        F.coalesce(F.col(f"__s{i}"), F.lit(0)) + F.lit(bias[langs[i]])
+        for i in range(k)
+    ]
+    arr = F.array(*scores)
+    best = F.array_max(arr)
+    second = F.sort_array(arr, asc=False).getItem(1)
+    pick = F.when(scores[0] == best, F.lit(langs[0]))
+    for i in range(1, k):
+        pick = pick.when(scores[i] == best, F.lit(langs[i]))
+    margin = (best - second).cast("long")
+    gate = margin >= F.lit(int(min_margin))
+    if keep_langs is not None:
+        gate = gate & pick.isin([str(x) for x in keep_langs])
+    return (
+        docs.select(id_col)
+        .join(scored.hint("shuffle_hash"), id_col, "left")
+        .select(
+            F.col(id_col),
+            pick.alias("lang"),
+            best.cast("long").alias("lang_score"),
+            margin.alias("margin"),
+            gate.cast("int").alias("kept"),
         )
     )
 

@@ -6337,6 +6337,138 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+# Per-language marker tokens planted into a derived text column: the
+# documents fixture's text is language-NEUTRAL (one shared synthetic
+# vocabulary) while its `lang` column is ground truth, so the entry
+# appends each doc's language markers (three repeats — far above the
+# shared-vocab noise weights) except for the doc_id%10==7 holdout,
+# which flows through the no-marker path (bias-dominated argmax).
+# Markers are NON-vocabulary words; the shared-vocab noise weights
+# below exercise cross-language scoring on natural text.
+_LANG_ID_ORDER = ("en", "de", "es", "fr", "zh")
+_LANG_ID_MARKERS = {
+    "en": "therefore with from",
+    "de": "und der nicht",
+    "es": "que los para",
+    "fr": "les est dans",
+    "zh": "shi bu hen",
+}
+_LANG_ID_WEIGHTS = {
+    lang: [(m, 100) for m in _LANG_ID_MARKERS[lang].split(" ")]
+    for lang in _LANG_ID_ORDER
+}
+_LANG_ID_WEIGHTS["en"] += [("hash", 3), ("order", 2)]
+_LANG_ID_WEIGHTS["de"] += [("agg", 2), ("vector", 3)]
+_LANG_ID_WEIGHTS["es"] += [("slow", 2), ("merge", 3)]
+_LANG_ID_WEIGHTS["fr"] += [("scan", 3), ("small", 2)]
+_LANG_ID_WEIGHTS["zh"] += [("join", 2), ("customer", 3)]
+_LANG_ID_BIASES = {"en": 5, "de": 4, "es": 3, "fr": 2, "zh": 1}
+
+
+def _lang_id_planted_text():
+    mk = F.when(F.col("lang") == _LANG_ID_ORDER[0],
+                F.lit(_LANG_ID_MARKERS[_LANG_ID_ORDER[0]]))
+    for lang in _LANG_ID_ORDER[1:]:
+        mk = mk.when(F.col("lang") == lang, F.lit(_LANG_ID_MARKERS[lang]))
+    return F.when((F.col("doc_id") % 10) == 7, F.col("text")).otherwise(
+        F.concat_ws(" ", F.col("text"), mk, mk, mk)
+    )
+
+
+def q_language_id(spark, sf_dir):
+    """Per-doc language-ID gate (ext.textstats.language_id_scores —
+    VERDICT r11 item 4): multi-class linear inference, the CCNet
+    langid.py/fastText analogue, riding the linear_quality_scores
+    machinery — one explode, ONE broadcast join against a vocab-sized
+    table with k weight COLUMNS, one conditional aggregate producing
+    k BIGINT dot products, argmax with declared-order tie-break,
+    margin = best − second, gate = lang ∈ {en, de} AND margin ≥ 50.
+    Integer-quantized weights/biases → bit-exact on any engine. The
+    planted-marker derivation is `_lang_id_planted_text`; the
+    doc_id%10==7 holdout exercises the no-marker bias path."""
+    from ..ext.textstats import language_id_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id_scores(
+        docs.withColumn("text", _lang_id_planted_text()),
+        _LANG_ID_WEIGHTS,
+        biases=_LANG_ID_BIASES,
+        keep_langs=("en", "de"),
+        min_margin=50,
+    )
+
+
+def _lang_id_sql_values() -> str:
+    by_tok: dict[str, list[int]] = {}
+    for i, lang in enumerate(_LANG_ID_ORDER):
+        for tok, w in _LANG_ID_WEIGHTS[lang]:
+            by_tok.setdefault(tok, [0] * len(_LANG_ID_ORDER))[i] += w
+    return ", ".join(
+        f"('{t}', {', '.join(str(x) for x in ws)})"
+        for t, ws in sorted(by_tok.items())
+    )
+
+
+_LANG_ID_MK_SQL = " ".join(
+    f"WHEN '{lang}' THEN '{_LANG_ID_MARKERS[lang]}'"
+    for lang in _LANG_ID_ORDER
+)
+_LANG_ID_PICK_SQL = (
+    " ".join(
+        f"WHEN b_{lang} = best THEN '{lang}'"
+        for lang in _LANG_ID_ORDER[:-1]
+    )
+    + f" ELSE '{_LANG_ID_ORDER[-1]}'"
+)
+
+SQL_LANGUAGE_ID = f"""
+WITH w(tok, {", ".join(f"w_{lang}" for lang in _LANG_ID_ORDER)}) AS (
+  VALUES {_lang_id_sql_values()}
+),
+m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 7 THEN text
+         ELSE text || ' ' || mk || ' ' || mk || ' ' || mk END AS text
+  FROM (SELECT doc_id, text,
+               CASE lang {_LANG_ID_MK_SQL} END AS mk
+        FROM documents)
+),
+tox AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM m
+),
+sums AS (
+  SELECT t.doc_id,
+    {", ".join(f"CAST(SUM(w.w_{lang}) AS BIGINT) AS s_{lang}" for lang in _LANG_ID_ORDER)}
+  FROM tox t JOIN w ON t.tok = w.tok
+  GROUP BY t.doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+    {", ".join(f"COALESCE(s.s_{lang}, 0) + {_LANG_ID_BIASES[lang]} AS b_{lang}" for lang in _LANG_ID_ORDER)}
+  FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id
+),
+fin AS (
+  SELECT doc_id, {", ".join(f"b_{lang}" for lang in _LANG_ID_ORDER)},
+    greatest({", ".join(f"b_{lang}" for lang in _LANG_ID_ORDER)}) AS best,
+    list_reverse_sort(
+      [{", ".join(f"b_{lang}" for lang in _LANG_ID_ORDER)}]
+    )[2] AS second
+  FROM scored
+),
+picked AS (
+  SELECT doc_id,
+    CASE {_LANG_ID_PICK_SQL} END AS lang,
+    CAST(best AS BIGINT) AS lang_score,
+    CAST(best - second AS BIGINT) AS margin
+  FROM fin
+)
+SELECT doc_id, lang, lang_score, margin,
+  CAST(CASE WHEN margin >= 50 AND lang IN ('en', 'de')
+       THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM picked
+"""
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level dedup + per-domain cap (ext.dedup.url_dedup_domain_cap):
     the RefinedWeb web-curation passes — normalize (lowercase, strip
@@ -6627,6 +6759,7 @@ CATALOG: dict[str, Query] = {
     "quality_classifier_ngram": Query(
         q_quality_classifier_ngram, SQL_QUALITY_CLASSIFIER_NGRAM
     ),
+    "language_id": Query(q_language_id, SQL_LANGUAGE_ID),
     "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
     "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
     # the salted two-phase domain rank against the SAME oracle —

@@ -726,6 +726,22 @@ def test_quality_classifier_ngram_same_shape_one_generate(spark):
         assert "ExistingRDD" in sub, sub
 
 
+def test_language_id_same_shape_one_generate(spark):
+    """Multi-class language ID (VERDICT r11 item 4) must keep the
+    binary classifier's plan class — the k classes ride the SAME scan:
+    exactly one Generate, the k-column vocab table is the only
+    broadcast build, one conditional aggregate (k sums in one
+    hashpartitioning), shuffled-hash attach."""
+    s = _explain(CATALOG["language_id"].fn(spark, SF_DIR))
+    assert s.count("Generate") == 1, s
+    assert "BroadcastHashJoin" in s, s
+    assert "ShuffledHashJoin" in s, s
+    assert s.count("hashpartitioning") == 2, s
+    for sub in _broadcast_subtrees(s):
+        assert "documents" not in sub, f"corpus under BroadcastExchange:\n{sub}"
+        assert "ExistingRDD" in sub, sub
+
+
 def test_url_dedup_map_normalize_two_window_exchanges(spark):
     """URL dedup + domain cap (VERDICT r9 item 5, r10 item 1):
     normalization is map-shaped over one documents scan, both keep
