@@ -8,6 +8,11 @@ double division keep results bit-identical to the SQL oracle.
 
 from __future__ import annotations
 
+# module-level: with `from __future__ import annotations` pandas_udf
+# resolves string type hints against module globals (the banked
+# similarity.py lesson) — a function-local import breaks it
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -949,6 +954,96 @@ def language_id_scores(
             margin.alias("margin"),
             gate.cast("int").alias("kept"),
         )
+    )
+
+
+# Unicode-normalization character classes, written with escaped
+# hex (\x{..}) so the SAME pattern string is a valid Java regex
+# (Spark) and RE2 pattern (DuckDB oracle) AND stays printable inside
+# a SQL literal (raw NUL/control bytes would corrupt the SQL text).
+_UNI_INVISIBLES_RE = r"[\x{200B}-\x{200D}\x{2060}\x{FEFF}\x{00AD}]"
+_UNI_CONTROLS_RE = r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}\x{80}-\x{9F}]"
+_UNI_SPACES_RE = (
+    r"[\x{09}\x{0A}\x{0D}\x{A0}\x{1680}\x{2000}-\x{200A}"
+    r"\x{202F}\x{205F}\x{3000}]"
+)
+# 1:1 typographic canonicalization (translate is JVM-side, one pass):
+# curly/low-9 single quotes -> ', double variants -> ", dash family
+# (en, em, figure, horizontal bar, non-breaking hyphen) -> -
+_UNI_TRANSLATE_FROM = "’‘‚‛“”„‟–—‒―‑"
+_UNI_TRANSLATE_TO = "''''\"\"\"\"-----"
+
+
+def unicode_normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nfc: bool = False,
+) -> DataFrame:
+    """Unicode/text normalization — the standard pre-tokenization pass
+    between ``html_text_extract`` and every downstream text op
+    (dedup shingles, language ID, quality gates all assume one
+    canonical byte form; a zero-width space inside a token silently
+    splits every shingle that crosses it). Deterministic, map-only:
+
+    1. remove invisibles (ZWSP/ZWNJ/ZWJ U+200B-D, word joiner U+2060,
+       BOM U+FEFF, soft hyphen U+00AD);
+    2. remove control chars except tab/newline/CR (C0, DEL, C1);
+    3. canonicalize whitespace — tab/newline/CR and every Unicode
+       space (NBSP, ogham, en/em/thin/ideographic, …) → ASCII space;
+    4. 1:1 typographic canonicalization via ``translate`` (curly
+       quotes → straight, dash family → hyphen) and ellipsis → ``...``;
+    5. collapse space runs, trim.
+
+    All five steps are JVM-side regexp/translate chains whose escaped
+    -hex patterns are verified byte-identical between Java regex and
+    RE2 — the oracle reproduces the output exactly (the
+    ``html_extract`` verification pattern). NULL text passes through
+    as NULL (absence of evidence).
+
+    ``nfc=True`` prepends true NFC composition (``e`` + combining
+    acute → ``é``) as an Arrow-batched pandas UDF over CPython's
+    ``unicodedata`` — the documented slow-path leg (ICU-class
+    normalization is not expressible in built-in SQL functions; the
+    pytest cross-checks it against DuckDB's ``nfc_normalize`` —
+    composition of combining sequences is stable across Unicode
+    versions). With ``nfc=False`` combining sequences pass through
+    untouched.
+
+    Output: ``(id, text_norm, raw_len BIGINT, norm_len BIGINT)``.
+    Scale shape: map-only, zero Exchange, one scan.
+    """
+    base = F.col(text_col)
+    if nfc:
+        from pyspark.sql.types import StringType
+
+        @F.pandas_udf(StringType())
+        def _nfc(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return s.map(
+                lambda v: None
+                if v is None
+                else unicodedata.normalize("NFC", v)
+            )
+
+        base = _nfc(base)
+    x = F.regexp_replace(base, _UNI_INVISIBLES_RE, "")
+    x = F.regexp_replace(x, _UNI_CONTROLS_RE, "")
+    x = F.regexp_replace(x, _UNI_SPACES_RE, " ")
+    x = F.translate(x, _UNI_TRANSLATE_FROM, _UNI_TRANSLATE_TO)
+    x = F.regexp_replace(x, r"\x{2026}", "...")
+    x = F.trim(F.regexp_replace(x, " +", " "))
+    staged = docs.select(
+        F.col(id_col),
+        F.length(base).cast("long").alias("raw_len"),
+        x.alias("text_norm"),
+    )
+    return staged.select(
+        id_col,
+        "text_norm",
+        "raw_len",
+        F.length("text_norm").cast("long").alias("norm_len"),
     )
 
 

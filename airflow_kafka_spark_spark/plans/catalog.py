@@ -50,7 +50,17 @@ from ..ext.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
 )
-from ..ext.textstats import bpe_token_counts, language_profile, with_fingerprint, with_text_stats
+from ..ext.textstats import (
+    _UNI_CONTROLS_RE,
+    _UNI_INVISIBLES_RE,
+    _UNI_SPACES_RE,
+    _UNI_TRANSLATE_FROM,
+    _UNI_TRANSLATE_TO,
+    bpe_token_counts,
+    language_profile,
+    with_fingerprint,
+    with_text_stats,
+)
 from ..functions.windows import last_per_key
 from ..operators.indicators import with_indicators, with_macd
 from ..operators.relational import (
@@ -6469,6 +6479,94 @@ FROM picked
 """
 
 
+def _unicode_messy_text():
+    """Planted Unicode mess for the `unicode_normalize` entry (the
+    documents text is clean ASCII): five deterministic variants by
+    doc_id%5 — BOM + NBSP spaces; typographic quotes/em-dash/ellipsis;
+    a zero-width space after every 'e'; control chars + tab spaces;
+    and a combining-acute sequence ('cafe' + U+0301, deliberately
+    DECOMPOSED) that must pass through UNTOUCHED under nfc=False."""
+    v = F.col("doc_id") % 5
+    t = F.col("text")
+    return (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("\ufeff"),
+                F.replace(t, F.lit(" "), F.lit("\u00a0")),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("\u201c"), t, F.lit("\u201d \u2014 fin\u2026")
+            ),
+        )
+        .when(v == 2, F.replace(t, F.lit("e"), F.lit("e\u200b")))
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("x\x07\x01 "), F.replace(t, F.lit(" "), F.lit("\t"))
+            ),
+        )
+        .otherwise(F.concat(t, F.lit(" cafe\u0301")))
+    )
+
+
+def q_unicode_normalize(spark, sf_dir):
+    """Unicode/text normalization (ext.textstats.unicode_normalize_text
+    — VERDICT r11 item 5): the standard pre-tokenization pass between
+    html_extract and every downstream text op. Invisibles stripped,
+    controls removed, all Unicode whitespace → ASCII space,
+    typographic quotes/dashes/ellipsis canonicalized, runs collapsed.
+    Escaped-hex patterns verified Java regex ≡ RE2; map-only, zero
+    Exchange. Derived mess: `_unicode_messy_text`."""
+    from ..ext.textstats import unicode_normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unicode_normalize_text(
+        docs.withColumn("text", _unicode_messy_text())
+    )
+
+
+# the messy-text CASE interpolates the same code points as the Spark
+# derivation via python escapes (raw invisibles in source are
+# unreviewable); controls go through chr() to keep the SQL printable
+SQL_UNICODE_NORMALIZE = f"""
+WITH m AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INTEGER)
+      WHEN 0 THEN '\ufeff' || replace(text, ' ', '\u00a0')
+      WHEN 1 THEN '\u201c' || text || '\u201d \u2014 fin\u2026'
+      WHEN 2 THEN replace(text, 'e', 'e\u200b')
+      WHEN 3 THEN 'x' || chr(7) || chr(1) || ' '
+                  || replace(text, ' ', chr(9))
+      ELSE text || ' cafe' || chr(769)
+    END AS text
+  FROM documents
+),
+n AS (
+  SELECT doc_id, length(text) AS raw_len,
+    trim(regexp_replace(
+      regexp_replace(
+        translate(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text, '{_UNI_INVISIBLES_RE}', '', 'g'),
+            '{_UNI_CONTROLS_RE}', '', 'g'),
+          '{_UNI_SPACES_RE}', ' ', 'g'),
+        '{_UNI_TRANSLATE_FROM}', '{_UNI_TRANSLATE_TO.replace(chr(39), chr(39) * 2)}'),
+      '\\x{{2026}}', '...', 'g'),
+    ' +', ' ', 'g')) AS text_norm
+  FROM m
+)
+SELECT doc_id, text_norm,
+  CAST(raw_len AS BIGINT) AS raw_len,
+  CAST(length(text_norm) AS BIGINT) AS norm_len
+FROM n
+"""
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level dedup + per-domain cap (ext.dedup.url_dedup_domain_cap):
     the RefinedWeb web-curation passes — normalize (lowercase, strip
@@ -6760,6 +6858,7 @@ CATALOG: dict[str, Query] = {
         q_quality_classifier_ngram, SQL_QUALITY_CLASSIFIER_NGRAM
     ),
     "language_id": Query(q_language_id, SQL_LANGUAGE_ID),
+    "unicode_normalize": Query(q_unicode_normalize, SQL_UNICODE_NORMALIZE),
     "html_extract": Query(q_html_extract, SQL_HTML_EXTRACT),
     "url_dedup": Query(q_url_dedup, SQL_URL_DEDUP),
     # the salted two-phase domain rank against the SAME oracle —

@@ -120,6 +120,42 @@ def main() -> None:
     )
     n0a = docs.count()
 
+    # 0a½. Unicode normalization — the standard pre-tokenization pass
+    # between the markup strip and every downstream text op
+    # (ext.textstats.unicode_normalize_text): invisibles stripped,
+    # controls removed, Unicode whitespace canonicalized, typographic
+    # variants folded. Map-only, zero Exchange — at 100 TB it rides
+    # the same scan as the stage before it. The fixtures are clean
+    # ASCII, so mess is planted (BOM prefix, NBSP spaces, a zero-width
+    # space after every 'e') and the pass must restore the original
+    # byte for byte (asserted) — downstream stages consume the
+    # normalized text, as a real pipeline would.
+    from airflow_kafka_spark_spark.ext.textstats import unicode_normalize_text
+
+    messy = F.concat(
+        F.lit("\ufeff"),
+        F.replace(
+            F.replace(F.col("text"), F.lit(" "), F.lit("\u00a0")),
+            F.lit("e"),
+            F.lit("e\u200b"),
+        ),
+    )
+    normed = unicode_normalize_text(docs.withColumn("text", messy))
+    not_restored = (
+        normed.join(docs.select("doc_id", "text"), "doc_id")
+        .filter(F.col("text_norm") != F.col("text"))
+        .count()
+    )
+    assert not_restored == 0, f"{not_restored} docs did not normalize"
+    docs = (
+        docs.drop("text")
+        .join(
+            normed.select("doc_id", F.col("text_norm").alias("text"))
+            .hint("shuffle_hash"),
+            "doc_id",
+        )
+    )
+
     # 0b. URL curation — the first pass a crawl pipeline runs, BEFORE
     # any content is read: dedupe by normalized URL (a page crawled
     # under http/https/www./?utm= variants is one page) and cap any

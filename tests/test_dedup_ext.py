@@ -1691,6 +1691,72 @@ def test_language_id_entry_recovers_planted_languages(spark):
     assert joined.count() == docs.count()  # holdout rows present too
 
 
+def test_unicode_normalize_text_classes(spark):
+    """Unicode normalization (VERDICT r11 item 5): invisibles removed
+    (even mid-token — a ZWSP inside a word must not become a space),
+    controls stripped, every Unicode space variant collapses to one
+    ASCII space, typographic quotes/dashes/ellipsis canonicalized,
+    runs collapsed + trimmed; NULL passes through; combining sequences
+    pass through UNTOUCHED under nfc=False."""
+    from airflow_kafka_spark_spark.ext.textstats import unicode_normalize_text
+
+    rows = [
+        (1, "a\u200bb\u200c c\u00add"),           # invisibles mid-token
+        (2, "x\x07\x01y\x9fz"),                    # C0 + C1 controls
+        (3, "a\u00a0b\u2003c\u3000d\te\nf"),      # space zoo
+        (4, "\u2018q\u2019 \u201cd\u201d \u2013 \u2014 \u2026"),
+        (5, "  lots   of    runs  "),
+        (6, None),
+        (7, "cafe\u0301 stays"),                    # combining acute
+        (8, "\ufeffBOM lead"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text_norm"], r["raw_len"], r["norm_len"])
+        for r in unicode_normalize_text(docs).collect()
+    }
+    assert out[1] == ("ab cd", 8, 5)
+    assert out[2] == ("xyz", 6, 3)
+    assert out[3] == ("a b c d e f", 11, 11)
+    assert out[4] == ("'q' \"d\" - - ...", 13, 15)
+    assert out[5] == ("lots of runs", 21, 12)
+    assert out[6] == (None, None, None)
+    assert out[7][0] == "cafe\u0301 stays"          # NOT composed
+    assert out[8] == ("BOM lead", 9, 8)
+
+
+def test_unicode_normalize_nfc_leg_matches_python_and_duckdb(spark):
+    """The nfc=True slow-path leg (Arrow pandas UDF over unicodedata):
+    combining sequences compose BEFORE the chain, matching both
+    CPython's NFC and DuckDB's nfc_normalize byte for byte on the
+    planted fixture."""
+    import duckdb
+    import unicodedata
+
+    from airflow_kafka_spark_spark.ext.textstats import unicode_normalize_text
+
+    rows = [
+        (1, "cafe\u0301 composes"),
+        (2, "already \u00e9 composed"),
+        (3, "A\u030a ring"),            # A + combining ring -> U+00C5
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text_norm"]
+        for r in unicode_normalize_text(docs, nfc=True).collect()
+    }
+    for i, t in rows:
+        want = None if t is None else unicodedata.normalize("NFC", t)
+        assert got[i] == want, (i, got[i], want)
+        if t is not None:
+            duck = duckdb.sql(
+                "select nfc_normalize(?)", params=[t]
+            ).fetchone()[0]
+            assert got[i] == duck, (i, got[i], duck)
+    assert got[1] == "caf\u00e9 composes" and got[3] == "\u00c5 ring"
+
+
 def test_url_dedup_missing_url_keep_exempt_contract(spark):
     """Docs with NULL / blank / normalizes-to-nothing URLs carry no
     dedup evidence: each passes through KEPT as its own keeper with

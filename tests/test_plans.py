@@ -726,6 +726,16 @@ def test_quality_classifier_ngram_same_shape_one_generate(spark):
         assert "ExistingRDD" in sub, sub
 
 
+def test_unicode_normalize_pure_map_zero_exchange(spark):
+    """Unicode normalization (VERDICT r11 item 5) is a map-only pass
+    like html_extract: one documents scan, zero Exchange, no join, no
+    aggregate — the plan a 100 TB pre-tokenization pass must have."""
+    s = _explain(CATALOG["unicode_normalize"].fn(spark, SF_DIR))
+    assert "Exchange" not in s, s
+    assert "Join" not in s, s
+    assert s.count("Location: InMemoryFileIndex") <= 1, s
+
+
 def test_language_id_same_shape_one_generate(spark):
     """Multi-class language ID (VERDICT r11 item 4) must keep the
     binary classifier's plan class — the k classes ride the SAME scan:
