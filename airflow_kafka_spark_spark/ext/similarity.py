@@ -397,6 +397,30 @@ def lsh_buckets(
     )
 
 
+def _check_sample_id_conflicts(rows: list, id_col: str, caller: str) -> None:
+    """Bounded conflicting-duplicate guard on the k-means training
+    sample (VERDICT r11 item 6): an id stored twice with DIFFERENT
+    vectors violates the unique-id contract, and downstream the
+    identical-vector dedup (`_topk_dedup_ids` / `_adc_fold`) would
+    turn it into silently order-dependent top-k results rather than an
+    error. Where it is cheaply provable — inside the already-collected
+    bounded sample — raise instead. Identical-vector duplicates pass
+    (they train the quantizer exactly as one row would, twice-weighted,
+    same as before this guard). The honest caveat stands: no bounded
+    action can certify the WHOLE corpus; conflicts outside the sample
+    remain the caller's risk, as documented on the batch entry
+    points."""
+    by_id: dict = {}
+    for r in rows:
+        prev = by_id.setdefault(r[0], r)
+        if prev is not r and list(prev[1]) != list(r[1]):
+            raise ValueError(
+                f"{caller}: duplicate {id_col}={r[0]} with conflicting "
+                "vectors in the training sample — the corpus violates "
+                "the unique-id contract"
+            )
+
+
 def ivf_assignments(
     embeddings: DataFrame,
     n_lists: int = 16,
@@ -421,17 +445,14 @@ def ivf_assignments(
     """
     import numpy as np
 
-    sample = np.array(
-        [
-            r[0]
-            for r in embeddings.select(id_col, vec_col)
-            .sort(id_col)  # deterministic sample
-            .limit(max(n_lists * 20, 256))
-            .select(vec_col)
-            .collect()
-        ],
-        dtype=np.float64,
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .sort(id_col)  # deterministic sample
+        .limit(max(n_lists * 20, 256))
+        .collect()
     )
+    _check_sample_id_conflicts(rows, id_col, "ivf_assignments")
+    sample = np.array([list(r[1]) for r in rows], dtype=np.float64)
     if len(sample) == 0:
         raise ValueError("ivf_assignments: embeddings table is empty")
     n_lists = min(n_lists, len(sample))  # tiny corpus → fewer lists
@@ -1090,17 +1111,14 @@ def pq_codebooks(
     """
     import numpy as np
 
-    sample = np.array(
-        [
-            r[0]
-            for r in embeddings.select(id_col, vec_col)
-            .sort(id_col)
-            .limit(max(n_codes * 20, 256))
-            .select(vec_col)
-            .collect()
-        ],
-        dtype=np.float64,
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .sort(id_col)
+        .limit(max(n_codes * 20, 256))
+        .collect()
     )
+    _check_sample_id_conflicts(rows, id_col, "pq_codebooks")
+    sample = np.array([list(r[1]) for r in rows], dtype=np.float64)
     if len(sample) == 0:
         raise ValueError("pq_codebooks: embeddings table is empty")
     if centroids is not None:

