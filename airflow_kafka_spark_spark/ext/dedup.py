@@ -932,12 +932,13 @@ def url_dedup_domain_cap(
     ways (bench_scale `url_dedup_salted_skew`, same-run face-offs):
     on an UNskewed sf0.1 fixture the two-phase shape costs ~1.4x the
     single window (1.35 -> 1.86 s min-of-3, P=8); on a PLANTED hot
-    domain holding 40% of a 3.2M-row corpus it wins 1.6x at P=8 and
-    1.9x at P=32 (10.4 -> 6.3 -> 5.6 s best-of-2) — turn the knob on
-    when one domain's keeper count approaches a sort-partition-sized
-    corpus share (the win grows with the hot share; at 100 TB the
-    unsalted hot sort is a single-task straggler), leave it off
-    otherwise.
+    domain holding 40% of a 3.2M-row corpus it wins 1.35-1.6x at P=8
+    and 1.56-1.9x at P=32 across two recorded runs (artifact run:
+    8.2 -> 6.1 -> 5.3 s best-of-2; standalone: 10.4 -> 6.3 -> 5.6 s)
+    — turn the knob on when one domain's keeper count approaches a
+    sort-partition-sized corpus share (the win grows with the hot
+    share; at 100 TB the unsalted hot sort is a single-task
+    straggler), leave it off otherwise.
     """
     from pyspark.sql import Window
 
