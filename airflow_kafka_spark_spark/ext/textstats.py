@@ -336,39 +336,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-# PII patterns shared verbatim with the SQL oracle — kept to syntax that
-# means the same thing in Java regex (Spark) and RE2 (DuckDB).
-PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-PII_LONGNUM = "\\b[0-9]{6,}\\b"
-
-
-def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Rule-based PII scrub for training corpora: emails, IPv4 addresses,
-    long digit runs (account/phone-shaped) → typed placeholder tokens,
-    with per-document match counts for audit. Pure ``regexp_replace`` /
-    ``regexp_count`` — JVM-side, no Python, trivially parallel (no
-    shuffle at all: this is a map-only operator).
-
-    Order matters: IPv4 before LONGNUM so an address is not half-eaten
-    as a digit run; emails first so their domains don't match later
-    rules.
-    """
-    txt = F.col(text_col)
-    n_emails = F.regexp_count(txt, F.lit(PII_EMAIL))
-    n_ips = F.regexp_count(txt, F.lit(PII_IPV4))
-    step1 = F.regexp_replace(txt, PII_EMAIL, "<EMAIL>")
-    step2 = F.regexp_replace(step1, PII_IPV4, "<IP>")
-    n_longnums = F.regexp_count(step2, F.lit(PII_LONGNUM))
-    clean = F.regexp_replace(step2, PII_LONGNUM, "<NUM>")
-    return docs.select(
-        "doc_id",
-        F.md5(clean.cast("binary")).alias("clean_md5"),
-        F.length(clean).cast("long").alias("clean_len"),
-        n_emails.cast("long").alias("n_emails"),
-        n_ips.cast("long").alias("n_ips"),
-        n_longnums.cast("long").alias("n_longnums"),
-    )
+# (The rule-based PII scrub lives in ``pii_redact`` below, next to its
+# pattern battery.)
 
 
 def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
@@ -1122,4 +1091,99 @@ def html_text_extract(
         "raw_len",
         F.length("clean_text").cast("long").alias("text_len"),
         F.when(F.col("raw_len") > 0, ratio).alias("text_ratio"),
+    )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 shared subset (no
+# lookaround, no backreferences): character classes, non-capturing
+# groups, bounded repeats and ASCII \b mean the same thing in both
+# engines, so the DuckDB oracle reproduces the redaction byte for byte
+# (the html_extract verification pattern). Deliberately conservative —
+# a redactor that eats version strings or decimal numbers destroys
+# training data; near-misses are pinned by test.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# E.164 (+ then 7-15 digits), US (NNN) NNN-NNNN, US NNN-NNN-NNNN /
+# NNN.NNN.NNNN — each anchored so a longer digit run disqualifies the
+# match instead of truncating it (a 16-digit run is an id, not a phone)
+_PII_PHONE_RE = (
+    r"\+\d{7,15}\b"
+    r"|\(\d{3}\) ?\d{3}-\d{4}\b"
+    r"|\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+)
+# account/card-shaped bare digit runs — the catch-all AFTER the typed
+# categories above have claimed their matches
+_PII_LONGNUM_RE = r"\b\d{6,}\b"
+
+
+def pii_redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII redaction — the pass every production curation pipeline
+    (C4, ROOTS, FineWeb) runs before text is retained: emails, IPv4
+    addresses, phone numbers, and account-shaped long digit runs are
+    replaced by typed placeholder tokens (``<EMAIL>`` / ``<IP>`` /
+    ``<PHONE>`` / ``<NUM>``), per-category match counts kept as the
+    downstream gate signal (a doc that is mostly contact lines is
+    directory chrome, not prose).
+
+    Sequential, order-matters application — email first (an address's
+    host part may look like an IP: it must redact as ONE email, not a
+    partial IP), then IPv4, then phone, then the bare-digit-run
+    catch-all LAST so the typed categories claim their matches before
+    the generic one fires; each category's count is the number of
+    matches ACTUALLY replaced at its stage, not an independent scan of
+    the raw text. Patterns live in the Java-regex ∩ RE2 shared subset
+    (see ``_PII_*_RE``), so the DuckDB oracle reproduces output byte
+    for byte. NULL text passes through as NULL text/counts (absence of
+    evidence, the ``url_dedup_domain_cap`` contract).
+
+    This is a pattern redactor, not an NER model (names/addresses need
+    a model, not an operator — the ``html_text_extract`` boundary).
+    Output: ``(id, text_redacted, n_email BIGINT, n_ip BIGINT,
+    n_phone BIGINT, n_longnum BIGINT)``. Scale shape: map-only, zero
+    Exchange, one scan — staged projections keep each regexp evaluated
+    once per row (the janino-64KB lesson)."""
+    s1 = docs.select(
+        F.col(id_col), F.col(text_col).alias("_t0")
+    ).select(
+        id_col,
+        F.regexp_count(F.col("_t0"), F.lit(_PII_EMAIL_RE))
+        .cast("long")
+        .alias("n_email"),
+        F.regexp_replace("_t0", _PII_EMAIL_RE, "<EMAIL>").alias("_t1"),
+    )
+    s2 = s1.select(
+        id_col,
+        "n_email",
+        F.regexp_count(F.col("_t1"), F.lit(_PII_IPV4_RE))
+        .cast("long")
+        .alias("n_ip"),
+        F.regexp_replace("_t1", _PII_IPV4_RE, "<IP>").alias("_t2"),
+    )
+    s3 = s2.select(
+        id_col,
+        "n_email",
+        "n_ip",
+        F.regexp_count(F.col("_t2"), F.lit(_PII_PHONE_RE))
+        .cast("long")
+        .alias("n_phone"),
+        F.regexp_replace("_t2", _PII_PHONE_RE, "<PHONE>").alias("_t3"),
+    )
+    s4 = s3.select(
+        id_col,
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.regexp_count(F.col("_t3"), F.lit(_PII_LONGNUM_RE))
+        .cast("long")
+        .alias("n_longnum"),
+        F.regexp_replace("_t3", _PII_LONGNUM_RE, "<NUM>").alias(
+            "text_redacted"
+        ),
+    )
+    return s4.select(
+        id_col, "text_redacted", "n_email", "n_ip", "n_phone", "n_longnum"
     )

@@ -51,6 +51,10 @@ from ..ext.similarity import (
     cosine_topk,
 )
 from ..ext.textstats import (
+    _PII_EMAIL_RE,
+    _PII_IPV4_RE,
+    _PII_LONGNUM_RE,
+    _PII_PHONE_RE,
     _UNI_CONTROLS_RE,
     _UNI_INVISIBLES_RE,
     _UNI_SPACES_RE,
@@ -2375,36 +2379,10 @@ FROM unis u LEFT JOIN bgs b ON u.doc_id = b.doc_id
 """
 
 
-def q_pii_redact(spark, sf_dir):
-    """Rule-based PII scrub (ext.textstats.redact_pii): emails / IPv4 /
-    long digit runs → typed placeholders, with per-doc audit counts.
-    Map-only regexp_replace chain; the oracle re-runs the same patterns
-    under RE2, and the md5 of the cleaned text pins byte-for-byte
-    equality of the redaction."""
-    from ..ext.textstats import redact_pii
-
-    docs = load_table(spark, sf_dir, "documents")
-    return redact_pii(docs)
-
-
-SQL_PII_REDACT = """
-WITH s1 AS (
-  SELECT doc_id,
-    len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
-    len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips,
-    regexp_replace(
-      regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS t2
-  FROM documents
-)
-SELECT doc_id,
-  md5(regexp_replace(t2, '\\b[0-9]{6,}\\b', '<NUM>', 'g')) AS clean_md5,
-  CAST(length(regexp_replace(t2, '\\b[0-9]{6,}\\b', '<NUM>', 'g')) AS BIGINT) AS clean_len,
-  CAST(n_emails AS BIGINT) AS n_emails,
-  CAST(n_ips AS BIGINT) AS n_ips,
-  CAST(len(regexp_extract_all(t2, '\\b[0-9]{6,}\\b')) AS BIGINT) AS n_longnums
-FROM s1
-"""
+# (q_pii_redact + SQL_PII_REDACT live next to the other text-curation
+# passes further down — upgraded r12 from the original md5-pinned
+# email/IP/longnum scrub to the planted-fixture phone-aware redactor
+# that oracles the full redacted text.)
 
 
 def q_tfidf_topk(spark, sf_dir):
@@ -6564,6 +6542,119 @@ SELECT doc_id, text_norm,
   CAST(raw_len AS BIGINT) AS raw_len,
   CAST(length(text_norm) AS BIGINT) AS norm_len
 FROM n
+"""
+
+
+def _pii_planted_text():
+    """Planted PII for the `pii_redact` entry (the documents text is
+    clean prose): five deterministic variants by doc_id%5 — an email
+    derived from `source`, an IPv4 with a varying octet, an E.164
+    phone, a US (NNN) NNN-NNNN phone followed by an account-shaped
+    digit run, and a near-miss control (version string, decimal time,
+    TLD-less a@b, 5-digit run) that must survive UNTOUCHED."""
+    v = F.col("doc_id") % 5
+    t = F.col("text")
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    return (
+        F.when(
+            v == 0,
+            F.concat(
+                t,
+                F.lit(" Contact "),
+                F.col("source"),
+                F.lit(".team@example.com now."),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                t,
+                F.lit(" Host 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0.1 up."),
+            ),
+        )
+        .when(v == 2, F.concat(t, F.lit(" Call +8490"), four, F.lit(".")))
+        .when(
+            v == 3,
+            F.concat(
+                t,
+                F.lit(" Office (415) 555-"),
+                four,
+                F.lit(" acct 900"),
+                four,
+                F.lit("."),
+            ),
+        )
+        .otherwise(
+            F.concat(t, F.lit(" v1.2.3 at 12.30 see a@b. num 12345 ok"))
+        )
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (ext.textstats.pii_redact — UPGRADED r12 from the
+    original md5-pinned email/IP/longnum scrub): emails / IPv4s /
+    phone numbers / account-shaped digit runs → typed placeholders
+    with per-category replaced counts — the pass every production
+    curation pipeline runs before text is retained. Sequential email →
+    IP → phone → longnum application; patterns in the Java-regex ∩ RE2
+    shared subset so the oracle reproduces the FULL redacted text byte
+    for byte; map-only, zero Exchange. Derived PII mix:
+    `_pii_planted_text` (variant 4 is a near-miss control that must
+    pass through untouched)."""
+    from ..ext.textstats import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pii_redact(docs.withColumn("text", _pii_planted_text()))
+
+
+SQL_PII_REDACT = f"""
+WITH p AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INTEGER)
+      WHEN 0 THEN text || ' Contact ' || source || '.team@example.com now.'
+      WHEN 1 THEN text || ' Host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.0.1 up.'
+      WHEN 2 THEN text || ' Call +8490'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+      WHEN 3 THEN text || ' Office (415) 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' acct 900'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+      ELSE text || ' v1.2.3 at 12.30 see a@b. num 12345 ok'
+    END AS t0
+  FROM documents
+),
+a AS (
+  SELECT doc_id,
+    CAST(length(regexp_extract_all(t0, '{_PII_EMAIL_RE}')) AS BIGINT)
+      AS n_email,
+    regexp_replace(t0, '{_PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM p
+),
+b AS (
+  SELECT doc_id, n_email,
+    CAST(length(regexp_extract_all(t1, '{_PII_IPV4_RE}')) AS BIGINT)
+      AS n_ip,
+    regexp_replace(t1, '{_PII_IPV4_RE}', '<IP>', 'g') AS t2
+  FROM a
+),
+c AS (
+  SELECT doc_id, n_email, n_ip,
+    CAST(length(regexp_extract_all(t2, '{_PII_PHONE_RE}')) AS BIGINT)
+      AS n_phone,
+    regexp_replace(t2, '{_PII_PHONE_RE}', '<PHONE>', 'g') AS t3
+  FROM b
+),
+d AS (
+  SELECT doc_id, n_email, n_ip, n_phone,
+    CAST(length(regexp_extract_all(t3, '{_PII_LONGNUM_RE}')) AS BIGINT)
+      AS n_longnum,
+    regexp_replace(t3, '{_PII_LONGNUM_RE}', '<NUM>', 'g') AS text_redacted
+  FROM c
+)
+SELECT doc_id, text_redacted, n_email, n_ip, n_phone, n_longnum FROM d
 """
 
 

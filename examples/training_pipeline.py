@@ -156,6 +156,41 @@ def main() -> None:
         )
     )
 
+    # 0a¾. PII redaction — emails / IPs / phone numbers → typed
+    # placeholders BEFORE any text is retained (ext.textstats.
+    # pii_redact): the pass C4/ROOTS/FineWeb all run. Map-only, zero
+    # Exchange — rides the same scan as the stages around it. The
+    # fixtures carry no PII, so a contact line is planted per doc and
+    # the pass must strip every address (asserted); downstream stages
+    # consume the redacted text, as a real pipeline would.
+    from airflow_kafka_spark_spark.ext.textstats import pii_redact
+
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" Contact "),
+        F.col("source"),
+        F.lit("@example.com or +84901234567."),
+    )
+    # localCheckpoint cuts lineage HERE: redacted is consumed twice
+    # (leak assert + re-attach join) on top of a plan that has already
+    # doubled through three docs-self-join stages — without the cut the
+    # logical tree compounds k^stages and the driver heap pays for it
+    # (the stage-4 parquet boundary lesson, applied mid-funnel)
+    redacted = pii_redact(docs.withColumn("text", contact)).localCheckpoint()
+    leaked = redacted.filter(
+        (F.col("n_email") != 1)
+        | (F.col("n_phone") != 1)
+        | F.col("text_redacted").contains("@")
+        | F.col("text_redacted").contains("+8490")
+    ).count()
+    assert leaked == 0, f"{leaked} docs kept PII past the redactor"
+    docs = docs.drop("text").join(
+        redacted.select(
+            "doc_id", F.col("text_redacted").alias("text")
+        ).hint("shuffle_hash"),
+        "doc_id",
+    )
+
     # 0b. URL curation — the first pass a crawl pipeline runs, BEFORE
     # any content is read: dedupe by normalized URL (a page crawled
     # under http/https/www./?utm= variants is one page) and cap any

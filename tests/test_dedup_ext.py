@@ -1792,6 +1792,123 @@ def test_unicode_normalize_nfc_leg_matches_python_and_duckdb(spark):
     assert got[1] == "caf\u00e9 composes" and got[3] == "\u00c5 ring"
 
 
+def test_pii_redact_classes(spark):
+    """PII redaction (upgraded r12): each category redacts to its
+    typed placeholder with a per-stage replaced count; near-misses
+    (version strings, decimal times, TLD-less a@b, sub-6-digit runs)
+    survive untouched; an email whose host LOOKS like an IP redacts as
+    ONE email (sequential order); an overlong digit run is NOT a
+    truncated phone but IS an account-shaped <NUM>; NULL passes
+    through as NULL."""
+    from airflow_kafka_spark_spark.ext.textstats import pii_redact
+
+    rows = [
+        (1, "mail john+tag@ex.co or admin@sub.example.org today"),
+        (2, "host 192.168.0.1:8080 and bare 1.2.3.4. done"),
+        (3, "call +84901234567 or (415) 555-0000, or 555-123-4567"),
+        (4, "dotted 555.123.4567 works too"),
+        (5, "v1.2.3 at 12.30 see a@b. id +12345678901234567890 x"),
+        (6, "mail bob@10.0.0.1.com please"),  # email wins over IP
+        (7, "five groups 1.2.3.4.5 end"),
+        (8, "acct 900123456 but 12345 stays"),
+        (9, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["text_redacted"],
+            r["n_email"],
+            r["n_ip"],
+            r["n_phone"],
+            r["n_longnum"],
+        )
+        for r in pii_redact(docs).collect()
+    }
+    assert out[1] == ("mail <EMAIL> or <EMAIL> today", 2, 0, 0, 0)
+    assert out[2] == ("host <IP>:8080 and bare <IP>. done", 0, 2, 0, 0)
+    assert out[3] == ("call <PHONE> or <PHONE>, or <PHONE>", 0, 0, 3, 0)
+    assert out[4] == ("dotted <PHONE> works too", 0, 0, 1, 0)
+    # a 20-digit run after '+' is an id, not a phone — \b anchoring
+    # disqualifies the whole phone match instead of truncating it to
+    # 15 digits; the longnum catch-all then claims the bare run
+    assert out[5] == (
+        "v1.2.3 at 12.30 see a@b. id +<NUM> x", 0, 0, 0, 1,
+    )
+    assert out[6] == ("mail <EMAIL> please", 1, 0, 0, 0)
+    # leftmost-first: the first four octets match, the fifth survives
+    assert out[7] == ("five groups <IP>.5 end", 0, 1, 0, 0)
+    assert out[8] == ("acct <NUM> but 12345 stays", 0, 0, 0, 1)
+    assert out[9] == (None, None, None, None, None)
+
+
+def test_pii_redact_matches_duckdb_on_adversarial_strings(spark):
+    """The redaction chain must be byte-identical between Spark (Java
+    regex) and DuckDB (RE2) on the boundary-heavy strings — the same
+    cross-engine verification html_extract/unicode_normalize banked.
+    Patterns are imported, not retyped, so a pattern edit re-verifies
+    itself here before the sf0.01 oracle ever sees it."""
+    import duckdb
+
+    from airflow_kafka_spark_spark.ext.textstats import (
+        _PII_EMAIL_RE,
+        _PII_IPV4_RE,
+        _PII_LONGNUM_RE,
+        _PII_PHONE_RE,
+        pii_redact,
+    )
+
+    texts = [
+        "mail john+tag@ex.co or admin@sub.example.org today",
+        "host 192.168.0.1:8080 and bare 1.2.3.4. done",
+        "call +84901234567 or (415) 555-0000, or 555-123-4567",
+        "dotted 555.123.4567 works too",
+        "v1.2.3 at 12.30 see a@b. id +12345678901234567890 x",
+        "mail bob@10.0.0.1.com please",
+        "five groups 1.2.3.4.5 end",
+        "(415)555-0000 tight parens",
+        "+1234567 shortest e164, +123456 too short",
+        "edge 999.999.999.999 is still shaped like an IP",
+        "a.b@c.d.ee dots everywhere",
+        "wrap (1.2.3.4) and [5.6.7.8] in brackets",
+        "card 4111111111111111 acct 900123 pin 12345",
+        "mixed a1234567b embedded run is not word-bounded",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["text_redacted"],
+            r["n_email"],
+            r["n_ip"],
+            r["n_phone"],
+            r["n_longnum"],
+        )
+        for r in pii_redact(docs).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            f"""
+            WITH a AS (SELECT
+                CAST(length(regexp_extract_all(?, '{_PII_EMAIL_RE}')) AS BIGINT) AS n_email,
+                regexp_replace(?, '{_PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1),
+            b AS (SELECT n_email,
+                CAST(length(regexp_extract_all(t1, '{_PII_IPV4_RE}')) AS BIGINT) AS n_ip,
+                regexp_replace(t1, '{_PII_IPV4_RE}', '<IP>', 'g') AS t2 FROM a),
+            c AS (SELECT n_email, n_ip,
+                CAST(length(regexp_extract_all(t2, '{_PII_PHONE_RE}')) AS BIGINT) AS n_phone,
+                regexp_replace(t2, '{_PII_PHONE_RE}', '<PHONE>', 'g') AS t3 FROM b)
+            SELECT regexp_replace(t3, '{_PII_LONGNUM_RE}', '<NUM>', 'g'),
+                n_email, n_ip, n_phone,
+                CAST(length(regexp_extract_all(t3, '{_PII_LONGNUM_RE}')) AS BIGINT)
+            FROM c
+            """,
+            [t, t],
+        ).fetchone()
+        assert got[i] == want, (i, t, got[i], want)
+
+
 def test_url_dedup_missing_url_keep_exempt_contract(spark):
     """Docs with NULL / blank / normalizes-to-nothing URLs carry no
     dedup evidence: each passes through KEPT as its own keeper with

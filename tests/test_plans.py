@@ -191,10 +191,13 @@ def test_dedup_components_no_cartesian(spark):
 
 
 def test_pii_redact_map_only(spark):
-    """regexp scrub is a pure map — zero Exchange, one scan, and only
-    the two referenced columns read."""
+    """regexp scrub (upgraded r12) is a pure map — zero Exchange, no
+    join, one scan, and only the three referenced columns read
+    (doc_id + text + the `source` the planted-email fixture derives
+    its local parts from)."""
     s = _explain(CATALOG["pii_redact"].fn(spark, SF_DIR), mode="formatted")
     assert "Exchange" not in s, s
+    assert "Join" not in s, s
     read = s.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in read and read.count(":") <= 3, read
 
