@@ -899,30 +899,48 @@ def language_id_scores(
         .agg(*[F.sum(f"__w{i}").alias(f"__s{i}") for i in range(k)])
     )
     bias = {lang: int((biases or {}).get(lang, 0)) for lang in langs}
-    scores = [
-        F.coalesce(F.col(f"__s{i}"), F.lit(0)) + F.lit(bias[langs[i]])
-        for i in range(k)
-    ]
-    arr = F.array(*scores)
-    best = F.array_max(arr)
-    second = F.sort_array(arr, asc=False).getItem(1)
-    pick = F.when(scores[0] == best, F.lit(langs[0]))
-    for i in range(1, k):
-        pick = pick.when(scores[i] == best, F.lit(langs[i]))
-    margin = (best - second).cast("long")
-    gate = margin >= F.lit(int(min_margin))
-    if keep_langs is not None:
-        gate = gate & pick.isin([str(x) for x in keep_langs])
-    return (
+    # staged .select()s — the janino-64KB lesson: best/second/pick each
+    # reference every score, so building them from the raw
+    # coalesce+bias expressions would inline the k-term battery O(k^2)
+    # times into one Project (fine at k=5, interpreted-fallback
+    # territory at a 50-language fastText-style model). Projecting the
+    # biased scores ONCE keeps every downstream expression O(k).
+    staged = (
         docs.select(id_col)
         .join(scored.hint("shuffle_hash"), id_col, "left")
         .select(
             F.col(id_col),
-            pick.alias("lang"),
-            best.cast("long").alias("lang_score"),
-            margin.alias("margin"),
-            gate.cast("int").alias("kept"),
+            *[
+                (
+                    F.coalesce(F.col(f"__s{i}"), F.lit(0))
+                    + F.lit(bias[langs[i]])
+                ).alias(f"__b{i}")
+                for i in range(k)
+            ],
         )
+    )
+    arr = F.array(*[F.col(f"__b{i}") for i in range(k)])
+    ranked = staged.select(
+        id_col,
+        *[f"__b{i}" for i in range(k)],
+        F.array_max(arr).alias("__best"),
+        F.sort_array(arr, asc=False).getItem(1).alias("__second"),
+    )
+    pick = F.when(F.col("__b0") == F.col("__best"), F.lit(langs[0]))
+    for i in range(1, k):
+        pick = pick.when(
+            F.col(f"__b{i}") == F.col("__best"), F.lit(langs[i])
+        )
+    margin = (F.col("__best") - F.col("__second")).cast("long")
+    gate = margin >= F.lit(int(min_margin))
+    if keep_langs is not None:
+        gate = gate & pick.isin([str(x) for x in keep_langs])
+    return ranked.select(
+        F.col(id_col),
+        pick.alias("lang"),
+        F.col("__best").cast("long").alias("lang_score"),
+        margin.alias("margin"),
+        gate.cast("int").alias("kept"),
     )
 
 
@@ -1005,7 +1023,11 @@ def unicode_normalize_text(
     x = F.trim(F.regexp_replace(x, " +", " "))
     staged = docs.select(
         F.col(id_col),
-        F.length(base).cast("long").alias("raw_len"),
+        # raw input length, measured BEFORE the optional NFC leg —
+        # under nfc=True `base` is already the composed text, and a
+        # shrinkage audit (raw_len vs norm_len) must count composition
+        # as part of what normalization did
+        F.length(F.col(text_col)).cast("long").alias("raw_len"),
         x.alias("text_norm"),
     )
     return staged.select(

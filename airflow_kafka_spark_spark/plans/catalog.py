@@ -6414,9 +6414,12 @@ WITH w(tok, {", ".join(f"w_{lang}" for lang in _LANG_ID_ORDER)}) AS (
   VALUES {_lang_id_sql_values()}
 ),
 m AS (
+  -- concat_ws, not ||: both engines SKIP NULL args, so a NULL text or
+  -- a lang outside the marker CASE degrades identically on both sides
+  -- (|| would NULL the whole row in DuckDB while Spark kept the rest)
   SELECT doc_id,
     CASE WHEN doc_id % 10 = 7 THEN text
-         ELSE text || ' ' || mk || ' ' || mk || ' ' || mk END AS text
+         ELSE concat_ws(' ', text, mk, mk, mk) END AS text
   FROM (SELECT doc_id, text,
                CASE lang {_LANG_ID_MK_SQL} END AS mk
         FROM documents)

@@ -174,13 +174,24 @@ def main() -> None:
             out = url_dedup_domain_cap(skew_frame, cap=5, salt_partitions=p)
             kept = out.agg(F.sum("kept")).first()[0]
             best = min(best, time.perf_counter() - t0)
-        kept_by_p[p] = kept
+        # kept-SET identity, not just the kept COUNT: a per-bucket
+        # offset bug that keeps a different-but-same-size set per P
+        # would pass a count compare — checksum the kept ids (modular
+        # sum of xxhash64 is a commutative set fingerprint). Untimed,
+        # outside the face-off, so the probe's seconds stay comparable
+        # to the recorded runs.
+        chk = (
+            out.filter(F.col("kept") == 1)
+            .agg(F.sum(F.xxhash64("doc_id")))
+            .first()[0]
+        )
+        kept_by_p[p] = (kept, chk)
         salted_skew_results[f"P={p or 'off'}"] = {
             "docs": n_skew,
             "sec": round(best, 3),
             "speedup_vs_off": None,
         }
-    # the salted paths must agree with the unsalted keep decision
+    # the salted paths must KEEP THE SAME DOC SET as the unsalted path
     assert len(set(kept_by_p.values())) == 1, kept_by_p
     off = salted_skew_results["P=off"]["sec"]
     for v in salted_skew_results.values():

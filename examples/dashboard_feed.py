@@ -46,13 +46,32 @@ WIRE_VALUE_SCHEMA = T.StructType(
 )
 
 
-def parse_processed_records(records: DataFrame) -> DataFrame:
+def parse_processed_records(
+    records: DataFrame, order_col: str | None = None
+) -> DataFrame:
     """(key, value) wire rows → the typed processed frame the dashboard
     folds per message (app.py:96-115): all 16 JSON fields plus a typed
     ``date`` derived from ``time`` (the dashboard's
-    ``pd.to_datetime(df['date'])``)."""
+    ``pd.to_datetime(df['date'])``).
+
+    Arrival-order ``ingest_seq``: a Kafka scan carries a per-partition
+    ``offset`` column, and the producer keys by symbol — one symbol's
+    messages live in ONE topic partition, so its offsets ARE its
+    arrival order. ``order_col`` defaults to ``offset`` when the frame
+    has one. Without an order column the fallback is
+    ``monotonically_increasing_id``, which is (partition-index, row
+    position) order — arrival order ONLY for a single-partition replay
+    (``coalesce(1)`` a multi-partition file dump first, as the pytest
+    fixture does); a data-carried order column is always preferred."""
+    if order_col is None and "offset" in records.columns:
+        order_col = "offset"
+    seq = (
+        F.col(order_col).cast("long")
+        if order_col
+        else F.monotonically_increasing_id()
+    )
     return (
-        records.withColumn("ingest_seq", F.monotonically_increasing_id())
+        records.withColumn("ingest_seq", seq)
         .select(
             F.from_json(F.col("value"), WIRE_VALUE_SCHEMA).alias("m"),
             "ingest_seq",

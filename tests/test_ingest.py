@@ -310,6 +310,25 @@ def test_dashboard_feed_same_day_tiebreak(spark):
     ]
     assert seqs == [(1, 10.0), (2, 11.0)]
 
+    # Kafka-offset leg: a frame carrying an `offset` column orders by
+    # the DATA, not physical layout — repartition(2) scrambles the
+    # partition/position order monotonically_increasing_id would see,
+    # and the later OFFSET must still win the tile (the producer keys
+    # by symbol, so per-symbol offsets are its true arrival order)
+    with_off = (
+        spark.createDataFrame(
+            [
+                ("AAA", msg(11.0, "WATCH/BUY"), 7),
+                ("AAA", msg(10.0, "HOLD"), 3),
+            ],
+            "key string, value string, offset long",
+        )
+        .repartition(2)
+    )
+    tile2 = mod.metric_tiles(mod.parse_processed_records(with_off)).collect()[0]
+    assert tile2["current_price"] == 11.0
+    assert tile2["suggestion_color"] == "green"
+
 
 def test_dashboard_feed_end_to_end_wire_roundtrip(spark):
     """The example's producer-side replay: engine pipeline -> 16-field
