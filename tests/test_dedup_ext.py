@@ -1702,6 +1702,60 @@ def test_language_id_scores_char_ngrams_and_bruteforce(spark):
     assert got == want, (got, want)
 
 
+def test_language_id_400_languages_compiles_and_scores(spark):
+    """Pin the r12 staged-select fix AT THE SCALE IT MATTERS: a
+    400-language model (fastText's lid.176 ships 176; headroom 2x).
+    Before the fix, best/second/pick built from the raw coalesce+bias
+    expressions inlined the k-term score battery O(k²) times into one
+    Project — measured during the fix's verification: the old shape
+    survives k=50 (codegen subexpression elimination) but planned
+    2.4x slower at k=200 and DIED at k=400 (the serialized O(k²)
+    expression tree OOMs task deserialization), while the staged shape
+    ran k=400 in 5 s. `spark.sql.codegen.fallback=false` additionally
+    turns any silent interpreted fallback into an error; scores are
+    cross-checked against a python brute force."""
+    from airflow_kafka_spark_spark.ext.textstats import language_id_scores
+
+    k = 400
+    langs = [f"l{i:03d}" for i in range(k)]
+    lw = {
+        lang: [(f"m{i}a", 90 + i), (f"m{i}b", 40 + i)]
+        for i, lang in enumerate(langs)
+    }
+    biases = {lang: k - i for i, lang in enumerate(langs)}
+    rows = [
+        (0, "m0a m0a m7b plain"),      # l000 dominates, l007 second
+        (1, f"m{k-1}a m{k-1}b m{k-1}b"),  # last language everywhere
+        (2, "novocab only"),           # bias-only -> l000 (bias k)
+        (3, "m25a m26a"),              # close race between l025/l026
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def brute(text):
+        toks = text.lower().split(" ")
+        scores = {
+            lang: biases[lang]
+            + sum(w for tok, w in lw[lang] for t in toks if t == tok)
+            for lang in langs
+        }
+        best = max(scores.values())
+        lang = next(k for k in langs if scores[k] == best)
+        second = sorted(scores.values())[-2]
+        return lang, best, best - second
+
+    prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        got = {
+            r["doc_id"]: (r["lang"], r["lang_score"], r["margin"])
+            for r in language_id_scores(docs, lw, biases=biases).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+    want = {i: brute(t) for i, t in rows}
+    assert got == want, (got, want)
+
+
 def test_language_id_entry_recovers_planted_languages(spark):
     """The catalog entry's planted-marker fixture: every marker-bearing
     doc's predicted language equals the documents table's ground-truth
