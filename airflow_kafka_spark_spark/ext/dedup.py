@@ -41,15 +41,28 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup groups: md5 fingerprint of normalized text → keeper
-    (min doc_id) + copy count. One hash aggregate; no joins."""
+    (min doc_id) + copy count. One hash aggregate; no joins.
+
+    NULL text carries no dedup evidence (absence of evidence, the
+    ``url_dedup_domain_cap`` contract): each NULL-text doc is its OWN
+    group (NULL fingerprint, itself the keeper, n_copies=1) via a
+    (flag, value) exempt key in the same aggregate — the naive
+    groupBy pooled every null-text doc into ONE "duplicate group"
+    whose downstream keeper-filter silently discarded all but one."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
     return (
         docs.select(F.md5(norm.cast("binary")).alias("fingerprint"), "doc_id")
-        .groupBy("fingerprint")
+        .groupBy(
+            "fingerprint",
+            F.when(F.col("fingerprint").isNull(), F.col("doc_id")).alias(
+                "__exempt"
+            ),
+        )
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count("*").alias("n_copies"),
         )
+        .select("fingerprint", "keep_doc_id", "n_copies")
     )
 
 
@@ -258,6 +271,16 @@ def minhash_lsh_pairs(
     registers it for :func:`release_minhash_caches` — a lazily-returned
     DataFrame gives this function no post-action hook to release it.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes makes rows_per_band 0 and every band key a
+        # CONSTANT — the candidate join silently degenerates into the
+        # all-pairs O(n²) blowup LSH exists to avoid; a non-divisible
+        # split silently drops the trailing hashes from every band,
+        # changing the candidate-recall contract with no warning
+        raise ValueError(
+            f"minhash_lsh_pairs: bands ({bands}) must evenly divide "
+            f"num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     # the shingle frame feeds the signature AND both sides of the verify
     # join — persist so one action computes it once (MEMORY_AND_DISK, so
@@ -484,49 +507,11 @@ def canonical_docs(
     )
 
 
-def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word tokens: per token take 64 bits of
-    xxhash64, sum ±1 per bit position weighted by term frequency, sign →
-    fingerprint bit. Engine-specific hash ⇒ no cross-engine oracle; pinned
-    by unit tests instead (the driver records a rows-only check)."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    exploded = docs.select("doc_id", F.explode(toks).alias("tok"))
-    hashed = exploded.select(
-        "doc_id", F.xxhash64("tok").alias("h")
-    )
-    bit_sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
-    )
-    fingerprint = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
-    return bit_sums.select("doc_id", fingerprint.alias("simhash"))
-
-
-def simhash_md5(docs: DataFrame, text_col: str = "text", n_bits: int = 32) -> DataFrame:
-    """Portable-hash SimHash: same algorithm as :func:`simhash64` but the
-    per-token hash is the first 32 bits of md5 — byte-identical in every
-    engine, so the whole fingerprint is oracle-checkable cross-engine
-    (unlike the faster xxhash64 variant). Term frequency weights ±1 votes
-    per bit; sum > 0 → bit set."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    exploded = docs.select("doc_id", F.explode(toks).alias("tok"))
-    hashed = exploded.select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
+def _simhash_from_hashed(hashed: DataFrame, n_bits: int) -> DataFrame:
+    """Shared SimHash tail: (doc_id, h) token hashes → per-bit ±1 vote
+    sums (ONE hash aggregate) → sign fold into the fingerprint. Both
+    hash variants ride this — a vote-logic fix applies once, not twice
+    (the two bodies had drifted into copy-paste)."""
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -544,6 +529,43 @@ def simhash_md5(docs: DataFrame, text_col: str = "text", n_bits: int = 32) -> Da
         term = F.shiftleft(bit, i)
         fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
     return bit_sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word tokens: per token take 64 bits of
+    xxhash64, sum ±1 per bit position weighted by term frequency, sign →
+    fingerprint bit. Engine-specific hash ⇒ no cross-engine oracle; pinned
+    by unit tests instead (the driver records a rows-only check)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    exploded = docs.select("doc_id", F.explode(toks).alias("tok"))
+    hashed = exploded.select(
+        "doc_id", F.xxhash64("tok").alias("h")
+    )
+    return _simhash_from_hashed(hashed, 64)
+
+
+def simhash_md5(docs: DataFrame, text_col: str = "text", n_bits: int = 32) -> DataFrame:
+    """Portable-hash SimHash: same algorithm as :func:`simhash64` but the
+    per-token hash is the first 32 bits of md5 — byte-identical in every
+    engine, so the whole fingerprint is oracle-checkable cross-engine
+    (unlike the faster xxhash64 variant). Term frequency weights ±1 votes
+    per bit; sum > 0 → bit set."""
+    if not 1 <= n_bits <= 32:
+        # only 32 hash bits exist (first 8 md5 hex chars): bits 32+
+        # would be all-zero for every doc — the caller would calibrate
+        # Hamming thresholds for n_bits while effectively getting 32
+        raise ValueError(
+            f"simhash_md5: n_bits must be in [1, 32], got {n_bits}"
+        )
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    exploded = docs.select("doc_id", F.explode(toks).alias("tok"))
+    hashed = exploded.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    return _simhash_from_hashed(hashed, n_bits)
 
 
 def strip_duplicate_chunks(
@@ -606,7 +628,15 @@ def strip_duplicate_chunks(
         ).alias("clean_text"),
         F.count("*").alias("kept_chunks"),
     )
-    totals = docs.select(id_col, n_chunks.cast("long").alias("total_chunks"))
+    # coalesce: NULL text splits to a NULL array → NULL n_chunks, and
+    # the docstring's numeric contract (row survives, counts are 0)
+    # must hold for it too
+    totals = docs.select(
+        id_col,
+        F.coalesce(
+            n_chunks.cast("long"), F.lit(0).cast("long")
+        ).alias("total_chunks"),
+    )
     # totals and rebuilt are BOTH corpus-sized (one row per document,
     # rebuilt carries full clean_text): shuffle_hash pin so neither is
     # ever a broadcast build (at small stats AQE broadcast-built the
@@ -699,9 +729,15 @@ def incremental_dedup_gate(
         )
         .agg(F.count("*").alias("n_common"))
     )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("n_common")
-    ).cast("double")
+    # round(·, 6) BEFORE the threshold compare, exactly like
+    # jaccard_pairs — the two paths must agree on boundary pairs, or a
+    # doc gated 'near' incrementally flips to not-near in the periodic
+    # self-join re-dedup (and vice versa)
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("n1") + F.col("n2") - F.col("n_common")).cast("double"),
+        6,
+    )
     near_ids = (
         common.filter(jac >= threshold)
         .select(F.col("batch_id").alias(id_col))
@@ -945,7 +981,13 @@ def url_dedup_domain_cap(
     no_url = F.col(url_col).isNull() | (F.trim(F.col(url_col)) == "")
     lowered = F.lower(F.col(url_col))
     no_scheme = F.regexp_replace(lowered, r"^[a-z][a-z0-9+.-]*://", "")
-    no_qf = F.regexp_replace(no_scheme, r"[?#].*$", "")
+    # credentials are not identity: http://user:pw@host/p is the same
+    # page as http://host/p. The class excludes '/', '?' AND '#' —
+    # userinfo ends at the authority, so an '@' in the path, query or
+    # fragment ("?mail=a@b.c") must never trigger the strip (the strip
+    # runs BEFORE query removal, which would otherwise eat the host)
+    no_user = F.regexp_replace(no_scheme, r"^[^/?#]*@", "")
+    no_qf = F.regexp_replace(no_user, r"[?#].*$", "")
     no_www = F.regexp_replace(no_qf, r"^www\.", "")
     norm_raw = F.regexp_replace(no_www, r"/$", "")
     # a URL that normalizes to nothing ("https://", "?q=1") carries no
@@ -957,10 +999,21 @@ def url_dedup_domain_cap(
     # aggregate method blew past janino's limits and fell back to
     # interpreted eval); referenced-more-than-once non-cheap exprs stay
     # un-collapsed, so each regexp runs once per row
+    # host for DOMAIN purposes excludes an explicit :port (a hot domain
+    # serving on several ports is ONE domain for the cap — the old
+    # ^([^/]+) split example.com:8080 into its own pseudo-domain that
+    # got its own cap allowance) and keeps bracketed IPv6 literals
+    # whole. The port STAYS in url_norm: a non-default port is a
+    # different service, so it is a distinct URL for dedup (default-
+    # port stripping would need scheme-aware logic pre-strip — out of
+    # scope, documented). A host regexp_extract miss (e.g. url_norm
+    # ":8080/p") yields "" → the NULL-domain keep-exempt path.
     staged = docs.select(F.col(id_col), url_norm.alias("url_norm")).select(
         id_col,
         "url_norm",
-        F.regexp_extract(F.col("url_norm"), r"^([^/]+)", 1).alias("__host"),
+        F.regexp_extract(
+            F.col("url_norm"), r"^(\[[^\]]*\]|[^/:@]+)", 1
+        ).alias("__host"),
     )
     hostc = F.col("__host")
     staged = staged.select(

@@ -344,11 +344,17 @@ def cosine_topk(
 
     The query side is one row → broadcast; ordering is total
     (cosine desc, vec_id asc) for determinism. The query row itself is
-    excluded.
+    excluded. A missing ``query_vec_id`` raises (the module's point-path
+    contract, same as ann_topk_ivf/_pq) — the silent alternative is an
+    empty frame that reads as "no neighbors" instead of "bad id".
     """
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qvec")
     )
+    if q.select(F.lit(1)).first() is None:
+        raise ValueError(
+            f"cosine_topk: no row with {id_col}={query_vec_id!r}"
+        )
     joined = embeddings.filter(F.col(id_col) != query_vec_id).crossJoin(
         F.broadcast(q)
     )
@@ -845,6 +851,40 @@ def ann_topk_ivfpq_batch(
                 "list_id column (a pq_encode_residual frame) — got raw "
                 "pq_encode codes?"
             )
+        if residual:
+            # bounded cell-provenance check: a codes frame encoded
+            # against a DIFFERENT ivf_assignments run carries stale
+            # list_ids — candidate ids come from THIS index's probed
+            # cells, so the (query_id, list_id, j, code) table lookup
+            # finds no row and the candidate silently vanishes from
+            # the rerank pool (degraded recall, zero errors). A
+            # retrained quantizer moves most vectors, so a bounded
+            # sample catches staleness with near-certainty; the full
+            # certification would be a corpus-scale join per batch —
+            # residual conflicts outside the sample stay the caller's
+            # risk (the _check_sample_id_conflicts bound class).
+            sample = codes.select(id_col, "list_id").limit(1000).collect()
+            if sample:
+                want = {r[id_col]: r["list_id"] for r in sample}
+                spark_s = codes.sparkSession
+                ids_df = spark_s.createDataFrame(
+                    [(i,) for i in want], f"{id_col} long"
+                )
+                got = {
+                    r[id_col]: r["list_id"]
+                    for r in assigned.join(F.broadcast(ids_df), id_col)
+                    .select(id_col, "list_id")
+                    .collect()
+                }
+                bad = [i for i, c in want.items() if got.get(i) != c]
+                if bad:
+                    raise ValueError(
+                        "ann_topk_ivfpq_batch: codes list_id disagrees "
+                        f"with the index's assignments for {len(bad)} of "
+                        f"{len(want)} sampled ids (e.g. {bad[:3]}) — "
+                        "codes encoded against a different/stale "
+                        "ivf_assignments run?"
+                    )
     books = (
         codebooks
         if codebooks is not None
@@ -1032,7 +1072,17 @@ def ann_topk_bucketed(
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's
     LSH bucket. One equi-join on the bucket key replaces the full scan —
-    the join prunes to a ~2^-n_planes fraction of the corpus."""
+    the join prunes to a ~2^-n_planes fraction of the corpus. A missing
+    ``query_vec_id`` raises (the module's point-path contract)."""
+    if (
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(F.lit(1))
+        .first()
+        is None
+    ):
+        raise ValueError(
+            f"ann_topk_bucketed: no row with {id_col}={query_vec_id!r}"
+        )
     bucketed = lsh_buckets(embeddings, n_planes, vec_col, id_col)
     q = bucketed.filter(F.col(id_col) == query_vec_id).select(
         F.col("bucket").alias("qbucket"), F.col(vec_col).alias("qvec")
@@ -1050,33 +1100,37 @@ def ann_topk_bucketed(
     )
 
 
-def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+def quantize_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
     """Symmetric int8 quantization of an embedding column — the storage /
     bandwidth step an ANN index build runs before sharding vectors
     (scale = max|v|/127 per vector, q = round(v/scale)).
 
     Map-only: per-vector scale is a JVM higher-order fold, values
-    posexplode to (vec_id, pos, qval) rows — no shuffle, no Python, so
+    posexplode to (id, pos, qval) rows — no shuffle, no Python, so
     it streams through a 100 TB corpus at scan speed. Rounding is
     ``floor(x + 0.5)`` written out explicitly because engines disagree on
     round-half-to-even; floor is exact in IEEE double everywhere.
     """
     maxabs = F.aggregate(
-        F.col("embedding"),
+        F.col(vec_col),
         F.lit(0.0).cast("double"),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
     scale = maxabs / F.lit(127.0)
     pe = embeddings.select(
-        "vec_id",
+        id_col,
         scale.alias("scale"),
-        F.posexplode("embedding").alias("pos", "v"),
+        F.posexplode(vec_col).alias("pos", "v"),
     )
     qval = F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
         F.floor(F.col("v").cast("double") / F.col("scale") + F.lit(0.5))
     )
     return pe.select(
-        "vec_id",
+        id_col,
         # 1-based to match SQL generate_subscripts
         (F.col("pos") + 1).cast("long").alias("pos"),
         qval.cast("long").alias("qval"),

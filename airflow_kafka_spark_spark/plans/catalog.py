@@ -1614,7 +1614,10 @@ SQL_DEDUP_EXACT = """
 SELECT md5(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g')) AS fingerprint,
        MIN(doc_id) AS keep_doc_id,
        COUNT(*) AS n_copies
-FROM documents GROUP BY 1
+FROM documents
+-- (flag, value) exempt key mirroring the engine: NULL text is no dedup
+-- evidence, each such doc is its own group (no-op on these fixtures)
+GROUP BY 1, CASE WHEN text IS NULL THEN doc_id END
 """
 
 _SHINGLES_SQL = """
@@ -4769,7 +4772,8 @@ common AS (
   GROUP BY 1, 2, 3, 4
 ),
 near AS (SELECT DISTINCT batch_id AS doc_id FROM common
-         WHERE CAST(n_common AS DOUBLE) / CAST(n1 + n2 - n_common AS DOUBLE) >= 0.5),
+         WHERE round(CAST(n_common AS DOUBLE)
+                     / CAST(n1 + n2 - n_common AS DOUBLE), 6) >= 0.5),
 bfp AS (SELECT doc_id, md5(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g')) AS fp FROM b),
 cfp AS (SELECT DISTINCT md5(regexp_replace(lower(text), '[\\s\\x0B]+', ' ', 'g')) AS fp FROM c),
 exact AS (SELECT bfp.doc_id FROM bfp JOIN cfp USING (fp))
@@ -6216,14 +6220,20 @@ def _url_dedup_urls():
     site is its OWN domain, not one pooled "github.io") and a ``www.``
     -bearing ``source.s3.amazonaws.com`` bucket host (3-label private
     suffix → 4-label registered domain) — the r11-verdict pooling
-    class."""
+    class; variant 8 carries an explicit :8080 PORT — a distinct URL
+    (different service) whose HOST must still pool under the same
+    ``source.com`` registered domain for the cap (the r12-review
+    port-pseudo-domain class); variant 9 carries USERINFO
+    (``user:pw@``) — credentials are not identity, so it must
+    normalize to the SAME url as variants 0/1/3 and collapse in URL
+    dedup."""
     j = F.expr("doc_id div 20")
     host = F.concat(F.col("source"), F.lit(".com"))
     cchost = F.concat(F.col("source"), F.lit(".co.uk"))
     ghhost = F.concat(F.col("source"), F.lit(".github.io"))
     s3host = F.concat(F.col("source"), F.lit(".s3.amazonaws.com"))
     path = F.concat(F.lit("/p/"), (j % 5).cast("string"))
-    variant = j % 8
+    variant = j % 10
     return (
         F.when(
             variant == 0,
@@ -6246,6 +6256,14 @@ def _url_dedup_urls():
         .when(
             variant == 7,
             F.concat(F.lit("http://www."), s3host, path, F.lit("?s=1")),
+        )
+        .when(
+            variant == 8,
+            F.concat(F.lit("https://"), host, F.lit(":8080"), path),
+        )
+        .when(
+            variant == 9,
+            F.concat(F.lit("https://user:pw@"), host, path, F.lit("/")),
         )
         .otherwise(F.concat(F.lit("https://"), host, path))
     )
@@ -6702,7 +6720,7 @@ _PSL3_SQL = ", ".join(f"'{s}'" for s in _SUFFIXES_3)
 SQL_URL_DEDUP = rf"""
 WITH u AS (
   SELECT doc_id,
-    CASE CAST((doc_id // 20) % 8 AS INTEGER)
+    CASE CAST((doc_id // 20) % 10 AS INTEGER)
       WHEN 0 THEN 'HTTPS://WWW.' || upper(source || '.com')
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
       WHEN 1 THEN 'http://' || source || '.com'
@@ -6718,6 +6736,10 @@ WITH u AS (
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
       WHEN 7 THEN 'http://www.' || source || '.s3.amazonaws.com'
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '?s=1'
+      WHEN 8 THEN 'https://' || source || '.com:8080'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
+      WHEN 9 THEN 'https://user:pw@' || source || '.com'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
       ELSE 'https://' || source || '.com'
            || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
     END AS url
@@ -6725,9 +6747,10 @@ WITH u AS (
 ),
 norm AS (
   SELECT doc_id,
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       lower(url),
       '^[a-z][a-z0-9+.-]*://', ''),
+      '^[^/?#]*@', ''),
       '[?#].*$', ''),
       '^www\.', ''),
       '/$', '') AS url_norm
@@ -6735,7 +6758,7 @@ norm AS (
 ),
 hosted AS (
   SELECT doc_id, url_norm,
-    regexp_extract(url_norm, '^([^/]+)', 1) AS host
+    regexp_extract(url_norm, '^(\[[^\]]*\]|[^/:@]+)', 1) AS host
   FROM norm
 ),
 base AS (

@@ -1846,6 +1846,131 @@ def test_unicode_normalize_nfc_leg_matches_python_and_duckdb(spark):
     assert got[1] == "caf\u00e9 composes" and got[3] == "\u00c5 ring"
 
 
+def test_exact_duplicates_null_text_is_not_a_duplicate_group(spark):
+    """NULL text carries no dedup evidence (r12 review class): each
+    NULL-text doc must be its OWN group with itself as keeper — the
+    naive groupBy pooled them all under one NULL fingerprint, and a
+    keeper filter then silently discarded every null-text doc but
+    one."""
+    from airflow_kafka_spark_spark.ext.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    rows = exact_duplicates(docs).collect()
+    keepers = {r["keep_doc_id"]: r["n_copies"] for r in rows}
+    assert keepers == {1: 2, 3: 1, 4: 1, 5: 1}
+    assert all(r["fingerprint"] is None for r in rows if r["keep_doc_id"] >= 3)
+
+
+def test_minhash_lsh_rejects_bad_band_split(spark):
+    """bands must evenly divide num_hashes (r12 review class): a
+    0-rows-per-band split makes every band key a constant — the
+    candidate join silently degenerates to all-pairs O(n²)."""
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(docs, num_hashes=8, bands=16)
+    with _pytest.raises(ValueError, match="evenly divide"):
+        minhash_lsh_pairs(docs, num_hashes=8, bands=3)
+
+
+def test_simhash_md5_rejects_n_bits_over_32(spark):
+    """Only 32 md5 hash bits exist: n_bits=64 would silently produce
+    fingerprints whose top 32 bits are zero for every doc."""
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.dedup import simhash_md5
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match=r"\[1, 32\]"):
+        simhash_md5(docs, n_bits=64)
+
+
+def test_strip_duplicate_chunks_null_text_numeric_contract(spark):
+    """A NULL-text doc must survive with clean_text '' and ZERO counts
+    (r12 review class: split(NULL) gave NULL total_chunks and
+    removed_chunks = NULL - 0 = NULL, breaking sum()/filter gates)."""
+    from airflow_kafka_spark_spark.ext.dedup import strip_duplicate_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_chunks(docs, chunk_words=3).collect()}
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["kept_chunks"], out[3]["removed_chunks"]) == (0, 0)
+    # the duplicated docs still lose their corpus-duplicated chunks
+    assert out[1]["removed_chunks"] == 2 and out[1]["clean_text"] == ""
+
+
+def test_point_paths_raise_on_missing_query_id(spark):
+    """cosine_topk and ann_topk_bucketed must fail fast on a missing
+    query_vec_id like every other point path (r12 review class: they
+    silently returned an EMPTY frame, which reads as 'no neighbors'
+    instead of 'bad id')."""
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_bucketed,
+        cosine_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="cosine_topk: no row"):
+        cosine_topk(emb, query_vec_id=999)
+    with _pytest.raises(ValueError, match="ann_topk_bucketed: no row"):
+        ann_topk_bucketed(emb, query_vec_id=999)
+
+
+def test_ivfpq_batch_rejects_stale_residual_codes(spark):
+    """Residual codes carry the cell ids they were encoded under: a
+    codes frame whose list_id disagrees with the index's assignments
+    silently drops candidates from the ADC join (r12 review class) —
+    the bounded provenance sample must raise instead."""
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_ivfpq_batch,
+        ivf_assignments,
+        pq_codebooks,
+        pq_encode_residual,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    from pyspark.sql import functions as F
+
+    index = ivf_assignments(emb, n_lists=4)
+    books = pq_codebooks(emb, m=2, n_codes=4, centroids=index[1])
+    good = pq_encode_residual(emb, books, index)
+    # sanity: matching provenance serves fine
+    assert (
+        ann_topk_ivfpq_batch(
+            emb, [0], k=3, index=index, codebooks=books, codes=good,
+            residual=True,
+        ).count()
+        > 0
+    )
+    stale = good.withColumn(
+        "list_id", ((F.col("list_id") + 1) % 4).cast(good.schema["list_id"].dataType)
+    )
+    with _pytest.raises(ValueError, match="different/stale"):
+        ann_topk_ivfpq_batch(
+            emb, [0], k=3, index=index, codebooks=books, codes=stale,
+            residual=True,
+        )
+
+
 def test_pii_redact_classes(spark):
     """PII redaction (upgraded r12): each category redacts to its
     typed placeholder with a per-stage replaced count; near-misses
@@ -2075,6 +2200,41 @@ def test_url_dedup_psl_private_section_platform_domains(spark):
     assert out[8]["domain"] == "alice.blogspot.co.uk"
     assert out[9]["domain"] == "github.io"            # own domain, not ''
     assert all(r["kept"] == 1 for r in out.values())
+
+
+def test_url_dedup_ports_userinfo_and_ipv6_hosts(spark):
+    """r12 review class: an explicit :port must NOT split a domain into
+    its own capped pseudo-domain (the host for domain purposes is
+    portless, while the port stays in url_norm — a non-default port is
+    a distinct service/URL); userinfo is credentials, not identity —
+    it strips from url_norm entirely, so user:pw@ variants collapse
+    with their bare URL; an @ in the QUERY is untouched by that strip;
+    bracketed IPv6 literals stay whole as their own domains."""
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ex.com/a"),
+            (2, "https://ex.com:8080/a"),       # distinct URL, same domain
+            (3, "http://user:pw@ex.com/a"),     # collapses into doc 1
+            (4, "https://ex.com/m?mail=a@b.c"), # @ in query: host survives
+            (5, "http://[2001:db8::1]:8080/x"), # IPv6 + port
+            (6, "https://a.co.uk:443/p"),       # port on a PSL ccTLD host
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in url_dedup_domain_cap(docs, cap=9).collect()}
+    assert out[1]["url_norm"] == "ex.com/a" and out[1]["domain"] == "ex.com"
+    # port kept in the URL identity, dropped from the domain
+    assert out[2]["url_norm"] == "ex.com:8080/a"
+    assert out[2]["domain"] == "ex.com"
+    # credentials stripped -> same url_norm as doc 1, doc 1 keeps (min id)
+    assert out[3]["url_norm"] == "ex.com/a"
+    assert (out[1]["is_url_keeper"], out[3]["is_url_keeper"]) == (1, 0)
+    # the userinfo strip must not eat 'ex.com/m?mail=' up to the @
+    assert out[4]["url_norm"] == "ex.com/m" and out[4]["domain"] == "ex.com"
+    assert out[5]["domain"] == "[2001:db8::1]"
+    assert out[6]["domain"] == "a.co.uk"  # PSL tier applies to the portless host
 
 
 def test_url_dedup_empty_host_cap_exempt_still_dedups(spark):

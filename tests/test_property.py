@@ -610,6 +610,7 @@ def test_contamination_spans_property(spark, doc_toks, bench_toks):
 _urls = st.lists(
     st.tuples(
         st.sampled_from(["http://", "https://", "HTTPS://", ""]),   # scheme
+        st.sampled_from(["", "u@", "user:pw@"]),                    # userinfo
         st.sampled_from(["", "www.", "WWW.", "cdn."]),              # sub
         st.sampled_from(                                            # reg domain
             [
@@ -621,8 +622,11 @@ _urls = st.lists(
                 "zeta.s3.amazonaws.com",      # PSL private, 3-label
             ]
         ),
+        st.sampled_from(["", ":8080", ":443"]),                     # port
         st.sampled_from(["/a", "/a/", "/b", ""]),                   # path
-        st.sampled_from(["", "?q=1", "#f", "?q=1#f"]),              # junk
+        # '?mail=a@b.c' plants an @ in the QUERY — the userinfo strip
+        # must never cross into it (r12 review class)
+        st.sampled_from(["", "?q=1", "#f", "?q=1#f", "?mail=a@b.c"]),  # junk
     ),
     min_size=1,
     max_size=12,
@@ -633,9 +637,11 @@ _urls = st.lists(
 @settings(max_examples=10, deadline=None)
 def test_url_dedup_domain_cap_property(spark, parts, cap):
     """url_dedup_domain_cap == a brute-force python reference on
-    arbitrary scheme/sub/path/junk combinations: normalization
-    equality, exactly one min-id keeper per normalized URL, per-domain
-    keeper counts bounded by cap, kept = the first `cap` keepers in
+    arbitrary scheme/userinfo/sub/port/path/junk combinations:
+    normalization equality (credentials stripped, an @ in the query
+    untouched), exactly one min-id keeper per normalized URL,
+    per-domain keeper counts bounded by cap with PORTS pooling into
+    their portless domain, kept = the first `cap` keepers in
     (md5(id), id) order."""
     import hashlib
     import re
@@ -643,8 +649,8 @@ def test_url_dedup_domain_cap_property(spark, parts, cap):
     from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
 
     rows = [
-        (i, f"{sch}{sub}{dom}{path}{junk}")
-        for i, (sch, sub, dom, path, junk) in enumerate(parts)
+        (i, f"{sch}{user}{sub}{dom}{port}{path}{junk}")
+        for i, (sch, user, sub, dom, port, path, junk) in enumerate(parts)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, url string")
     got = {r["doc_id"]: r for r in url_dedup_domain_cap(docs, cap=cap).collect()}
@@ -652,6 +658,7 @@ def test_url_dedup_domain_cap_property(spark, parts, cap):
     def norm(u):
         u = u.lower()
         u = re.sub(r"^[a-z][a-z0-9+.-]*://", "", u)
+        u = re.sub(r"^[^/?#]*@", "", u)
         u = re.sub(r"[?#].*$", "", u)
         u = re.sub(r"^www\.", "", u)
         return re.sub(r"/$", "", u)
@@ -663,7 +670,8 @@ def test_url_dedup_domain_cap_property(spark, parts, cap):
             _SUFFIXES_3,
         )
 
-        host = re.match(r"^([^/]*)", u).group(1)
+        m = re.match(r"^(\[[^\]]*\]|[^/:@]+)", u)
+        host = m.group(1) if m else ""
         labels = host.split(".")
         if len(labels) >= 4 and ".".join(labels[-3:]) in _SUFFIXES_3:
             return ".".join(labels[-4:])
