@@ -77,8 +77,12 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     undirected simple graph, one output row:
     ``(n_nodes, n_edges, n_triangles, clustering)``.
 
-    ``edges`` must be distinct with ``src < dst`` (what ``basket_pairs``
-    emits); self-loops are rejected by the canonicalization filter.
+    ``edges`` may arrive in ANY orientation and with duplicates: each
+    edge is canonicalized to ``(least, greatest)`` before the distinct
+    (an input carrying both (a,b) and (b,a) previously doubled every
+    degree and counted each triangle twice, silently — the docstring
+    precondition is now enforced by one cheap map expression);
+    self-loops are dropped.
 
     Plan (compact-forward / Latapy 2008, the adjacency-array variant of
     the node-iterator): degree agg (one shuffle on node) → joint-degree
@@ -97,7 +101,14 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     ``clustering = 3·triangles / Σ C(deg, 2)`` (wedge total from the
     degree table — exact integer arithmetic below 2^53).
     """
-    e = edges.select(src, dst).filter(F.col(src) != F.col(dst)).distinct()
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias(src),
+            F.greatest(F.col(src), F.col(dst)).alias(dst),
+        )
+        .filter(F.col(src) != F.col(dst))
+        .distinct()
+    )
     deg = (
         e.select(F.col(src).alias("n"))
         .unionAll(e.select(F.col(dst).alias("n")))

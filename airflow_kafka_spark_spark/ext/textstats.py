@@ -122,6 +122,10 @@ def pack_token_shards(
     sum — per-language sequential by construction (packing is an ordered
     assignment), but languages pack in parallel and shard ids are stable.
     """
+    if budget <= 0:
+        # budget 0 divides +Inf/NaN through the non-ANSI double→long
+        # cast (saturated max / 0) — silently nonsensical shard ids
+        raise ValueError(f"pack_token_shards: budget must be > 0, got {budget}")
     from pyspark.sql import Window
 
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)
@@ -164,7 +168,13 @@ def contamination_scores(
     bench = (
         benchmark.select(
             F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-        ).distinct()
+        )
+        # NULL/empty benchmark text shingles to [''] — an empty string
+        # is not benchmark CONTENT, and one such row would otherwise
+        # mark every NULL/empty corpus doc 100% contaminated (the
+        # NULL-pooling class exact_duplicates guards against)
+        .filter(F.col("shingle") != "")
+        .distinct()
     )
     hits = (
         d.select("doc_id", F.explode("__sh").alias("shingle"))
@@ -239,9 +249,14 @@ def contamination_spans(
     d = docs.select("doc_id", pos_shingles.alias("__sh")).select(
         "doc_id", "__sh", F.size("__sh").cast("long").alias("n_sh")
     )
-    bench = benchmark.select(
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
-    ).distinct()
+    bench = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        )
+        # same empty-shingle exclusion as contamination_scores
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
     hit_pos = d.select(
         "doc_id", F.posexplode("__sh").alias("pos", "shingle")
     ).join(F.broadcast(bench), "shingle")
@@ -351,6 +366,9 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
     same key the tf aggregate already hashed on, so AQE coalesces
     without an extra exchange. Scores are rounded to 6dp BEFORE ranking
     so Spark and the SQL oracle order identically (ties break on term).
+    Residual caveat (shared with ``bm25_topk``): the idf is a libm
+    ``log`` whose last ulp can differ across engines — a documented
+    exception to the no-log rule, traded for real tf-idf semantics.
     """
     from pyspark.sql import Window
 
@@ -409,11 +427,21 @@ def bm25_topk(
     deterministic with no global sort or single-partition window.
 
     Double-arithmetic order mirrors the SQL oracle expression-for-
-    expression (literals combined the same way), so scores are
-    bit-identical cross-engine before the 6dp round.
+    expression (literals combined the same way). Residual cross-engine
+    caveat: ``idf`` is a libm ``log`` whose last ulp can differ across
+    engines — a score landing within one ulp of a 6dp rounding tie
+    could round differently per engine (no such tie has materialized
+    across the gate's fixtures; the repo's no-log rule applies to new
+    oracled paths, and this documented exception is the trade for
+    real BM25 semantics).
+
+    ``query_terms`` are lowercased on entry: ``tokens()`` lowercases
+    all text, so a mixed-case term would otherwise silently match
+    nothing and contribute zero to every score.
     """
     if not query_terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
+    query_terms = [str(term).lower() for term in query_terms]
     t = tokens(F.col(text_col))
 
     # closure factory: a `lambda x, term=term:` two-arg signature would
@@ -524,10 +552,13 @@ def charlm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     it BROADCASTS back; (2) score — re-explode, broadcast-join the
     model, one hash-agg per doc. Cross-engine bit-stability: the per-
     bigram probability is a single IEEE double division (exact in both
-    engines), quantized to decimal(12,9) BEFORE the order-insensitive
-    decimal sum — no float accumulation, no log() (libm log differs
-    across engines in the last ulp; relative frequency carries the same
-    signal deterministically).
+    engines), quantized via ``floor(p · 10⁹)`` to BIGINT BEFORE the
+    order-insensitive integer sum (the decimal_sum contract: derived
+    doubles can tie exactly at the target scale, where Spark's
+    half-up and DuckDB's half-even ROUND disagree — floor is pure
+    IEEE, tie-free); the per-doc score is one BIGINT floor-division
+    and one exact-operand IEEE division back to double. No float
+    accumulation, no round(), no log() anywhere.
 
     Docs shorter than 2 chars have no bigrams and are absent from the
     output (inner-join semantics, same as the SQL oracle).
@@ -553,7 +584,10 @@ def charlm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     p = F.col("c").cast("double") / F.col("total").cast("double")
     model_p = (
         model.crossJoin(F.broadcast(total))
-        .select("bigram", F.round(p, 9).cast("decimal(12,9)").alias("p9"))
+        .select(
+            "bigram",
+            F.floor(p * F.lit(1000000000.0)).cast("long").alias("p9"),
+        )
     )
 
     return (
@@ -561,8 +595,15 @@ def charlm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(
-                F.sum("p9").cast("double") / F.count("*").cast("double"), 6
+            F.sum("p9").alias("__s9"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.expr("__s9 div n_bigrams").cast("double")
+                / F.lit(1000000000.0)
+                + F.lit(0.0)
             ).alias("char_lm_score"),
         )
     )
@@ -603,8 +644,17 @@ def vocab_coverage(
         "cnt",
         (F.col("cnt").cast("double") / total.cast("double")).alias("__share"),
         (cum.cast("double") / total.cast("double")).alias("__cum"),
+        # prior cumulative share — the crossing word's PRIOR cum is
+        # below coverage, so filtering on it INCLUDES the word that
+        # actually reaches the target (filtering on __cum <= coverage
+        # returned a set that never reached it: shares [.5 .3 .2] at
+        # coverage .9 gave 2 words covering 80%, and a .95-share head
+        # word answered "how many words cover 90%?" with ZERO)
+        ((cum - F.col("cnt")).cast("double") / total.cast("double")).alias(
+            "__prior"
+        ),
     )
-    return ranked.filter(F.col("__cum") <= F.lit(coverage)).select(
+    return ranked.filter(F.col("__prior") < F.lit(coverage)).select(
         "rank",
         "word",
         "cnt",
@@ -674,9 +724,14 @@ def dsir_importance(
 
     Scale shape: one explode over the corpus, ONE hash aggregate for
     the per-token raw/target counts (conditional sum — no second scan
-    for the target corpus), a broadcast-sized totals row, one equi-join
-    of the exploded tokens against the (vocab-sized) ratio table, one
-    per-doc sum. Same shuffle economics as tf-idf.
+    for the target corpus), a two-BIGINT totals collect off the
+    checkpointed vocab table (bounded by contract, and the loud
+    empty-target guard — ``target_cond`` matching nothing raises
+    instead of silently NULLing every score), one equi-join of the
+    exploded tokens against the (vocab-sized) ratio table, one per-doc
+    sum. Same shuffle economics as tf-idf.
+
+    Raises ``ValueError`` when the target subset is empty.
     """
     t = tokens(F.col(text_col))
     ex = docs.select(
@@ -693,18 +748,30 @@ def dsir_importance(
         F.count(F.lit(1)).alias("__n_raw"),
         F.sum("__tgt").alias("__n_tgt"),
     ).localCheckpoint()
-    totals = tok_stats.agg(
+    # ONE row off the already-checkpointed vocab table — both a
+    # BOUNDED collect (the totals are two BIGINTs) and the loud guard:
+    # an empty target subset means __N_tgt = 0, and the div-by-zero
+    # under non-ANSI Spark would silently NULL every score and kept
+    # flag instead of failing (the module's other entry points raise).
+    # Shipping the totals as literals also removes the crossJoin whose
+    # lineage self-join needed the alias dance.
+    trow = tok_stats.agg(
         F.sum("__n_raw").alias("__N_raw"), F.sum("__n_tgt").alias("__N_tgt")
-    )
+    ).first()
+    n_raw_total = int(trow["__N_raw"] or 0)
+    n_tgt_total = int(trow["__N_tgt"] or 0)
+    if n_tgt_total == 0:
+        raise ValueError(
+            "dsir_importance: target_cond matches no documents (or the "
+            "target subset has no tokens) — the importance ratio is "
+            "undefined for an empty target"
+        )
     s = int(smoothing)
-    # totals derives from tok_stats, so the cross join is a self-join in
-    # lineage terms — qualify through aliases or the analyzer flags the
-    # shared attribute ids as ambiguous
-    ratio = tok_stats.alias("ts").crossJoin(totals.alias("tt")).select(
-        F.col("ts.__tok").alias("__tok"),
+    ratio = tok_stats.select(
+        "__tok",
         F.expr(
-            f"((1000000 * (ts.__n_tgt + {s})) div (ts.__n_raw + {s}))"
-            " * tt.__N_raw div tt.__N_tgt"
+            f"((1000000 * (__n_tgt + {s})) div (__n_raw + {s}))"
+            f" * {n_raw_total} div {n_tgt_total}"
         ).alias("__r"),
     )
     # scores feeds both the output and the median scalar — checkpoint
@@ -812,10 +879,16 @@ def linear_quality_scores(
     subword featurizer pays). A token shorter than n yields no n-grams.
 
     Output: ``(doc_id, quality_score BIGINT, kept INT)``.
+
+    Weight-table keys are lowercased on entry (duplicate keys after
+    lowering simply sum through the join fan-out): ``tokens()``
+    lowercases all text, so a mixed-case vocabulary row would
+    otherwise be silently dead model weight.
     """
     spark = docs.sparkSession
     w = spark.createDataFrame(
-        [(str(t), int(v)) for t, v in weights], "__tok string, __w long"
+        [(str(t).lower(), int(v)) for t, v in weights],
+        "__tok string, __w long",
     )
     feats = _with_char_ngrams(
         tokens(F.col(text_col)), char_ngrams, "linear_quality_scores"
@@ -881,10 +954,13 @@ def language_id_scores(
         )
     spark = docs.sparkSession
     k = len(langs)
+    # keys lowercased on entry (the accumulating += merges collisions):
+    # tokens() lowercases all text, so a mixed-case vocabulary row
+    # would be silently dead model weight
     by_tok: dict[str, list[int]] = {}
     for i, lang in enumerate(langs):
         for tok, wt in lang_weights[lang]:
-            by_tok.setdefault(str(tok), [0] * k)[i] += int(wt)
+            by_tok.setdefault(str(tok).lower(), [0] * k)[i] += int(wt)
     w = spark.createDataFrame(
         [(t, *ws) for t, ws in sorted(by_tok.items())],
         "__tok string, " + ", ".join(f"__w{i} long" for i in range(k)),
@@ -1120,9 +1196,14 @@ def html_text_extract(
 # lookaround, no backreferences): character classes, non-capturing
 # groups, bounded repeats and ASCII \b mean the same thing in both
 # engines, so the DuckDB oracle reproduces the redaction byte for byte
-# (the html_extract verification pattern). Deliberately conservative —
-# a redactor that eats version strings or decimal numbers destroys
-# training data; near-misses are pinned by test.
+# (the html_extract verification pattern). Conservative where the
+# shared subset allows (3-part versions, decimal times, short digit
+# runs survive — pinned by test), with two KNOWN false-positive
+# classes that would need lookbehind (unavailable in RE2) to exclude:
+# a 4-part dotted number ("release 1.2.3.4") is IP-shaped and redacts
+# as <IP>, and a decimal fraction of >= 6 digits ("3.14159265")
+# redacts its fraction as <NUM> ('.' is a non-word char, so \b holds).
+# Both are redaction-side errors (over-redaction), never leaks.
 _PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 # E.164 (+ then 7-15 digits), US (NNN) NNN-NNNN, US NNN-NNN-NNNN /

@@ -2258,8 +2258,10 @@ def q_decontaminate(spark, sf_dir):
 SQL_DECONTAMINATE = f"""
 WITH {_SHINGLES_SQL},
 bench AS (
-  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
-  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 2
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(shingles) AS shingle FROM sh
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 2
+  ) WHERE shingle <> ''
 ),
 hits AS (
   SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
@@ -2310,8 +2312,10 @@ posed AS (
   FROM toks
 ),
 bench AS (
-  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
-  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 2
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(shingles) AS shingle FROM sh
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 2
+  ) WHERE shingle <> ''
 ),
 hitp AS (
   SELECT p.doc_id, CAST(i AS BIGINT) AS pos
@@ -4689,10 +4693,14 @@ model AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1),
 tot AS (SELECT SUM(c) AS total FROM model)
 SELECT bg.doc_id,
        COUNT(*) AS n_bigrams,
-       CAST(ROUND(
-         CAST(SUM(CAST(ROUND(CAST(model.c AS DOUBLE) / CAST(tot.total AS DOUBLE), 9)
-                       AS DECIMAL(12,9))) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) + CAST(0 AS DOUBLE) AS char_lm_score
+       -- floor(p * 1e9) BIGINT quantization, integer floor-division,
+       -- one exact-operand IEEE division back to double: the
+       -- decimal_sum-contract form (ROUND(double, n) ties differ
+       -- across engines; floor is pure IEEE)
+       CAST(SUM(CAST(FLOOR(CAST(model.c AS DOUBLE) / CAST(tot.total AS DOUBLE)
+                           * 1000000000.0) AS BIGINT))
+            // COUNT(*) AS DOUBLE)
+         / 1000000000.0 + CAST(0 AS DOUBLE) AS char_lm_score
 FROM bg JOIN model USING (bigram) CROSS JOIN tot
 GROUP BY bg.doc_id
 """
@@ -4723,7 +4731,8 @@ SELECT CAST(rank AS BIGINT) AS rank, word, cnt,
        CAST(ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS DOUBLE)
          + CAST(0 AS DOUBLE) AS cum_share
 FROM ranked CROSS JOIN tot
-WHERE CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.9
+-- prior-cum filter: include the word that CROSSES the coverage target
+WHERE CAST(cum - cnt AS DOUBLE) / CAST(total AS DOUBLE) < 0.9
 """
 
 

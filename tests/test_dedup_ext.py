@@ -1846,6 +1846,135 @@ def test_unicode_normalize_nfc_leg_matches_python_and_duckdb(spark):
     assert got[1] == "caf\u00e9 composes" and got[3] == "\u00c5 ring"
 
 
+def test_vocab_coverage_includes_crossing_word(spark):
+    """The smallest set REACHING coverage includes the word that
+    crosses the target (r12 review class: filtering cum <= coverage
+    returned a set that never reached it, and a head word with share
+    above the target answered 'how many words cover 90%?' with 0)."""
+    from airflow_kafka_spark_spark.ext.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a b b b c c")], "doc_id long, text string"
+    )
+    rows = vocab_coverage(docs, coverage=0.9).orderBy("rank").collect()
+    assert [(r["word"], r["cum_share"]) for r in rows] == [
+        ("a", 0.5),
+        ("b", 0.8),
+        ("c", 1.0),  # the crossing word IS in the set
+    ]
+    head = spark.createDataFrame(
+        [(1, " ".join(["a"] * 19 + ["b"]))], "doc_id long, text string"
+    )
+    got = vocab_coverage(head, coverage=0.9).collect()
+    assert len(got) == 1 and got[0]["word"] == "a"  # 1 word, not 0
+
+
+def test_dsir_importance_empty_target_raises(spark):
+    """An empty target subset has no importance distribution: the gate
+    must raise loudly (r12 review class: the BIGINT div-by-zero under
+    non-ANSI Spark silently NULLed every score and kept flag)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.ext.textstats import dsir_importance
+
+    docs = spark.createDataFrame(
+        [(1, "some words here"), (2, "more words")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="empty target"):
+        dsir_importance(docs, F.lit(False))
+
+
+def test_query_terms_and_vocab_lowercase_on_entry(spark):
+    """tokens() lowercases all text, so mixed-case caller input was
+    silently dead (r12 review class): a 'SPARK' query term matched
+    nothing, a ('SPARK', w) model row never joined. Both surfaces now
+    lowercase on entry and must score identically to lowercase
+    input."""
+    from airflow_kafka_spark_spark.ext.textstats import (
+        bm25_topk,
+        linear_quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data fast"), (2, "other words entirely")],
+        "doc_id long, text string",
+    )
+    lo = {(r["doc_id"], r["score"]) for r in bm25_topk(docs, ["spark"]).collect()}
+    up = {(r["doc_id"], r["score"]) for r in bm25_topk(docs, ["SPARK"]).collect()}
+    assert lo == up and lo  # non-empty and identical
+    s_lo = {
+        r["doc_id"]: r["quality_score"]
+        for r in linear_quality_scores(docs, [("spark", 10)]).collect()
+    }
+    s_up = {
+        r["doc_id"]: r["quality_score"]
+        for r in linear_quality_scores(docs, [("SPARK", 10)]).collect()
+    }
+    assert s_lo == s_up and s_lo[1] == 10
+
+
+def test_pack_token_shards_rejects_nonpositive_budget(spark):
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.textstats import pack_token_shards
+
+    docs = spark.createDataFrame(
+        [(1, "en", "words")], "doc_id long, lang string, text string"
+    )
+    for bad in (0, -5):
+        with _pytest.raises(ValueError, match="budget must be > 0"):
+            pack_token_shards(docs, budget=bad)
+
+
+def test_contamination_ignores_empty_benchmark_shingles(spark):
+    """A NULL/empty benchmark row shingles to [''] — not benchmark
+    CONTENT (r12 review class: one such row marked every NULL/empty
+    corpus doc 100% contaminated and span-dropped it — the NULL-
+    pooling data-loss class). The bench set now excludes the empty
+    shingle in both the fraction and span paths."""
+    from airflow_kafka_spark_spark.ext.textstats import (
+        contamination_scores,
+        contamination_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real words in here now")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, None), (10, ""), (11, "real words in here also")],
+        "doc_id long, text string",
+    )
+    frac = {r["doc_id"]: r for r in contamination_scores(docs, bench).collect()}
+    assert frac[1]["n_hits"] == 0 and frac[1]["contamination"] == 0.0
+    assert frac[2]["n_hits"] == 0 and frac[2]["contamination"] == 0.0
+    assert frac[3]["n_hits"] > 0  # real overlap still detected
+    spans = {r["doc_id"]: r for r in contamination_spans(docs, bench).collect()}
+    assert spans[1]["max_run"] == 0 and spans[2]["max_run"] == 0
+    assert spans[3]["max_run"] > 0
+
+
+def test_charlm_scores_rank_typical_over_rare_bigrams(spark):
+    """Sanity ordering on the floor-quantized charlm score (the
+    round→decimal quantization was the decimal_sum tie-prone class;
+    the score semantics must survive the floor rewrite): a doc made of
+    corpus-typical bigrams outscores a doc of corpus-rare ones."""
+    from airflow_kafka_spark_spark.ext.textstats import charlm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "banana banana banana"),
+            (2, "banana bandana cabana"),
+            (3, "qzxqjv wkqzx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["char_lm_score"] for r in charlm_scores(docs).collect()}
+    assert out[1] > out[3] and out[2] > out[3]
+
+
 def test_exact_duplicates_null_text_is_not_a_duplicate_group(spark):
     """NULL text carries no dedup evidence (r12 review class): each
     NULL-text doc must be its OWN group with itself as keeper — the
@@ -1991,6 +2120,10 @@ def test_pii_redact_classes(spark):
         (7, "five groups 1.2.3.4.5 end"),
         (8, "acct 900123456 but 12345 stays"),
         (9, None),
+        # the two DOCUMENTED over-redaction classes (excluding them
+        # needs lookbehind, unavailable in the RE2 ∩ Java subset):
+        (10, "release 1.2.3.4 shipped"),   # 4-part version is IP-shaped
+        (11, "pi is 3.14159265 ok"),       # >=6-digit fraction -> <NUM>
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {
@@ -2018,6 +2151,8 @@ def test_pii_redact_classes(spark):
     assert out[7] == ("five groups <IP>.5 end", 0, 1, 0, 0)
     assert out[8] == ("acct <NUM> but 12345 stays", 0, 0, 0, 1)
     assert out[9] == (None, None, None, None, None)
+    assert out[10] == ("release <IP> shipped", 0, 1, 0, 0)
+    assert out[11] == ("pi is 3.<NUM> ok", 0, 0, 0, 1)
 
 
 def test_pii_redact_matches_duckdb_on_adversarial_strings(spark):

@@ -49,6 +49,20 @@ def test_triangle_stats_k4(spark):
     assert row["clustering"] == 1.0
 
 
+def test_triangle_stats_canonicalizes_arbitrary_orientation(spark):
+    """Edges arriving in mixed orientation with duplicates (r12 review
+    class: the old src<dst docstring precondition was silently trusted
+    — both (a,b) and (b,a) doubled every degree and counted each
+    triangle twice) must canonicalize to one undirected simple edge
+    set: the 1-2-3 triangle here is ONE triangle over THREE edges."""
+    mixed = _edges(
+        spark, [(1, 2), (2, 1), (3, 2), (1, 3), (1, 3), (3, 1)]
+    )
+    row = triangle_stats(mixed).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (3, 3, 1)
+    assert row["clustering"] == 1.0
+
+
 def test_triangle_stats_path_graph_no_triangles(spark):
     row = triangle_stats(_edges(spark, [(1, 2), (2, 3), (3, 4)])).collect()[0]
     assert row["n_triangles"] == 0
