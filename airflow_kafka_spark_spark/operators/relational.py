@@ -395,25 +395,29 @@ def grouped_ols(
 
     ``x_col`` must be integral (e.g. epoch-day); ``y_col`` is double,
     quantized to ``y_scale`` decimals (exact decimal cast → scaled
-    BIGINT). All five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as
-    exact integers — Σx/Σy/Σxy/Σx² in BIGINT, Σy² through a
-    DECIMAL(38,0) product (y_scaled² can exceed 2^63) — so the sums are
-    order-insensitive and identical in any engine. Only the final
-    slope/intercept/r² divisions run in double (single operations on
-    exact operands, deterministic), then round to 6.
+    integer). ALL five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    DECIMAL — exact integers, order-insensitive and identical in any
+    engine. (The first four previously accumulated in BIGINT, which
+    non-ANSI Spark WRAPS silently on overflow: a group of ~1e10-scale
+    integral x·y products returned garbage or a masked NULL slope far
+    below the documented envelope. DECIMAL(38,0) sums NULL loudly-ish
+    on overflow instead — the same contract Σy² always had.) Only the
+    final slope/intercept/r² divisions run in double (single
+    operations on exact operands, deterministic), then round to 6.
 
     slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — the n·Σxy combination
     is formed in DECIMAL(38,0) (it overflows BIGINT at ~1e18).
 
-    Magnitude bound (overflow contract): Σy² accumulates in
+    Magnitude bound (overflow contract): every moment lives in
     DECIMAL(38,0), and non-ANSI Spark NULLs a decimal sum on overflow
-    instead of raising — so the caller must keep
+    instead of raising — the caller must keep
     ``n · (|y|·10^y_scale)² < 10^38``, i.e. at the default y_scale=6
     ``|y| < 10^13 / sqrt(n)`` (|y| up to ~10^10 for a billion-row
-    group). Beyond it Spark returns NULL r2 while an engine with wider
-    integers (e.g. DuckDB's 128-bit HUGEINT) still returns a value —
-    a cross-engine divergence, not just a missing stat. Same class of
-    guard as fixed_point_group_sum documents for its partial sums.
+    group), and ``n · |x·y_scaled| < 10^38`` likewise. Beyond it Spark
+    returns NULL while an engine with wider integers (e.g. DuckDB's
+    128-bit HUGEINT) still returns a value — a cross-engine
+    divergence, not just a missing stat. Same class of guard as
+    fixed_point_group_sum documents for its partial sums.
     Degenerate groups (single point / constant x) emit NULL slope — a
     LEAST-squares line does not exist there; surfacing NULL beats a
     fabricated 0. r² = num² / (denx·deny) computed in double; NULL when
@@ -427,13 +431,18 @@ def grouped_ols(
     y_dec = F.col(y_col).cast(f"decimal(22,{y_scale})")
     y_s = (y_dec * F.lit(10**y_scale)).cast("decimal(20,0)").cast("long")
     x = F.col(x_col).cast("long")
+    # products and sums in DECIMAL, not BIGINT: long multiplication
+    # WRAPS silently under the engine's non-ANSI config (x·y_s ≈ 2e21
+    # returned wrapped garbage that masqueraded as a degenerate group)
+    xd = x.cast("decimal(19,0)")
+    yd = y_s.cast("decimal(19,0)")
     proj = df.select(
         *key_cols,
-        x.alias("__x"),
-        y_s.alias("__y"),
-        (x * y_s).alias("__xy"),
-        (x * x).alias("__xx"),
-        (y_s.cast("decimal(19,0)") * y_s.cast("decimal(19,0)")).alias("__yy"),
+        xd.alias("__x"),
+        yd.alias("__y"),
+        (xd * yd).alias("__xy"),
+        (xd * xd).alias("__xx"),
+        (yd * yd).alias("__yy"),
     )
     agg = proj.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("n"),
@@ -610,13 +619,22 @@ def quality_checks(
     """
     checks: list[DataFrame] = []
     single_pass: list[F.Column] = []
+    # coalesce: F.sum over ZERO rows is NULL — an empty (healthy)
+    # table must audit as 0 violations, not a NULL that fails
+    # `violations == 0` consumers and confuses `violations > 0` alerts
     for c in not_null or []:
         single_pass.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"not_null:{c}")
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0).cast("long")
+            ).alias(f"not_null:{c}")
         )
     for c, (lo, hi) in (ranges or {}).items():
         bad = ~F.col(c).between(F.lit(lo), F.lit(hi)) | F.col(c).isNull()
-        single_pass.append(F.sum(bad.cast("long")).alias(f"range:{c}"))
+        single_pass.append(
+            F.coalesce(
+                F.sum(bad.cast("long")), F.lit(0).cast("long")
+            ).alias(f"range:{c}")
+        )
     if single_pass:
         wide = df.agg(*single_pass)
         checks.append(
@@ -629,7 +647,8 @@ def quality_checks(
             .filter(F.col("__n") > 1)
             .agg(
                 F.lit("unique:" + ",".join(key)).alias("check"),
-                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("violations"),
+                # count over zero rows is 0, never NULL — no coalesce
+                F.count(F.lit(1)).alias("violations"),
             )
         )
     for cols, dim, dim_cols in foreign_keys or []:
@@ -643,7 +662,7 @@ def quality_checks(
         checks.append(
             orphan.agg(
                 F.lit("fk:" + ",".join(cols)).alias("check"),
-                F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("violations"),
+                F.count(F.lit(1)).alias("violations"),
             )
         )
     if not checks:

@@ -245,6 +245,72 @@ def _wallclock_micros(c: Column) -> Column:
     ).cast("long")
 
 
+# Upper bound in microseconds on one unit of each Spark interval
+# keyword (longest calendar realization: 31-day months, 366-day years)
+_INTERVAL_UNIT_UB_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+    "month": 2_678_400_000_000,
+    "year": 31_622_400_000_000,
+}
+_CALENDAR_UNITS = {"day", "week", "month", "year"}
+
+
+def _interval_span_upper_bound_us(interval: str, caller: str) -> tuple[int, bool]:
+    """Upper bound (µs) on the width of ``ts ± INTERVAL interval`` over
+    ANY anchor, plus whether the interval has calendar units. The old
+    epoch-anchored width UNDER-estimated calendar intervals ('2 months'
+    measured Jan+Feb 1970 = 59 days, but an Oct anchor reaches back 61)
+    — a bucket narrower than the real window breaks the two-bucket
+    coverage invariant and SILENTLY drops matches. An over-estimate
+    only coarsens bucket pruning; the exact residual predicate keeps
+    the join correct, so the bound takes each unit's longest
+    realization. Accepts the simple ``N unit [N unit ...]`` form the
+    engine uses; anything else raises rather than risking a silent
+    mis-measure."""
+    toks = interval.strip().lower().replace(",", " ").split()
+    if not toks or len(toks) % 2:
+        raise ValueError(
+            f"{caller}: interval {interval!r} is not of the form "
+            "'N unit [N unit ...]'"
+        )
+    total, has_cal = 0, False
+    for num, unit in zip(toks[::2], toks[1::2]):
+        u = unit.rstrip("s")
+        if u not in _INTERVAL_UNIT_UB_US:
+            raise ValueError(
+                f"{caller}: unsupported interval unit {unit!r} in "
+                f"{interval!r} (supported: {sorted(_INTERVAL_UNIT_UB_US)})"
+            )
+        if not num.isdigit():
+            raise ValueError(
+                f"{caller}: interval count {num!r} in {interval!r} must "
+                "be a non-negative integer"
+            )
+        total += int(num) * _INTERVAL_UNIT_UB_US[u]
+        has_cal = has_cal or u in _CALENDAR_UNITS
+    if total <= 0:
+        raise ValueError(f"{caller}: interval {interval!r} has zero width")
+    return total, has_cal
+
+
+def _span_ub_lit(interval: str, caller: str, ltz: bool):
+    """The bucket width as a literal: the interval's upper-bound width,
+    plus one hour of DST slack when calendar units meet an LTZ metric
+    (a calendar day across a fall-back transition is 25 instant-hours;
+    the engine session pins UTC where DST never fires, but the operator
+    must stay correct on any caller session)."""
+    ub, has_cal = _interval_span_upper_bound_us(interval, caller)
+    if ltz and has_cal:
+        ub += 3_600_000_000
+    return F.lit(ub).cast("long")
+
+
 def bucketed_range_join(
     probe: DataFrame,
     build: DataFrame,
@@ -306,18 +372,18 @@ def bucketed_range_join(
             f"NTZ={b_ntz}) — mixed types would compare by an implicit "
             "session-timezone cast"
         )
+    # bucket width = an UPPER BOUND on the lookback window's width at
+    # any anchor (_interval_span_upper_bound_us): the old epoch-anchored
+    # width under-measured calendar intervals ('2 months' = Jan+Feb
+    # 1970 = 59 days vs a real 61/62-day window) and the two-bucket
+    # explode then silently dropped in-range matches. Over-estimating
+    # only coarsens pruning — the residual predicate below stays exact.
     if p_ntz:
-        epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-        # _wallclock_micros(epoch) == 0, so the span is just the
-        # interval's wall-clock width anchored at the epoch
-        span_us = _wallclock_micros(epoch_ntz + F.expr(f"INTERVAL {lookback}"))
+        span_us = _span_ub_lit(lookback, "bucketed_range_join", ltz=False)
         p_bucket = F.floor(_wallclock_micros(F.col(probe_ts)) / span_us)
         b_bucket = F.floor(_wallclock_micros(F.col(build_ts)) / span_us)
     else:
-        t0 = F.timestamp_micros(F.lit(0))
-        span_us = F.unix_micros(
-            (t0 + F.expr(f"INTERVAL {lookback}")).cast(T.TimestampType())
-        ) - F.unix_micros(t0.cast(T.TimestampType()))
+        span_us = _span_ub_lit(lookback, "bucketed_range_join", ltz=True)
         p_bucket = F.floor(
             F.unix_micros(F.col(probe_ts).cast(T.TimestampType())) / span_us
         )
@@ -570,21 +636,28 @@ def interval_overlap_join(
             "session-timezone cast)"
         )
     if ntz.pop():
-        epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-        span_us = _wallclock_micros(epoch_ntz + F.expr(f"INTERVAL {max_span}"))
+        span_us = _span_ub_lit(max_span, "interval_overlap_join", ltz=False)
         metric = _wallclock_micros
     else:
-        t0 = F.timestamp_micros(F.lit(0))
-        span_us = F.unix_micros(
-            (t0 + F.expr(f"INTERVAL {max_span}")).cast(T.TimestampType())
-        ) - F.unix_micros(t0.cast(T.TimestampType()))
+        span_us = _span_ub_lit(max_span, "interval_overlap_join", ltz=True)
 
         def metric(c):
             return F.unix_micros(c.cast(T.TimestampType()))
 
     def guarded(frame, start, end, tag):
-        ok = (F.col(end) >= F.col(start)) & (
-            metric(F.col(end)) - metric(F.col(start)) <= span_us
+        # NULL endpoints are whitelisted THROUGH the guard (assert_true
+        # raises on a NULL condition, so one null-timestamped row —
+        # routine in real event data — would otherwise abort the whole
+        # job with a misleading max_span error); the row then drops
+        # naturally in the bucket explode / overlap predicate, the
+        # same no-match semantics the plain range predicate has
+        ok = (
+            F.col(start).isNull()
+            | F.col(end).isNull()
+            | (
+                (F.col(end) >= F.col(start))
+                & (metric(F.col(end)) - metric(F.col(start)) <= span_us)
+            )
         )
         return frame.filter(
             F.assert_true(

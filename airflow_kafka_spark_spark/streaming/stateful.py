@@ -191,6 +191,21 @@ class RunningMacdProcessor(StatefulProcessor):
         sig = _continue_ema(line, 9, sig_prev)
 
         n_total = n_prev + len(close)
+        # the same delta-feed contract guard as _update_macd — the
+        # "identical semantics" claim covers the ERROR surface too: a
+        # quotefeed_deltas stream started at numBars>1 must raise here
+        # exactly as it does on the applyInPandasWithState path, not
+        # silently continue the EMA from the wrong seed
+        if "snapshot_n" in pdf.columns:
+            expected = int(pdf["snapshot_n"].iloc[-1])
+            if n_total != expected:
+                raise ValueError(
+                    f"running_macd[{key[0]}]: cumulative bars seen "
+                    f"({n_total}) != upstream snapshot length "
+                    f"({expected}). quotefeed_deltas requires the stream "
+                    "to start with numBars=1 so every bar enters state "
+                    "exactly once."
+                )
         self._state.update(
             (n_total, float(e12[-1]), float(e26[-1]), float(sig[-1]))
         )

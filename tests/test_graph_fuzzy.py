@@ -369,6 +369,51 @@ def test_table_diff_null_payloads_not_equal_trap(spark):
     assert table_diff(old, new, ["k"]).count() == 0
 
 
+def test_quality_checks_empty_table_reports_zero_not_null(spark):
+    """An empty (healthy) table must audit as 0 violations everywhere
+    (r12 review class, repro-confirmed: F.sum over zero rows is NULL,
+    so not_null/range checks reported NULL for a perfectly healthy
+    empty partition — failing `violations == 0` consumers)."""
+    from airflow_kafka_spark_spark.operators.relational import quality_checks
+
+    empty = spark.createDataFrame([], "k int, cust int, v double")
+    dim = spark.createDataFrame([(1,)], "c int")
+    got = {
+        r["check"]: r["violations"]
+        for r in quality_checks(
+            empty,
+            not_null=["k"],
+            unique=[["k"]],
+            ranges={"v": (0.0, 1.0)},
+            foreign_keys=[(["cust"], dim, ["c"])],
+        ).collect()
+    }
+    assert got == {
+        "not_null:k": 0,
+        "range:v": 0,
+        "unique:k": 0,
+        "fk:cust": 0,
+    }
+    assert all(v is not None for v in got.values())
+
+
+def test_grouped_ols_exact_line_at_large_x_no_silent_wrap(spark):
+    """r12 review class (repro-confirmed): BIGINT moment accumulation
+    wrapped silently under the non-ANSI session for x ≈ 1e10 (per-row
+    x·y_scaled ≈ 2e21), returning NULL slope disguised as a degenerate
+    group. DECIMAL moments keep the exact line: slope 2, r² 1."""
+    from airflow_kafka_spark_spark.operators.relational import grouped_ols
+
+    base = 10_000_000_000
+    df = spark.createDataFrame(
+        [("g", base + i, float(2 * (base + i))) for i in range(5)],
+        "k string, x long, y double",
+    )
+    row = grouped_ols(df, ["k"], "x", "y").collect()[0]
+    assert row["slope"] == 2.0, row
+    assert row["r2"] == 1.0, row
+
+
 def test_quality_checks_seeded_violations(spark):
     from airflow_kafka_spark_spark.operators.relational import quality_checks
 

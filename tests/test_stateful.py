@@ -322,6 +322,43 @@ def test_tws_processor_semantics_without_protocol():
     assert got["n_rows"].iloc[-1] == 40
 
 
+def test_tws_processor_rejects_numbars_gt_1():
+    """The delta-feed contract guard on the transformWithState surface
+    (r12 review class: the guard lived only in _update_macd, so the
+    'identical semantics' claim was false on the error surface — a
+    numBars>1 stream silently continued the EMA from the wrong seed
+    through the tws path while the applyInPandasWithState path
+    raised)."""
+    import pandas as pd
+
+    from airflow_kafka_spark_spark.streaming.stateful import RunningMacdProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return FakeValueState()
+
+    proc = RunningMacdProcessor()
+    proc.init(FakeHandle())
+    bad = pd.DataFrame(
+        {"date_str": ["2024-01-30"], "close": [42.0], "snapshot_n": [30]}
+    )
+    with pytest.raises(ValueError, match="numBars=1"):
+        list(proc.handleInputRows(("AAA",), iter([bad]), None))
+
+
 def test_quotefeed_delta_feed_macd_end_to_end(spark):
     """VERDICT r5 item 8: the engine-native quotefeed poll stream at
     numBars=1 -> quotefeed_deltas (stateless last-bar projection) ->

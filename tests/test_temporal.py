@@ -74,6 +74,54 @@ def test_bucketed_range_join_boundaries(spark):
     assert sorted(r["name"] for r in out.collect()) == ["inside", "same-instant"]
 
 
+def test_bucketed_range_join_calendar_lookback_keeps_all_matches(spark):
+    """r12 review class (repro-confirmed): the old epoch-anchored span
+    measured '2 months' as Jan+Feb 1970 = 59 days, but an October probe
+    reaches back 61 — the in-range build row sat TWO buckets before the
+    probe and silently vanished from the two-bucket explode. The bucket
+    width is now an anchor-independent upper bound (31-day months), so
+    the result equals the plain range predicate."""
+    probe = _ts(
+        spark, [(1, "2024-10-05 01:00:00", "p")], "k int, pts string, tag string"
+    )
+    build = _ts(
+        spark,
+        [
+            (1, "2024-08-06 00:00:00", "in-range-61d-back"),
+            (1, "2024-08-05 00:59:00", "just-outside"),
+            (1, "2024-10-05 00:00:00", "recent"),
+        ],
+        "k int, bts string, name string",
+    )
+    out = bucketed_range_join(probe, build, ["k"], "pts", "bts", "2 months")
+    assert sorted(r["name"] for r in out.collect()) == [
+        "in-range-61d-back",
+        "recent",
+    ]
+    # '1 year' across the 2024 leap year: 366 days back is in range
+    probe2 = _ts(
+        spark, [(1, "2024-12-31 12:00:00", "p")], "k int, pts string, tag string"
+    )
+    build2 = _ts(
+        spark,
+        [(1, "2024-01-01 00:00:00", "leap-year-back")],
+        "k int, bts string, name string",
+    )
+    out2 = bucketed_range_join(probe2, build2, ["k"], "pts", "bts", "1 year")
+    assert [r["name"] for r in out2.collect()] == ["leap-year-back"]
+
+
+def test_bucketed_range_join_rejects_unparseable_interval(spark):
+    """An interval the upper-bound parser cannot measure must raise
+    rather than risk a silent mis-bucketing."""
+    import pytest as _pytest
+
+    probe = _ts(spark, [(1, "2024-01-01 10:00:00", "p")], "k int, pts string, tag string")
+    build = _ts(spark, [(1, "2024-01-01 09:55:00", "b")], "k int, bts string, name string")
+    with _pytest.raises(ValueError, match="unsupported interval unit"):
+        bucketed_range_join(probe, build, ["k"], "pts", "bts", "2 fortnights")
+
+
 def test_session_exact_gap_merges(spark):
     """Spark merges sessions when the inter-event gap == the gap duration
     (oracle SQL_SESSION_WINDOWS uses <= to match)."""
@@ -324,6 +372,34 @@ def test_asof_nearest_rejects_exclusive(spark):
 
     with _pytest.raises(ValueError, match="inclusive"):
         asof_join(left, right, ["k"], "ts", "rts", ["rv"], direction="nearest", inclusive=False)
+
+
+def test_interval_overlap_join_null_endpoints_drop_not_crash(spark):
+    """r12 review class (repro-confirmed): assert_true raises on a NULL
+    condition, so ONE null-timestamped row aborted the whole join with
+    a misleading max_span error. NULL endpoints are now whitelisted
+    through the guard and drop naturally (no-match), like the plain
+    range predicate would treat them."""
+    from airflow_kafka_spark_spark.operators.temporal import interval_overlap_join
+
+    left = _ts(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "2024-01-01 11:00:00", "good"),
+            (1, None, "2024-01-01 11:00:00", "null-start"),
+            (1, "2024-01-01 10:00:00", None, "null-end"),
+        ],
+        "k int, ls string, le string, tag string",
+    )
+    right = _ts(
+        spark,
+        [(1, "2024-01-01 10:30:00", "2024-01-01 10:45:00", "r")],
+        "k int, rs string, re string, name string",
+    )
+    out = interval_overlap_join(
+        left, right, ["k"], "ls", "le", "rs", "re", max_span="2 hours"
+    )
+    assert [r["tag"] for r in out.collect()] == ["good"]
 
 
 def test_interval_overlap_join_boundaries(spark):
