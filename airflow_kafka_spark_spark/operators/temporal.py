@@ -69,17 +69,65 @@ def asof_join(
             left, right, key_cols, left_ts, right_ts, right_value_cols,
             tolerance=tolerance,
         )
-    left_payload = [c for c in left.columns if c not in key_cols]
     if direction == "backward":
         l_side, r_side = (1, 0) if inclusive else (0, 1)
     else:
         l_side, r_side = (0, 1) if inclusive else (1, 0)
-    # the right payload travels as ONE struct: last(ignorenulls) then
-    # skips left rows (struct NULL) but never skips a right row whose
-    # *fields* are NULL — per-column carry would mix fields from
-    # different right rows when payload columns contain NULLs
-    # the matched right ts rides in the struct so tolerance can check
-    # the distance after the carry (unused when tolerance is None)
+    merged, left_payload = _asof_union_frame(
+        left, right, key_cols, left_ts, right_ts, right_value_cols,
+        l_side, r_side,
+    )
+    w = Window.partitionBy(*key_cols).orderBy("__ts", "__side")
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, 0)
+        carry = F.last("__r", ignorenulls=True).over(w)
+    else:
+        w = w.rowsBetween(0, Window.unboundedFollowing)
+        carry = F.first("__r", ignorenulls=True).over(w)
+    merged = merged.withColumn("__r", carry)
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        in_band = (
+            F.col("__r.__rts") >= F.col("__ts") - tol
+            if direction == "backward"
+            else F.col("__r.__rts") <= F.col("__ts") + tol
+        )
+        merged = merged.withColumn(
+            "__r", F.when(in_band, F.col("__r"))
+        )
+    return (
+        merged.filter(F.col("__is_left"))
+        .select(
+            *key_cols,
+            *left_payload,
+            *[F.col("__r")[c].alias(c) for c in right_value_cols],
+        )
+    )
+
+
+def _asof_union_frame(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    l_side: int,
+    r_side: int,
+) -> tuple[DataFrame, list[str]]:
+    """The tagged union-merge frame shared by ``asof_join`` and
+    ``_asof_nearest`` (one definition — a one-sided future fix to the
+    carry frame was the r12-flagged hazard): left rows keep their
+    payload and carry a NULL right struct; right rows null the left
+    payload and carry their payload as ONE struct (``last/first
+    (ignorenulls)`` then skips left rows but never skips a right row
+    whose *fields* are NULL — per-column carry would mix fields from
+    different right rows). The matched right ts rides in the struct as
+    ``__rts`` so tolerance checks run after the carry. Side tags order
+    equal-ts rows; callers choose them to make the equal-ts match
+    visible exactly when inclusive. Returns (union frame, left payload
+    column names)."""
+    left_payload = [c for c in left.columns if c not in key_cols]
     r_struct = F.struct(F.col(right_ts).alias("__rts"), *right_value_cols)
     r_struct_type = (
         right.select(r_struct.alias("__r")).schema["__r"].dataType
@@ -103,32 +151,7 @@ def asof_join(
         ],
         r_struct.alias("__r"),
     )
-    w = Window.partitionBy(*key_cols).orderBy("__ts", "__side")
-    if direction == "backward":
-        w = w.rowsBetween(Window.unboundedPreceding, 0)
-        carry = F.last("__r", ignorenulls=True).over(w)
-    else:
-        w = w.rowsBetween(0, Window.unboundedFollowing)
-        carry = F.first("__r", ignorenulls=True).over(w)
-    merged = l.unionByName(r).withColumn("__r", carry)
-    if tolerance is not None:
-        tol = F.expr(f"INTERVAL {tolerance}")
-        in_band = (
-            F.col("__r.__rts") >= F.col("__ts") - tol
-            if direction == "backward"
-            else F.col("__r.__rts") <= F.col("__ts") + tol
-        )
-        merged = merged.withColumn(
-            "__r", F.when(in_band, F.col("__r"))
-        )
-    return (
-        merged.filter(F.col("__is_left"))
-        .select(
-            *key_cols,
-            *left_payload,
-            *[F.col("__r")[c].alias(c) for c in right_value_cols],
-        )
-    )
+    return l.unionByName(r), left_payload
 
 
 def _asof_nearest(
@@ -156,29 +179,9 @@ def _asof_nearest(
     closer candidate wins by day-time-interval comparison (no epoch
     casts — NTZ-safe).
     """
-    left_payload = [c for c in left.columns if c not in key_cols]
-    r_struct = F.struct(
-        F.col(right_ts).alias("__rts"), *right_value_cols
-    )
-    r_struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
-    l = left.select(
-        *key_cols,
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
-        F.lit(True).alias("__is_left"),
-        *left_payload,
-        F.lit(None).cast(r_struct_type).alias("__r"),
-    )
-    r = right.select(
-        *key_cols,
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        F.lit(False).alias("__is_left"),
-        *[
-            F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in left_payload
-        ],
-        r_struct.alias("__r"),
+    union, left_payload = _asof_union_frame(
+        left, right, key_cols, left_ts, right_ts, right_value_cols,
+        l_side=1, r_side=0,
     )
     w = Window.partitionBy(*key_cols).orderBy("__ts", "__side")
     back = F.last("__r", ignorenulls=True).over(
@@ -187,11 +190,7 @@ def _asof_nearest(
     fwd = F.first("__r", ignorenulls=True).over(
         w.rowsBetween(1, Window.unboundedFollowing)
     )
-    merged = (
-        l.unionByName(r)
-        .withColumn("__back", back)
-        .withColumn("__fwd", fwd)
-    )
+    merged = union.withColumn("__back", back).withColumn("__fwd", fwd)
     if tolerance is not None:
         tol = F.expr(f"INTERVAL {tolerance}")
         merged = merged.withColumn(
@@ -270,9 +269,15 @@ def _interval_span_upper_bound_us(interval: str, caller: str) -> tuple[int, bool
     coverage invariant and SILENTLY drops matches. An over-estimate
     only coarsens bucket pruning; the exact residual predicate keeps
     the join correct, so the bound takes each unit's longest
-    realization. Accepts the simple ``N unit [N unit ...]`` form the
-    engine uses; anything else raises rather than risking a silent
-    mis-measure."""
+    realization. Accepts the ``N unit [N unit ...]`` form the engine
+    uses, with integer or fractional counts; note Spark's own INTERVAL
+    literal permits fractions on SECONDS only ('1.5 seconds' is legal,
+    '1.5 hours' is not) — this bound stays permissive and leaves unit
+    rules to Spark's parser, the authority, which raises a clear
+    INVALID_FRACTION at the residual predicate. Anything unmeasurable
+    raises rather than risking a silent mis-measure."""
+    from fractions import Fraction
+
     toks = interval.strip().lower().replace(",", " ").split()
     if not toks or len(toks) % 2:
         raise ValueError(
@@ -287,12 +292,25 @@ def _interval_span_upper_bound_us(interval: str, caller: str) -> tuple[int, bool
                 f"{caller}: unsupported interval unit {unit!r} in "
                 f"{interval!r} (supported: {sorted(_INTERVAL_UNIT_UB_US)})"
             )
-        if not num.isdigit():
+        # fractional counts ('1.5 seconds') are legal INTERVAL literals,
+        # so the residual predicate accepts them — the bound must too
+        # (r12 rejected them outright, breaking previously-working
+        # lookbacks). Fraction keeps the ceil EXACT: a float product can
+        # round DOWN below the true width, the silent-drop direction.
+        try:
+            val = Fraction(num)
+        except (ValueError, ZeroDivisionError):
             raise ValueError(
                 f"{caller}: interval count {num!r} in {interval!r} must "
-                "be a non-negative integer"
+                "be a non-negative number"
+            ) from None
+        if val < 0:
+            raise ValueError(
+                f"{caller}: interval count {num!r} in {interval!r} must "
+                "be a non-negative number"
             )
-        total += int(num) * _INTERVAL_UNIT_UB_US[u]
+        scaled = val * _INTERVAL_UNIT_UB_US[u]
+        total += -(-scaled.numerator // scaled.denominator)
         has_cal = has_cal or u in _CALENDAR_UNITS
     if total <= 0:
         raise ValueError(f"{caller}: interval {interval!r} has zero width")
@@ -309,6 +327,67 @@ def _span_ub_lit(interval: str, caller: str, ltz: bool):
     if ltz and has_cal:
         ub += 3_600_000_000
     return F.lit(ub).cast("long")
+
+
+def _require_uniform_ntz(caller: str, specs: list[tuple[DataFrame, str]]) -> bool:
+    """All timestamp columns in ``specs`` must agree on NTZ-ness (mixed
+    types would compare by an implicit session-timezone cast); returns
+    the shared flag. Shared by both bucketizing joins — one definition
+    of the boundary check, two callers."""
+    from pyspark.sql import types as T
+
+    flags = {
+        (col, isinstance(df.schema[col].dataType, T.TimestampNTZType))
+        for df, col in specs
+    }
+    if len({f for _c, f in flags}) != 1:
+        detail = ", ".join(f"{c} NTZ={f}" for c, f in sorted(flags))
+        raise ValueError(
+            f"{caller}: all timestamp columns must agree on NTZ-ness "
+            f"({detail}) — mixed types would compare by an implicit "
+            "session-timezone cast"
+        )
+    return next(iter({f for _c, f in flags}))
+
+
+def _time_metric_and_span(ntz: bool, span: str, caller: str):
+    """The (metric fn, bucket width) pair both bucketizing joins derive
+    from NTZ-ness — factored so the derivation has ONE definition (the
+    r12 calendar-interval bug lived exactly here; a one-sided future
+    fix was the standing hazard). The metric must be LINEAR in the
+    columns' own comparison order, or the adjacent-bucket coverage
+    invariant breaks:
+
+    - TIMESTAMP_NTZ columns compare by WALL CLOCK, so buckets come from
+      ``_wallclock_micros`` — pure field extraction, no session-timezone
+      rendering. An NTZ→LTZ cast applies the session zone's per-row UTC
+      offset, which is NOT constant in a DST zone: two wall times 2h
+      apart straddling a spring-forward gap cast to instants only 1h
+      apart, so a build row could land ≥2 buckets away and silently
+      drop the match.
+    - TIMESTAMP (LTZ) columns compare by instant, so ``unix_micros`` is
+      the right (and exactly linear) metric; the explicit TimestampType
+      cast keeps it legal under ``spark.sql.timestampType=
+      TIMESTAMP_NTZ`` (where even timestamp_micros returns NTZ). The
+      LTZ span adds one hour of DST slack for calendar units
+      (``_span_ub_lit``).
+
+    The bucket width is an UPPER BOUND on the window's width at any
+    anchor (``_interval_span_upper_bound_us``): an epoch-anchored width
+    under-measures calendar intervals ('2 months' = Jan+Feb 1970 = 59
+    days vs a real 61/62-day window) and the two-bucket explode then
+    silently drops in-range matches. Over-estimating only coarsens
+    pruning — callers' exact residual predicates stay exact.
+    """
+    from pyspark.sql import types as T
+
+    if ntz:
+        return _wallclock_micros, _span_ub_lit(span, caller, ltz=False)
+
+    def metric(c: Column) -> Column:
+        return F.unix_micros(c.cast(T.TimestampType()))
+
+    return metric, _span_ub_lit(span, caller, ltz=True)
 
 
 def bucketed_range_join(
@@ -342,54 +421,18 @@ def bucketed_range_join(
             "semantics aggregate the inner result and join back to the "
             "probe side (see q_range_join_clicks)"
         )
-    # The bucket metric must be LINEAR in the columns' own comparison
-    # order, or the adjacent-bucket coverage invariant breaks:
-    #
-    # - TIMESTAMP_NTZ columns compare by WALL CLOCK, so buckets come
-    #   from _wallclock_micros — pure field extraction, no session-
-    #   timezone rendering. The previous NTZ→LTZ cast applied the
-    #   session zone's per-row UTC offset, which is NOT constant in a
-    #   DST zone: two wall times 2h apart straddling a spring-forward
-    #   gap cast to instants only 1h apart, so a build row could land
-    #   ≥2 buckets before its probe row and silently drop the match.
-    # - TIMESTAMP (LTZ) columns compare by instant, so unix_micros is
-    #   the right (and exactly linear) metric. timestamp_micros(0) is
-    #   the epoch INSTANT — unlike a string-literal cast, which parses
-    #   in the session timezone; the explicit TimestampType casts keep
-    #   unix_micros legal under spark.sql.timestampType=TIMESTAMP_NTZ
-    #   (where even timestamp_micros returns NTZ), and the span is the
-    #   DIFFERENCE of two casts so any constant shift cancels.
-    #
-    # Either way the exact residual filter compares the raw columns.
-    from pyspark.sql import types as T
-
-    p_ntz = isinstance(probe.schema[probe_ts].dataType, T.TimestampNTZType)
-    b_ntz = isinstance(build.schema[build_ts].dataType, T.TimestampNTZType)
-    if p_ntz != b_ntz:
-        raise ValueError(
-            "bucketed_range_join: probe and build timestamp columns must "
-            f"agree on NTZ-ness ({probe_ts} NTZ={p_ntz}, {build_ts} "
-            f"NTZ={b_ntz}) — mixed types would compare by an implicit "
-            "session-timezone cast"
-        )
-    # bucket width = an UPPER BOUND on the lookback window's width at
-    # any anchor (_interval_span_upper_bound_us): the old epoch-anchored
-    # width under-measured calendar intervals ('2 months' = Jan+Feb
-    # 1970 = 59 days vs a real 61/62-day window) and the two-bucket
-    # explode then silently dropped in-range matches. Over-estimating
-    # only coarsens pruning — the residual predicate below stays exact.
-    if p_ntz:
-        span_us = _span_ub_lit(lookback, "bucketed_range_join", ltz=False)
-        p_bucket = F.floor(_wallclock_micros(F.col(probe_ts)) / span_us)
-        b_bucket = F.floor(_wallclock_micros(F.col(build_ts)) / span_us)
-    else:
-        span_us = _span_ub_lit(lookback, "bucketed_range_join", ltz=True)
-        p_bucket = F.floor(
-            F.unix_micros(F.col(probe_ts).cast(T.TimestampType())) / span_us
-        )
-        b_bucket = F.floor(
-            F.unix_micros(F.col(build_ts).cast(T.TimestampType())) / span_us
-        )
+    # Metric + bucket width come from the shared _time_metric_and_span
+    # derivation (wall-clock field extraction for NTZ — DST-safe;
+    # instant micros for LTZ; width = any-anchor upper bound). The
+    # exact residual filter below compares the raw columns either way.
+    ntz = _require_uniform_ntz(
+        "bucketed_range_join", [(probe, probe_ts), (build, build_ts)]
+    )
+    metric, span_us = _time_metric_and_span(
+        ntz, lookback, "bucketed_range_join"
+    )
+    p_bucket = F.floor(metric(F.col(probe_ts)) / span_us)
+    b_bucket = F.floor(metric(F.col(build_ts)) / span_us)
     p = probe.withColumn(
         "__bucket", F.explode(F.array(p_bucket - 1, p_bucket))
     )
@@ -621,28 +664,18 @@ def interval_overlap_join(
     """
     if how != "inner":
         raise ValueError("interval_overlap_join supports how='inner' only")
-    from pyspark.sql import types as T
-
-    ntz = {
-        isinstance(left.schema[left_start].dataType, T.TimestampNTZType),
-        isinstance(left.schema[left_end].dataType, T.TimestampNTZType),
-        isinstance(right.schema[right_start].dataType, T.TimestampNTZType),
-        isinstance(right.schema[right_end].dataType, T.TimestampNTZType),
-    }
-    if len(ntz) != 1:
-        raise ValueError(
-            "interval_overlap_join: all four interval columns must agree "
-            "on NTZ-ness (mixed types would compare by an implicit "
-            "session-timezone cast)"
-        )
-    if ntz.pop():
-        span_us = _span_ub_lit(max_span, "interval_overlap_join", ltz=False)
-        metric = _wallclock_micros
-    else:
-        span_us = _span_ub_lit(max_span, "interval_overlap_join", ltz=True)
-
-        def metric(c):
-            return F.unix_micros(c.cast(T.TimestampType()))
+    ntz = _require_uniform_ntz(
+        "interval_overlap_join",
+        [
+            (left, left_start),
+            (left, left_end),
+            (right, right_start),
+            (right, right_end),
+        ],
+    )
+    metric, span_us = _time_metric_and_span(
+        ntz, max_span, "interval_overlap_join"
+    )
 
     def guarded(frame, start, end, tag):
         # NULL endpoints are whitelisted THROUGH the guard (assert_true

@@ -539,3 +539,70 @@ def test_asof_nearest_tolerance_excludes_nearer_side(spark):
         direction="nearest", tolerance="45 minutes",
     ).collect()[0]
     assert (both_in["rv"], both_in["asof_direction"]) == (1.0, "backward")
+
+
+def test_fractional_interval_counts_accepted(spark):
+    """Fractional counts ('1.5 hours') are legal Spark INTERVAL literals,
+    so the bucket-width bound must accept them too (the r12 parser
+    rejected them, breaking previously-working lookback arguments). The
+    bound ceils EXACTLY via Fraction arithmetic — a float product can
+    round down below the true width, which is the silent-drop direction."""
+    from airflow_kafka_spark_spark.operators.temporal import (
+        _interval_span_upper_bound_us,
+    )
+
+    us, cal = _interval_span_upper_bound_us("1.5 hours", "t")
+    assert (us, cal) == (5_400_000_000, False)
+    # non-representable-in-binary fraction still ceils exactly
+    us2, _ = _interval_span_upper_bound_us("0.1 seconds", "t")
+    assert us2 == 100_000
+    # end-to-end with the fractional form Spark's own INTERVAL literal
+    # accepts (fractional counts are legal on seconds only — '1.5
+    # hours' passes OUR bound but Spark's parser rejects it at the
+    # residual predicate with INVALID_FRACTION, which is the right
+    # authority for unit rules)
+    probe = _ts(
+        spark, [(1, "2024-01-01 12:00:01.600", "p")], "k int, pts string, tag string"
+    )
+    build = _ts(
+        spark,
+        [
+            (1, "2024-01-01 12:00:00.500", "in"),   # 1.1s back
+            (1, "2024-01-01 11:59:59.900", "out"),  # 1.7s back
+        ],
+        "k int, bts string, name string",
+    )
+    out = bucketed_range_join(probe, build, ["k"], "pts", "bts", "1.5 seconds")
+    assert [r["name"] for r in out.collect()] == ["in"]
+
+
+def test_fractional_interval_bad_counts_still_raise(spark):
+    import pytest
+
+    from airflow_kafka_spark_spark.operators.temporal import (
+        _interval_span_upper_bound_us,
+    )
+
+    with pytest.raises(ValueError, match="non-negative number"):
+        _interval_span_upper_bound_us("-1.5 hours", "t")
+    with pytest.raises(ValueError, match="non-negative number"):
+        _interval_span_upper_bound_us("abc hours", "t")
+    with pytest.raises(ValueError, match="zero width"):
+        _interval_span_upper_bound_us("0.0 hours", "t")
+
+
+def test_asof_directions_share_one_union_frame():
+    """asof_join and _asof_nearest must build their tagged union-merge
+    frame through the SAME helper — r12's calendar-interval bug class
+    was a one-sided fix to duplicated frame-construction code, and the
+    r12 verdict named this duplication as the standing hazard."""
+    import inspect
+
+    from airflow_kafka_spark_spark.operators import temporal
+
+    assert "_asof_union_frame(" in inspect.getsource(temporal.asof_join)
+    assert "_asof_union_frame(" in inspect.getsource(temporal._asof_nearest)
+    for fn in (temporal.bucketed_range_join, temporal.interval_overlap_join):
+        src = inspect.getsource(fn)
+        assert "_time_metric_and_span(" in src
+        assert "_require_uniform_ntz(" in src
