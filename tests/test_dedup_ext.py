@@ -2499,3 +2499,76 @@ def test_html_text_extract_edges(spark):
     assert out[7]["clean_text"] == "" and out[7]["raw_len"] == 0
     assert out[7]["text_ratio"] is None  # 0-length raw: no ratio
     assert out[1]["raw_len"] == 45 and out[1]["text_len"] == 5
+
+
+def test_residual_provenance_check_memoized_and_type_derived(spark):
+    """The residual cell-provenance check is memoized per (codes,
+    assigned) OBJECT pair (ADVICE r12: re-running two Spark jobs per
+    batch against an already-verified prebuilt index eroded the batch
+    amortization the operator exists for), and the probe's ids frame
+    derives its id type from the codes schema (hardcoded `long` broke
+    int-typed id columns with an unrelated-looking join error)."""
+    from unittest import mock
+
+    from airflow_kafka_spark_spark.ext.similarity import (
+        _RESIDUAL_PROVENANCE_OK,
+        _verify_residual_code_provenance,
+        ivf_assignments,
+        pq_codebooks,
+        pq_encode_residual,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    index = ivf_assignments(emb, n_lists=4)
+    books = pq_codebooks(emb, m=2, n_codes=4, centroids=index[1])
+    codes = pq_encode_residual(emb, books, index)
+    _verify_residual_code_provenance(codes, index[0], "vec_id")
+    assert index[0] in _RESIDUAL_PROVENANCE_OK[codes]
+    # memoized: the second call must not touch the frames at all
+    with mock.patch.object(
+        type(codes), "select", side_effect=AssertionError("re-ran check")
+    ):
+        _verify_residual_code_provenance(codes, index[0], "vec_id")
+    # a different assigned OBJECT re-checks (conservative direction)
+    reindex = ivf_assignments(emb, n_lists=4)
+    _verify_residual_code_provenance(codes, reindex[0], "vec_id")
+    assert reindex[0] in _RESIDUAL_PROVENANCE_OK[codes]
+
+    # int-typed id column: the probe frame follows the codes schema
+    from pyspark.sql import functions as F
+
+    emb_int = emb.withColumn("vec_id", F.col("vec_id").cast("int"))
+    index_i = ivf_assignments(emb_int, n_lists=4)
+    books_i = pq_codebooks(emb_int, m=2, n_codes=4, centroids=index_i[1])
+    codes_i = pq_encode_residual(emb_int, books_i, index_i)
+    assert dict(codes_i.dtypes)["vec_id"] == "int"
+    _verify_residual_code_provenance(codes_i, index_i[0], "vec_id")
+
+
+def test_point_paths_single_scan_query_row(spark):
+    """cosine_topk / ann_topk_bucketed fold the missing-id check into
+    the one bounded query-row collect (ADVICE r12: a separate eager
+    existence job + an in-plan corpus re-filter for the same row), and
+    the collected vector re-enters as a literal broadcast frame — so
+    the executed plan must NOT re-scan the corpus for the query row."""
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_bucketed,
+        cosine_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, float(i % 3)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    for fn in (cosine_topk, ann_topk_bucketed):
+        out = fn(emb, query_vec_id=3, k=5)
+        rows = out.collect()
+        assert rows and all(r["vec_id"] != 3 for r in rows)
+        # the broadcast query side is a local literal frame (plans as
+        # Scan ExistingRDD / LocalTableScan), not a second filtered
+        # pass over the embeddings lineage
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan
