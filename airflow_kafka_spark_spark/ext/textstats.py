@@ -917,6 +917,7 @@ def language_id_scores(
     biases: dict[str, int] | None = None,
     keep_langs: tuple[str, ...] | None = None,
     min_margin: int = 0,
+    min_score: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     char_ngrams: tuple[int, int] | None = None,
@@ -946,6 +947,14 @@ def language_id_scores(
     confidence a gate thresholds on) and kept = 1 iff the predicted
     language is in ``keep_langs`` (None = all) AND margin ≥
     ``min_margin``. Needs ≥ 2 languages (margin is undefined for 1).
+
+    ``min_score`` adds the UNKNOWN verdict real CCNet-style gates emit
+    (VERDICT r12 item 4): a doc whose best score is below the absolute
+    floor gets ``lang = NULL`` and ``kept = 0`` — without it, a
+    bias-only document (no vocabulary hit at all) still "predicts" the
+    argmax language with full confidence in nothing. ``lang_score``
+    and ``margin`` stay reported (they are the evidence the floor
+    judged). ``None`` (default) keeps the always-pick behavior.
     """
     langs = list(lang_weights)
     if len(langs) < 2:
@@ -1011,9 +1020,14 @@ def language_id_scores(
     gate = margin >= F.lit(int(min_margin))
     if keep_langs is not None:
         gate = gate & pick.isin([str(x) for x in keep_langs])
+    lang_col = pick
+    if min_score is not None:
+        known = F.col("__best") >= F.lit(int(min_score))
+        lang_col = F.when(known, pick)  # NULL = UNKNOWN verdict
+        gate = gate & known
     return ranked.select(
         F.col(id_col),
-        pick.alias("lang"),
+        lang_col.alias("lang"),
         F.col("__best").cast("long").alias("lang_score"),
         margin.alias("margin"),
         gate.cast("int").alias("kept"),

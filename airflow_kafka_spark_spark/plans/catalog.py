@@ -6397,10 +6397,14 @@ def q_language_id(spark, sf_dir):
     machinery — one explode, ONE broadcast join against a vocab-sized
     table with k weight COLUMNS, one conditional aggregate producing
     k BIGINT dot products, argmax with declared-order tie-break,
-    margin = best − second, gate = lang ∈ {en, de} AND margin ≥ 50.
+    margin = best − second, gate = lang ∈ {en, de} AND margin ≥ 50
+    AND best ≥ 150 (the min_score absolute floor, r13: docs below it
+    get the UNKNOWN verdict — lang NULL, kept 0 — the CCNet-style
+    no-confidence outcome the always-pick argmax could not express).
     Integer-quantized weights/biases → bit-exact on any engine. The
     planted-marker derivation is `_lang_id_planted_text`; the
-    doc_id%10==7 holdout exercises the no-marker bias path."""
+    doc_id%10==7 holdout exercises the no-marker bias path, where the
+    floor verdict actually bites (marker docs score ≥ 300)."""
     from ..ext.textstats import language_id_scores
 
     docs = load_table(spark, sf_dir, "documents")
@@ -6410,6 +6414,7 @@ def q_language_id(spark, sf_dir):
         biases=_LANG_ID_BIASES,
         keep_langs=("en", "de"),
         min_margin=50,
+        min_score=150,
     )
 
 
@@ -6475,13 +6480,15 @@ fin AS (
 ),
 picked AS (
   SELECT doc_id,
-    CASE {_LANG_ID_PICK_SQL} END AS lang,
+    -- min_score floor: best < 150 is the UNKNOWN verdict (lang NULL)
+    CASE WHEN best >= 150 THEN CASE {_LANG_ID_PICK_SQL} END END AS lang,
     CAST(best AS BIGINT) AS lang_score,
-    CAST(best - second AS BIGINT) AS margin
+    CAST(best - second AS BIGINT) AS margin,
+    best
   FROM fin
 )
 SELECT doc_id, lang, lang_score, margin,
-  CAST(CASE WHEN margin >= 50 AND lang IN ('en', 'de')
+  CAST(CASE WHEN margin >= 50 AND lang IN ('en', 'de') AND best >= 150
        THEN 1 ELSE 0 END AS INTEGER) AS kept
 FROM picked
 """

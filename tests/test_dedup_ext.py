@@ -2572,3 +2572,43 @@ def test_point_paths_single_scan_query_row(spark):
         # pass over the embeddings lineage
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_language_id_min_score_unknown_verdict(spark):
+    """min_score adds the UNKNOWN verdict (VERDICT r12 item 4): a doc
+    whose BEST score sits below the absolute floor gets lang NULL and
+    kept 0 — a bias-only doc otherwise 'predicts' the argmax language
+    with full confidence in nothing. Boundary is inclusive (best ==
+    floor is KNOWN); lang_score/margin stay reported either way; the
+    default (None) keeps the always-pick behavior."""
+    from airflow_kafka_spark_spark.ext.textstats import language_id_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "der und der x"),   # de: 29 with bias -> above floor
+            (2, "junk only"),       # bias-only: en=2 -> UNKNOWN
+            (3, "the of"),          # en: 11+2=13 == floor -> KNOWN
+        ],
+        "doc_id long, text string",
+    )
+    lw = {
+        "en": [("the", 7), ("of", 4)],
+        "de": [("der", 10), ("und", 8)],
+    }
+    out = {
+        r["doc_id"]: (r["lang"], r["lang_score"], r["margin"], r["kept"])
+        for r in language_id_scores(
+            docs, lw, biases={"en": 2, "de": 1}, min_score=13
+        ).collect()
+    }
+    assert out[1] == ("de", 29, 27, 1)
+    assert out[2] == (None, 2, 1, 0)       # UNKNOWN: evidence reported
+    assert out[3] == ("en", 13, 12, 1)     # boundary: best == floor
+    # default None: the bias-only doc still picks the argmax language
+    dflt = {
+        r["doc_id"]: r["lang"]
+        for r in language_id_scores(
+            docs, lw, biases={"en": 2, "de": 1}
+        ).collect()
+    }
+    assert dflt[2] == "en"
