@@ -846,13 +846,143 @@ _PUBLIC_SUFFIXES_2 = (
     "ca.us", "ny.us", "tx.us", "fl.us", "il.us", "wa.us", "pa.us",
     "oh.us", "mi.us", "ma.us", "nj.us", "va.us", "nc.us", "ga.us",
     "az.us", "co.us", "or.us", "mn.us", "wi.us", "md.us",
+    "ak.us", "al.us", "ar.us", "ct.us", "dc.us", "de.us", "hi.us",
+    "ia.us", "id.us", "in.us", "ks.us", "ky.us", "la.us", "me.us",
+    "mo.us", "ms.us", "mt.us", "nd.us", "ne.us", "nh.us", "nm.us",
+    "nv.us", "ok.us", "ri.us", "sc.us", "sd.us", "tn.us", "ut.us",
+    "vt.us", "wv.us", "wy.us",
+    # Canadian provinces/territories + federal
+    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca",
+    "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca",
+    "gc.ca",
+    # Russia / CIS
+    "com.ru", "net.ru", "org.ru", "pp.ru", "msk.ru", "spb.ru",
+    "com.by", "gov.by", "mil.by", "of.by",
+    "com.kz", "edu.kz", "gov.kz", "net.kz", "org.kz", "mil.kz",
+    "com.kg", "edu.kg", "gov.kg", "net.kg", "org.kg",
+    "co.uz", "com.uz", "net.uz", "org.uz",
+    "com.az", "net.az", "org.az", "edu.az", "gov.az", "mil.az",
+    "com.ge", "edu.ge", "gov.ge", "net.ge", "org.ge", "mil.ge",
+    "com.am", "net.am", "org.am",
+    # Middle East (rest)
+    "co.ae", "net.ae", "org.ae", "gov.ae", "ac.ae", "sch.ae", "mil.ae",
+    "com.qa", "edu.qa", "gov.qa", "net.qa", "org.qa", "mil.qa",
+    "com.kw", "edu.kw", "gov.kw", "net.kw", "org.kw",
+    "com.bh", "edu.bh", "gov.bh", "net.bh", "org.bh",
+    "com.om", "edu.om", "gov.om", "net.om", "org.om",
+    "com.jo", "edu.jo", "gov.jo", "net.jo", "org.jo", "mil.jo",
+    "com.lb", "edu.lb", "gov.lb", "net.lb", "org.lb",
+    "com.sy", "edu.sy", "gov.sy", "net.sy", "org.sy",
+    "com.iq", "edu.iq", "gov.iq", "net.iq", "org.iq", "mil.iq",
+    "com.ye", "edu.ye", "gov.ye", "net.ye", "org.ye", "mil.ye",
+    # Africa (rest)
+    "co.ma", "net.ma", "org.ma", "gov.ma", "ac.ma", "press.ma",
+    "com.dz", "org.dz", "net.dz", "gov.dz", "edu.dz", "asso.dz",
+    "com.tn", "org.tn", "net.tn", "gov.tn", "ens.tn", "fin.tn",
+    "ind.tn", "nat.tn", "rns.tn",
+    "com.ly", "edu.ly", "gov.ly", "net.ly", "org.ly", "sch.ly",
+    "med.ly", "plc.ly",
+    "com.et", "edu.et", "gov.et", "org.et", "net.et", "biz.et",
+    "name.et", "info.et",
+    "com.gh", "edu.gh", "gov.gh", "org.gh", "mil.gh",
+    "co.tz", "ac.tz", "go.tz", "or.tz", "ne.tz", "sc.tz",
+    "info.tz", "me.tz", "mobi.tz", "tv.tz",
+    "co.ug", "or.ug", "ac.ug", "sc.ug", "go.ug", "ne.ug", "com.ug",
+    "org.ug",
+    "co.zm", "ac.zm", "gov.zm", "org.zm", "com.zm", "edu.zm",
+    "co.zw", "ac.zw", "gov.zw", "org.zw", "mil.zw", "school.zw",
+    "co.bw", "org.bw",
+    "co.mz", "ac.mz", "gov.mz", "edu.mz", "org.mz",
+    "com.na", "org.na", "co.na",
+    "com.sd", "edu.sd", "gov.sd", "net.sd", "org.sd", "med.sd",
+    "tv.sd", "info.sd",
+    "co.rw", "ac.rw", "gov.rw", "net.rw", "org.rw", "int.rw", "mil.rw",
+    "com.sn", "edu.sn", "gouv.sn", "org.sn", "perso.sn", "univ.sn",
+    "com.ci", "edu.ci", "go.ci", "or.ci", "org.ci", "net.ci", "ac.ci",
+    "int.ci",
+    "com.cm", "co.cm", "gov.cm", "net.cm",
+    # South / Central Asia (rest; *.bd and *.np ride the wildcard tier)
+    "com.lk", "org.lk", "edu.lk", "gov.lk", "net.lk", "web.lk",
+    "ltd.lk", "int.lk", "ngo.lk", "soc.lk", "sch.lk",
+    "com.af", "edu.af", "gov.af", "net.af", "org.af",
+    "com.mv", "edu.mv", "gov.mv", "net.mv", "org.mv",
+    "com.bt", "edu.bt", "gov.bt", "net.bt", "org.bt",
+    # East / Southeast Asia (rest; *.kh and *.mm ride the wildcard tier)
+    "com.la", "net.la", "org.la", "edu.la", "gov.la", "int.la",
+    "com.bn", "edu.bn", "gov.bn", "net.bn", "org.bn",
+    "com.mo", "edu.mo", "gov.mo", "net.mo", "org.mo",
+    "com.tl", "gov.tl", "org.tl",
+    "gov.mn", "edu.mn", "org.mn",
+    # Europe (rest)
+    "co.hu", "info.hu", "org.hu", "priv.hu", "sport.hu", "tm.hu",
+    "2000.hu", "agrar.hu", "bolt.hu", "city.hu", "film.hu",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro",
+    "rec.ro", "arts.ro", "firm.ro", "store.ro", "www.ro",
+    "com.hr", "iz.hr", "from.hr", "name.hr",
+    "co.rs", "org.rs", "edu.rs", "ac.rs", "gov.rs", "in.rs",
+    "com.ba", "edu.ba", "gov.ba", "net.ba", "org.ba",
+    "com.mk", "org.mk", "net.mk", "edu.mk", "gov.mk", "inf.mk",
+    "name.mk",
+    "com.al", "edu.al", "gov.al", "mil.al", "net.al", "org.al",
+    "com.mt", "edu.mt", "net.mt", "org.mt",
+    "com.cy", "biz.cy", "ltd.cy", "name.cy", "org.cy", "tm.cy",
+    "ac.cy", "net.cy", "gov.cy", "press.cy", "pro.cy",
+    "edu.it", "gov.it",
+    "gov.ie",
+    "ac.be",
+    "gov.lt",
+    "com.lv", "edu.lv", "gov.lv", "net.lv", "org.lv", "mil.lv",
+    "id.lv", "asn.lv", "conf.lv",
+    "com.ee", "org.ee", "edu.ee", "gov.ee", "riik.ee", "lib.ee",
+    "med.ee", "fie.ee", "aip.ee",
+    "com.is", "net.is", "gov.is", "org.is", "edu.is", "int.is",
+    "com.mc", "tm.mc", "asso.mc",
+    "co.gg", "net.gg", "org.gg",
+    "co.je", "net.je", "org.je",
+    "co.im", "com.im", "net.im", "org.im", "ac.im", "gov.im",
+    # Caribbean / Latin America (rest)
+    "co.tt", "com.tt", "org.tt", "net.tt", "biz.tt", "edu.tt",
+    "gov.tt", "info.tt",
+    "com.bb", "edu.bb", "gov.bb", "net.bb", "org.bb",
+    "com.bs", "net.bs", "org.bs", "edu.bs", "gov.bs",
+    "com.cu", "edu.cu", "org.cu", "net.cu", "gov.cu", "inf.cu",
+    "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    "edu.do", "gob.do", "gov.do", "net.do", "org.do", "sld.do",
+    "web.do", "art.do", "mil.do",
+    "edu.bo", "gob.bo", "int.bo", "org.bo", "net.bo", "mil.bo",
+    "tv.bo", "web.bo",
+    "edu.py", "gov.py", "mil.py", "net.py", "org.py", "coop.py",
+    "una.py",
+    "edu.gt", "gob.gt", "ind.gt", "mil.gt", "net.gt", "org.gt",
+    "edu.hn", "org.hn", "net.hn", "mil.hn", "gob.hn",
+    "edu.ni", "gob.ni", "net.ni", "org.ni", "mil.ni", "co.ni",
+    "biz.ni", "info.ni",
+    "ac.pa", "gob.pa", "sld.pa", "edu.pa", "net.pa", "org.pa",
+    "abo.pa", "ing.pa", "med.pa", "nom.pa",
+    "edu.sv", "gob.sv", "org.sv", "red.sv",
+    # Pacific
+    "com.sb", "edu.sb", "gov.sb", "net.sb", "org.sb",
+    "com.vu", "edu.vu", "net.vu", "org.vu",
+    "com.ws", "net.ws", "org.ws", "gov.ws", "edu.ws",
 )
 _PUBLIC_SUFFIXES_3 = (
     # US K-12 districts register at the FOURTH level
     "k12.ca.us", "k12.ny.us", "k12.tx.us", "k12.fl.us", "k12.il.us",
     "k12.wa.us", "k12.pa.us", "k12.oh.us", "k12.mi.us", "k12.ma.us",
+    "k12.nj.us", "k12.va.us", "k12.nc.us", "k12.ga.us", "k12.az.us",
+    "k12.co.us", "k12.or.us", "k12.mn.us", "k12.wi.us", "k12.md.us",
+    "k12.ak.us", "k12.al.us", "k12.ar.us", "k12.ct.us", "k12.dc.us",
+    "k12.de.us", "k12.hi.us", "k12.ia.us", "k12.id.us", "k12.in.us",
+    "k12.ks.us", "k12.ky.us", "k12.la.us", "k12.me.us", "k12.mo.us",
+    "k12.ms.us", "k12.mt.us", "k12.nd.us", "k12.ne.us", "k12.nh.us",
+    "k12.nm.us", "k12.nv.us", "k12.ok.us", "k12.ri.us", "k12.sc.us",
+    "k12.sd.us", "k12.tn.us", "k12.ut.us", "k12.vt.us", "k12.wv.us",
+    "k12.wy.us",
     # state-level libraries / community colleges share the shape
-    "cc.ca.us", "lib.ca.us", "lib.ny.us", "lib.tx.us",
+    "cc.ca.us", "cc.ny.us", "cc.tx.us", "cc.fl.us", "cc.il.us",
+    "cc.wa.us", "cc.pa.us", "cc.oh.us", "cc.mi.us", "cc.ma.us",
+    "lib.ca.us", "lib.ny.us", "lib.tx.us", "lib.fl.us", "lib.il.us",
+    "lib.wa.us", "lib.pa.us", "lib.oh.us", "lib.mi.us", "lib.ma.us",
     # Australian state education
     "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au", "sa.edu.au",
     "tas.edu.au", "vic.edu.au", "wa.edu.au",
@@ -879,6 +1009,8 @@ _PRIVATE_SUFFIXES_2 = (
     "azurewebsites.net", "cloudapp.net", "cloudfront.net", "ngrok.io",
     # dynamic-DNS tenants
     "duckdns.org",
+    # commerce / docs / legacy PaaS tenant hosts
+    "myshopify.com", "now.sh", "000webhostapp.com", "gitbook.io",
 )
 _PRIVATE_SUFFIXES_3 = (
     # AWS S3 website/bucket hosts (per-bucket registrants)
@@ -886,6 +1018,22 @@ _PRIVATE_SUFFIXES_3 = (
     # Blogger ccTLD mirrors
     "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br",
 )
+# PSL WILDCARD rules, the `*.ck` class (r12-verdict gap): `*.<tld>`
+# means EVERY label directly under the TLD is itself a public suffix,
+# so the registered domain under it is the last THREE labels — a
+# last-two-labels answer pools every registrant of a wildcard ccTLD
+# into one capped pseudo-domain (shop.example.mm and blog.example.mm
+# are INDEPENDENT registrants). These are the ICANN wildcard TLDs;
+# deeper wildcard bases (`*.compute.amazonaws.com`-class, private
+# section) would add a join on the last-k-labels tier the same way.
+_WILDCARD_SUFFIX_TLDS = (
+    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+)
+# PSL exception rules (`!www.ck`): carved OUT of their wildcard — the
+# exception host IS the registered domain (for itself and everything
+# under it). Checked before every suffix tier (PSL: exception rules
+# beat all others).
+_WILDCARD_EXCEPTIONS_2 = ("www.ck",)
 # the lookup tables the engine joins against: ICANN + private sections
 _SUFFIXES_2 = _PUBLIC_SUFFIXES_2 + _PRIVATE_SUFFIXES_2
 _SUFFIXES_3 = _PUBLIC_SUFFIXES_3 + _PRIVATE_SUFFIXES_3
@@ -913,13 +1061,19 @@ def url_dedup_domain_cap(
     host's last THREE labels are a
     public suffix, the domain is the last four labels; else if the last
     TWO are, the last three (``a.co.uk`` and ``b.co.uk`` are distinct
-    domains; ``cdn.a.co.uk`` groups under ``a.co.uk``); else the
-    last-two-labels default (correct under every single-label TLD).
-    The suffix lookup is two explicit-broadcast left joins against the
-    bundled table — bounded by contract at a few hundred rows, still
-    kilobytes with the full 9k-entry PSL; a deployment extends the
-    tuples. (An InSet literal was tried first and blew janino's 64 KB
-    generated-method limit on the salted path — see the code comment.)
+    domains; ``cdn.a.co.uk`` groups under ``a.co.uk``); else if the TLD
+    is a PSL WILDCARD (``*.ck``-class, ``_WILDCARD_SUFFIX_TLDS``) the
+    last three again — every label directly under a wildcard TLD is
+    itself a public suffix, so ``shop.example.mm`` and
+    ``blog.example.mm`` are independent registrants, with exception
+    rules (``!www.ck``) carved out first per the PSL algorithm; else
+    the last-two-labels default (correct under every single-label TLD).
+    The suffix lookup is three explicit-broadcast left joins against
+    the bundled tables — bounded by contract at a few hundred rows,
+    still kilobytes with the full 9k-entry PSL; a deployment extends
+    the tuples. (An InSet literal was tried first and blew janino's
+    64 KB generated-method limit on the salted path — see the code
+    comment.)
 
     Keep policy, fully deterministic (RNG-free, partition-stable, the
     ``stratified_sample`` idiom): the URL keeper is the MIN id per
@@ -947,7 +1101,7 @@ def url_dedup_domain_cap(
     over ALL rows with a conditional running count, the single-pass way
     to rank the keeper subset without a branch-and-union (non-keepers
     ride through with a NULL rank; re-running the url_norm window per
-    branch would double the dominant cost). The only joins are the two
+    branch would double the dominant cost). The only joins are the three
     suffix broadcasts — both keep flags derive from windows over the
     same scan. The honest skew
     exposure: the url_norm key has bounded fan-in (a URL repeats a
@@ -1020,6 +1174,7 @@ def url_dedup_domain_cap(
         id_col,
         "url_norm",
         "__host",
+        F.regexp_extract(hostc, r"([^.]+)$", 1).alias("__l1"),
         F.regexp_extract(hostc, r"([^.]+\.[^.]+)$", 1).alias("__l2"),
         F.regexp_extract(hostc, r"([^.]+\.[^.]+\.[^.]+)$", 1).alias("__l3"),
         F.regexp_extract(hostc, r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$", 1).alias(
@@ -1027,7 +1182,7 @@ def url_dedup_domain_cap(
         ),
     )
     l2, l3, l4 = F.col("__l2"), F.col("__l3"), F.col("__l4")
-    # public-suffix tiers as two explicit-broadcast left joins against
+    # public-suffix tiers as three explicit-broadcast left joins against
     # the bundled table (bounded BY CONTRACT — a few hundred rows, and
     # still kilobytes with the full 9k-entry PSL): a matched suffix
     # plus one more label is the registered domain. An InSet literal
@@ -1045,13 +1200,29 @@ def url_dedup_domain_cap(
     s3df = spark.createDataFrame(
         [(s,) for s in _SUFFIXES_3], "__psl3 string"
     )
-    staged = staged.join(
-        F.broadcast(s2df), staged["__l2"] == s2df["__psl2"], "left"
-    ).join(F.broadcast(s3df), F.col("__l3") == s3df["__psl3"], "left")
+    swdf = spark.createDataFrame(
+        [(s,) for s in _WILDCARD_SUFFIX_TLDS], "__pslw string"
+    )
+    staged = (
+        staged.join(
+            F.broadcast(s2df), staged["__l2"] == s2df["__psl2"], "left"
+        )
+        .join(F.broadcast(s3df), F.col("__l3") == s3df["__psl3"], "left")
+        .join(F.broadcast(swdf), F.col("__l1") == swdf["__pslw"], "left")
+    )
+    # tier order = PSL rule precedence: exceptions beat everything;
+    # then longest match (3-label suffix > 2-label > wildcard — a
+    # wildcard match IS a 2-label suffix, ranked after the explicit
+    # list only because an explicit 2-label entry under a wildcard TLD
+    # gives the same answer); a 2-label host under a wildcard TLD is
+    # itself a public suffix and keeps itself, like the bare-suffix
+    # hosts below
     domain = F.when(
         hostc.isNotNull() & (hostc != ""),
-        F.when(F.col("__psl3").isNotNull() & (l4 != ""), l4)
+        F.when(l2.isin(list(_WILDCARD_EXCEPTIONS_2)), l2)
+        .when(F.col("__psl3").isNotNull() & (l4 != ""), l4)
         .when(F.col("__psl2").isNotNull() & (l3 != ""), l3)
+        .when(F.col("__pslw").isNotNull() & (l3 != ""), l3)
         .when(l2 != "", l2)
         .otherwise(hostc),
     )

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from ..ext.dedup import (
     _SUFFIXES_2,
     _SUFFIXES_3,
+    _WILDCARD_EXCEPTIONS_2,
+    _WILDCARD_SUFFIX_TLDS,
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -6235,14 +6237,20 @@ def _url_dedup_urls():
     port-pseudo-domain class); variant 9 carries USERINFO
     (``user:pw@``) — credentials are not identity, so it must
     normalize to the SAME url as variants 0/1/3 and collapse in URL
-    dedup."""
+    dedup; variants 10/11 (r13) are PSL WILDCARD-TLD hosts —
+    ``shop.source.mm`` and ``cdn.shop.source.mm`` under ``*.mm``, where
+    every ``source.mm`` is itself a public suffix, so both must group
+    under the 3-label registered domain ``shop.source.mm`` (the
+    pre-wildcard tiers pooled them under ``source.mm`` — one tier too
+    high, merging independent registrants of a wildcard ccTLD)."""
     j = F.expr("doc_id div 20")
     host = F.concat(F.col("source"), F.lit(".com"))
     cchost = F.concat(F.col("source"), F.lit(".co.uk"))
     ghhost = F.concat(F.col("source"), F.lit(".github.io"))
     s3host = F.concat(F.col("source"), F.lit(".s3.amazonaws.com"))
+    wchost = F.concat(F.lit("shop."), F.col("source"), F.lit(".mm"))
     path = F.concat(F.lit("/p/"), (j % 5).cast("string"))
-    variant = j % 10
+    variant = j % 12
     return (
         F.when(
             variant == 0,
@@ -6273,6 +6281,11 @@ def _url_dedup_urls():
         .when(
             variant == 9,
             F.concat(F.lit("https://user:pw@"), host, path, F.lit("/")),
+        )
+        .when(variant == 10, F.concat(F.lit("https://"), wchost, path))
+        .when(
+            variant == 11,
+            F.concat(F.lit("http://cdn."), wchost, path, F.lit("/")),
         )
         .otherwise(F.concat(F.lit("https://"), host, path))
     )
@@ -6732,11 +6745,13 @@ def q_url_dedup_salted(spark, sf_dir):
 
 _PSL2_SQL = ", ".join(f"'{s}'" for s in _SUFFIXES_2)
 _PSL3_SQL = ", ".join(f"'{s}'" for s in _SUFFIXES_3)
+_PSLW_SQL = ", ".join(f"'{s}'" for s in _WILDCARD_SUFFIX_TLDS)
+_PSLX_SQL = ", ".join(f"'{s}'" for s in _WILDCARD_EXCEPTIONS_2)
 
 SQL_URL_DEDUP = rf"""
 WITH u AS (
   SELECT doc_id,
-    CASE CAST((doc_id // 20) % 10 AS INTEGER)
+    CASE CAST((doc_id // 20) % 12 AS INTEGER)
       WHEN 0 THEN 'HTTPS://WWW.' || upper(source || '.com')
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
       WHEN 1 THEN 'http://' || source || '.com'
@@ -6755,6 +6770,10 @@ WITH u AS (
       WHEN 8 THEN 'https://' || source || '.com:8080'
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
       WHEN 9 THEN 'https://user:pw@' || source || '.com'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
+      WHEN 10 THEN 'https://shop.' || source || '.mm'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
+      WHEN 11 THEN 'http://cdn.shop.' || source || '.mm'
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
       ELSE 'https://' || source || '.com'
            || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
@@ -6780,12 +6799,17 @@ hosted AS (
 base AS (
   SELECT doc_id, url_norm,
     CASE
+      WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) IN ({_PSLX_SQL})
+        THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
       WHEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
              IN ({_PSL3_SQL})
            AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1) <> ''
         THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1)
       WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
              IN ({_PSL2_SQL})
+           AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+        THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+      WHEN regexp_extract(host, '([^.]+)$', 1) IN ({_PSLW_SQL})
            AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
         THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
       WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''

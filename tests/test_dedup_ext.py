@@ -2612,3 +2612,46 @@ def test_language_id_min_score_unknown_verdict(spark):
         ).collect()
     }
     assert dflt[2] == "en"
+
+
+def test_url_dedup_psl_wildcard_tlds_and_exception(spark):
+    """PSL WILDCARD rules (VERDICT r12 item 5): under `*.mm`-class TLDs
+    every label directly below the TLD is itself a public suffix, so
+    registrants are the last THREE labels — shop.example.mm and
+    blog.example.mm are INDEPENDENT domains (pre-wildcard tiers pooled
+    both under example.mm, one level too high), and subdomains group
+    under their 3-label registrant; a bare 2-label host under a
+    wildcard TLD keeps itself; the `!www.ck` exception carves www.ck
+    OUT of `*.ck` — it and its subdomains are the registered domain
+    www.ck, while sibling hosts under .ck stay wildcard-ruled."""
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://shop.example.mm/p"),
+            (2, "https://blog.example.mm/p"),     # NOT pooled with 1
+            (3, "https://cdn.shop.example.mm/i"),  # groups under 1
+            (4, "https://example.mm/odd"),         # bare PS host: itself
+            (5, "https://a.b.gov.np/x"),           # deeper subdomain
+            # NOTE: a BARE www.ck URL loses its www. to the normalizer
+            # (the strip is a pre-PSL heuristic) — host "ck" keeps
+            # itself; the exception rule applies to subdomain forms
+            (6, "https://www.ck/home"),
+            (7, "https://mail.www.ck/inbox"),      # groups under www.ck
+            (8, "https://other.ck/z"),             # sibling: wildcard PS
+            (9, "https://site.other.ck/z"),        # 3-label registrant
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in url_dedup_domain_cap(docs, cap=9).collect()}
+
+    assert out[1]["domain"] == "shop.example.mm"
+    assert out[2]["domain"] == "blog.example.mm"
+    assert out[3]["domain"] == "shop.example.mm"
+    assert out[4]["domain"] == "example.mm"
+    assert out[5]["domain"] == "b.gov.np"
+    assert out[6]["domain"] == "ck"       # www-stripped single label
+    assert out[7]["domain"] == "www.ck"
+    assert out[8]["domain"] == "other.ck"
+    assert out[9]["domain"] == "site.other.ck"
+    assert all(r["kept"] == 1 for r in out.values())

@@ -620,6 +620,8 @@ _urls = st.lists(
                 "delta.k12.ca.us",
                 "eps.github.io",              # PSL private, 2-label
                 "zeta.s3.amazonaws.com",      # PSL private, 3-label
+                "theta.kappa.mm",             # PSL wildcard TLD (*.mm)
+                "www.ck",                     # PSL exception (!www.ck)
             ]
         ),
         st.sampled_from(["", ":8080", ":443"]),                     # port
@@ -668,14 +670,20 @@ def test_url_dedup_domain_cap_property(spark, parts, cap):
         from airflow_kafka_spark_spark.ext.dedup import (
             _SUFFIXES_2,
             _SUFFIXES_3,
+            _WILDCARD_EXCEPTIONS_2,
+            _WILDCARD_SUFFIX_TLDS,
         )
 
         m = re.match(r"^(\[[^\]]*\]|[^/:@]+)", u)
         host = m.group(1) if m else ""
         labels = host.split(".")
+        if len(labels) >= 2 and ".".join(labels[-2:]) in _WILDCARD_EXCEPTIONS_2:
+            return ".".join(labels[-2:])
         if len(labels) >= 4 and ".".join(labels[-3:]) in _SUFFIXES_3:
             return ".".join(labels[-4:])
         if len(labels) >= 3 and ".".join(labels[-2:]) in _SUFFIXES_2:
+            return ".".join(labels[-3:])
+        if len(labels) >= 3 and labels[-1] in _WILDCARD_SUFFIX_TLDS:
             return ".".join(labels[-3:])
         m = re.search(r"([^.]+\.[^.]+)$", host)
         return m.group(1) if m else host
