@@ -23,6 +23,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _query_vec_as_double(row, vec_key: str, caller: str, ident: str) -> list:
+    """The collected query vector as a plain double list for a literal
+    broadcast frame (float→double widening is exact). A PRESENT row
+    with a NULL vector raises the module's descriptive ValueError —
+    without the guard the list comprehension throws a bare TypeError
+    that points nowhere near the bad corpus row."""
+    vec = row[vec_key]
+    if vec is None:
+        raise ValueError(f"{caller}: row with {ident} has a NULL vector")
+    return [float(x) for x in vec]
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in float64, left-to-right fold — matches the SQL oracle's
     ``list_sum(list_transform(...))`` evaluation exactly."""
@@ -365,7 +377,17 @@ def cosine_topk(
             f"cosine_topk: no row with {id_col}={query_vec_id!r}"
         )
     q = embeddings.sparkSession.createDataFrame(
-        [([float(x) for x in q_row["qvec"]],)], "qvec array<double>"
+        [
+            (
+                _query_vec_as_double(
+                    q_row,
+                    "qvec",
+                    "cosine_topk",
+                    f"{id_col}={query_vec_id!r}",
+                ),
+            )
+        ],
+        "qvec array<double>",
     )
     joined = embeddings.filter(F.col(id_col) != query_vec_id).crossJoin(
         F.broadcast(q)
@@ -1137,7 +1159,17 @@ def ann_topk_bucketed(
             f"ann_topk_bucketed: no row with {id_col}={query_vec_id!r}"
         )
     q = embeddings.sparkSession.createDataFrame(
-        [(q_row["bucket"], [float(x) for x in q_row[vec_col]])],
+        [
+            (
+                q_row["bucket"],
+                _query_vec_as_double(
+                    q_row,
+                    vec_col,
+                    "ann_topk_bucketed",
+                    f"{id_col}={query_vec_id!r}",
+                ),
+            )
+        ],
         "qbucket string, qvec array<double>",
     )
     cand = bucketed.filter(F.col(id_col) != query_vec_id).join(

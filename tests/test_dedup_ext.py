@@ -2567,11 +2567,15 @@ def test_point_paths_single_scan_query_row(spark):
         out = fn(emb, query_vec_id=3, k=5)
         rows = out.collect()
         assert rows and all(r["vec_id"] != 3 for r in rows)
-        # the broadcast query side is a local literal frame (plans as
-        # Scan ExistingRDD / LocalTableScan), not a second filtered
-        # pass over the embeddings lineage
+        # the broadcast query side is a local literal frame, not a
+        # second filtered pass over the embeddings lineage: the only
+        # query-id predicate left in the plan is the EXCLUSION filter
+        # (NOT vec_id = 3) — the r12 shape also carried the q-side
+        # equality filter (vec_id = 3), i.e. two occurrences. AQE
+        # prints Final + Initial plans; count within the final only.
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "ExistingRDD" in plan or "LocalTableScan" in plan
+        final = plan.split("== Initial Plan ==")[0]
+        assert final.count("= 3)") == 1, plan
 
 
 def test_language_id_min_score_unknown_verdict(spark):
@@ -2655,3 +2659,25 @@ def test_url_dedup_psl_wildcard_tlds_and_exception(spark):
     assert out[8]["domain"] == "other.ck"
     assert out[9]["domain"] == "site.other.ck"
     assert all(r["kept"] == 1 for r in out.values())
+
+
+def test_point_paths_null_vector_raises_descriptive(spark):
+    """A PRESENT query row with a NULL vector must raise the module's
+    descriptive ValueError, not a bare TypeError from iterating None
+    (r13 review: the collect-to-literal change would otherwise crash
+    with no hint about the bad corpus row)."""
+    import pytest as _pytest
+
+    from airflow_kafka_spark_spark.ext.similarity import (
+        ann_topk_bucketed,
+        cosine_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [0.5, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="cosine_topk: .*NULL vector"):
+        cosine_topk(emb, query_vec_id=1)
+    with _pytest.raises(ValueError, match="ann_topk_bucketed: .*NULL vector"):
+        ann_topk_bucketed(emb, query_vec_id=1)
