@@ -127,6 +127,15 @@ class QuoteFeedStreamReader(SimpleDataSourceStreamReader):
     recovery."""
 
     def __init__(self, options: dict):
+        if options.get("path"):
+            # the stream reader has no fixture-replay mode; silently
+            # ignoring the option would run an empty-but-green stream
+            # forever (r13 review) — fail at construction instead
+            raise ValueError(
+                "quotefeed streaming does not support the 'path' option "
+                "(batch-only fixture replay) — use spark.read, or pass "
+                "symbols= for the synthetic poll loop"
+            )
         self.symbols = [s for s in options.get("symbols", "").split(",") if s]
         self.base_bars = int(options.get("numBars", "30"))
 

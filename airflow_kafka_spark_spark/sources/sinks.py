@@ -111,23 +111,35 @@ def upsert_partitioned(
     partitions present in ``updates`` — kept whole-table here for
     plain-parquet simplicity. Same local-filesystem swap caveats as
     :func:`compact_partitioned`."""
+    import os
+
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     staging = path.rstrip("/") + "__upserting"
     _recover_and_clean(path, staging, path.rstrip("/") + "__preupsert")
-    current = spark.read.parquet(path)
-    merged = current.unionByName(updates.select(*current.columns))
     w = Window.partitionBy(*key_cols).orderBy(
         *[F.col(c).desc() for c in order_cols]
     )
+    if not os.path.exists(path):
+        # bootstrap: the first-ever upsert initializes the table (same
+        # first-write branch the rollup merge has) — updates still
+        # dedup to latest-per-key so duplicate keys in one batch
+        # resolve identically to the steady-state path
+        merged = updates
+    else:
+        current = spark.read.parquet(path)
+        merged = current.unionByName(updates.select(*current.columns))
     latest = (
         merged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
     latest.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
-    _swap(path, staging, path.rstrip("/") + "__preupsert")
+    if os.path.exists(path):
+        _swap(path, staging, path.rstrip("/") + "__preupsert")
+    else:
+        os.rename(staging, path)
 
 
 def _recover_and_clean(path: str, staging: str, backup: str) -> None:

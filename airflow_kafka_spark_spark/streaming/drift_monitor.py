@@ -14,14 +14,19 @@ Per micro-batch, against the same materialized reference:
   tie-correct integer midranks).
 
 Scale shape: the reference window is projected to the monitored
-columns and ``localCheckpoint``-materialized ONCE at monitor
-construction — not re-scanned per micro-batch (a lazy frame would
-re-run the reference scan every trigger; at 100 TB the reference
-should itself be a bounded window or sample — the monitor's cost per
-batch is then one conditional-count groupBy over reference+batch and
-window sums over the tiny (cohort × distinct key) count table, the
-``_split_value_counts`` contract). The per-cohort report is
-key-domain-sized — the one legitimate collect class.
+columns and ``persist()``-materialized ONCE at monitor construction —
+not re-scanned per micro-batch (a lazy frame would re-run the
+reference scan every trigger; persist rather than localCheckpoint so
+an executor loss recomputes the lost blocks instead of killing the
+monitor). Each micro-batch pins its tagged union for the batch
+duration when more than one metric runs — the metrics are separate
+actions, and uncached each would re-read the micro-batch source. At
+100 TB the reference should itself be a bounded window or sample —
+the monitor's cost per batch is then one conditional-count groupBy
+over reference+batch and window sums over the tiny (cohort × distinct
+key) count table, the ``_split_value_counts`` contract. The
+per-cohort report is key-domain-sized — the one legitimate collect
+class.
 """
 
 from __future__ import annotations
@@ -71,8 +76,15 @@ def make_drift_monitor(
         )
     cols = [cohort] + [c for c in (category, value) if c is not None]
     # materialize the reference ONCE: every micro-batch reuses the
-    # stored rows instead of re-running the reference scan per trigger
-    ref = reference.select(*cols).localCheckpoint(eager=True)
+    # stored rows instead of re-running the reference scan per trigger.
+    # persist(), NOT localCheckpoint (r13 review): checkpoint blocks
+    # live on executors with lineage TRUNCATED, so the first executor
+    # decommission in a long-running monitor would permanently kill
+    # every later batch (block lost, nothing to recompute from);
+    # persist keeps the lineage, so a lost block just recomputes. The
+    # count() eagerizes it like the old eager checkpoint did.
+    ref = reference.select(*cols).persist()
+    ref.count()
 
     def _default_report(batch_id: int, rows: Report) -> None:
         for r in rows:
@@ -89,6 +101,13 @@ def make_drift_monitor(
             ref.withColumn("__w", F.lit(0))
             .unionByName(batch_df.select(*cols).withColumn("__w", F.lit(1)))
         )
+        n_metrics = (category is not None) + 2 * (value is not None)
+        if n_metrics > 1:
+            # each metric is its own action; without the cache every
+            # action re-reads the micro-batch source (for a Kafka
+            # batch_df that is a broker re-fetch per metric, r13
+            # review) — pin the tagged union for the batch duration
+            tagged = tagged.persist()
         rows: Report = []
 
         def _emit(df: DataFrame, metric: str, stat_col: str) -> None:
@@ -123,6 +142,8 @@ def make_drift_monitor(
                 "auc",
                 "auc",
             )
+        if n_metrics > 1:
+            tagged.unpersist()
         report(batch_id, rows)
 
     return _monitor

@@ -69,7 +69,7 @@ def start_pipeline(
     source: DataFrame,
     sink: Callable[[DataFrame, int], None] | None = None,
     trigger: str = DEFAULT_TRIGGER,
-    checkpoint_dir: str = "/tmp/aks_spark_checkpoint",
+    checkpoint_dir: str | None = None,
     dedup_order_cols: list[str] | None = None,
     query_name: str = "stock_analysis",
     available_now: bool = False,
@@ -80,11 +80,19 @@ def start_pipeline(
     schema); default sink is a no-op show for smoke runs. Empty batches are
     skipped (T8). Kafka delivery stays at-least-once like the reference.
 
+    ``checkpoint_dir`` defaults to a per-query-name path — a single
+    shared default would make two queries started with defaults collide
+    on one offset/commit log (Structured Streaming then either fails on
+    source mismatch or silently resumes the OTHER query's offsets).
+    Deployments should still pass an explicit durable location.
+
     ``available_now=True`` switches to backfill mode: drain everything
     currently in the source in rate-limited micro-batches, then stop —
     the catch-up/replay pattern (run once after downtime, same
     checkpoint, then restart the processing-time trigger).
     """
+    if checkpoint_dir is None:
+        checkpoint_dir = f"/tmp/aks_spark_checkpoint_{query_name}"
 
     def route(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # T8 (spark/stock_analysis.py:100-106)
@@ -123,6 +131,12 @@ def kafka_pipeline(
     def kafka_sink(processed: DataFrame, batch_id: int) -> None:
         write_batch(to_kafka_records(processed), bootstrap_servers, out_topic)
 
+    # Dedup contract (r12 ADVICE, reviewed again r13): the snapshot's
+    # DATA timestamp is primary — "newest declared snapshot wins" — and
+    # the per-key Kafka offset breaks equal-timestamp ties by arrival.
+    # This is deliberately NOT pure arrival order: a producer re-sending
+    # an OLDER snapshot (retry, backfill) must not overwrite newer data
+    # just because it arrived later.
     return start_pipeline(
         source,
         sink=kafka_sink,
@@ -192,18 +206,28 @@ def stream_stream_join(
 
     ``join_window``: right rows match left rows with
     ``right_ts ∈ [left_ts - join_window, left_ts + join_window]``.
+
+    ``key_cols`` must be non-empty: Spark rejects stream-stream joins
+    without an equality predicate (STREAM_FAILED at query start —
+    probed), and the old ``None``-seeded condition builder was worse
+    still — ``None & Column`` evaluated to a NULL condition, a join
+    that ran green and emitted zero rows forever (r13 review). Fail
+    eagerly with the actual requirement instead.
     """
     from pyspark.sql import functions as F
 
+    if not key_cols:
+        raise ValueError(
+            "stream_stream_join: key_cols must be non-empty — Spark "
+            "does not support stream-stream joins without an equality "
+            "predicate (the time-range condition alone cannot bound "
+            "join state)"
+        )
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
-    cond = None
-    for k in key_cols:
-        c = l[k] == r[k]
-        cond = c if cond is None else cond & c
     cond = (
-        cond
-        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {join_window}"))
-        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {join_window}"))
-    )
+        r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {join_window}")
+    ) & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {join_window}"))
+    for k in key_cols:
+        cond = cond & (l[k] == r[k])
     return l.join(r, cond, how)

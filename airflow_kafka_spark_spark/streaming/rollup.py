@@ -39,6 +39,43 @@ from ..sources.sinks import _recover_and_clean, _swap
 _META = "_rollup_meta.json"
 
 
+def _query_incarnation(checkpoint_dir: str) -> str | None:
+    """The checkpoint-stable streaming query id from the checkpoint's
+    ``metadata`` file (written at query start, BEFORE the first batch;
+    stable across crash-restarts of the same checkpoint, fresh for a
+    new/recreated checkpoint). This is the identity the replay fence
+    must be scoped to: foreachBatch batch_ids restart at 0 under a new
+    checkpoint, so an unscoped ``batch_id <= last`` fence silently
+    drops every batch of a new incarnation until its ids exceed the
+    old run's high-water mark (r13 review). None when unreadable —
+    the fence then degrades to the unscoped pre-r13 behavior."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return json.load(f).get("id")
+    except (OSError, ValueError):
+        return None
+
+
+def _replayed(meta_path: str, batch_id: int, incarnation: str | None) -> bool:
+    """True iff this (incarnation, batch_id) was already merged. A
+    DIFFERENT incarnation is a new batch-id sequence — never a replay.
+    Unknown incarnations (None on either side) compare by batch_id
+    alone, preserving the behavior of direct callers that manage their
+    own batch-id sequence."""
+    if not os.path.exists(meta_path):
+        return False
+    with open(meta_path) as f:
+        meta = json.load(f)
+    stored_inc = meta.get("incarnation")
+    if (
+        incarnation is not None
+        and stored_inc is not None
+        and stored_inc != incarnation
+    ):
+        return False
+    return batch_id <= meta["last_batch_id"]
+
+
 def merge_batch_into_rollup(
     rollup_path: str,
     batch_df: DataFrame,
@@ -47,10 +84,15 @@ def merge_batch_into_rollup(
     grain: str = "hour",
     keys: list[str] | None = None,
     value_col: str = "value",
+    incarnation: str | None = None,
 ) -> bool:
     """Fold one micro-batch into the stored rollup. Returns False (no-op)
     when ``batch_id`` was already merged — the replay fence that makes
     at-least-once ``foreachBatch`` delivery effectively exactly-once.
+    ``incarnation`` (the checkpoint-stable query id — see
+    :func:`_query_incarnation`) scopes the fence so a query restarted
+    under a NEW checkpoint, whose batch_ids restart at 0, is recognized
+    as a new sequence instead of being silently skipped.
 
     The merged table is written to a staging dir and swapped atomically
     with its meta sidecar (same crash-recovery protocol as
@@ -66,10 +108,8 @@ def merge_batch_into_rollup(
     # the fence first would silently restart the rollup from empty
     _recover_and_clean(rollup_path, staging, backup)
     meta_path = os.path.join(rollup_path, _META)
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            if batch_id <= json.load(f)["last_batch_id"]:
-                return False
+    if _replayed(meta_path, batch_id, incarnation):
+        return False
 
     delta = partial_rollup(batch_df, ts_col, grain, keys, value_col)
     if os.path.exists(rollup_path):
@@ -82,12 +122,9 @@ def merge_batch_into_rollup(
 
     merged.write.mode("overwrite").parquet(staging)
     with open(os.path.join(staging, _META), "w") as f:
-        json.dump({"last_batch_id": batch_id}, f)
+        json.dump({"last_batch_id": batch_id, "incarnation": incarnation}, f)
     if os.path.exists(rollup_path):
-        _swap(rollup_path, staging, backup)
-        import shutil
-
-        shutil.rmtree(backup, ignore_errors=True)
+        _swap(rollup_path, staging, backup)  # removes backup itself
     else:
         os.rename(staging, rollup_path)
     return True
@@ -112,7 +149,16 @@ def start_rollup_pipeline(
         if batch_df.isEmpty():
             return
         merged = merge_batch_into_rollup(
-            rollup_path, batch_df, batch_id, ts_col, grain, keys, value_col
+            rollup_path,
+            batch_df,
+            batch_id,
+            ts_col,
+            grain,
+            keys,
+            value_col,
+            # read lazily per batch: the metadata file exists once the
+            # query has started, which is guaranteed inside foreachBatch
+            incarnation=_query_incarnation(checkpoint_dir),
         )
         if on_batch is not None:
             on_batch(batch_id, merged)
@@ -134,6 +180,7 @@ def merge_batch_into_distinct_rollup(
     keys: list[str] | None = None,
     id_col: str = "user_id",
     lgk: int = 12,
+    incarnation: str | None = None,
 ) -> bool:
     """The distinct-count sibling of ``merge_batch_into_rollup``: COUNT
     DISTINCT has no exact mergeable partial, so the stored per-bucket
@@ -156,10 +203,8 @@ def merge_batch_into_distinct_rollup(
     backup = rollup_path.rstrip("/") + "__backup"
     _recover_and_clean(rollup_path, staging, backup)
     meta_path = os.path.join(rollup_path, _META)
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            if batch_id <= json.load(f)["last_batch_id"]:
-                return False
+    if _replayed(meta_path, batch_id, incarnation):
+        return False
 
     bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts")
     delta = batch_df.groupBy(bucket, *keys).agg(
@@ -182,12 +227,9 @@ def merge_batch_into_distinct_rollup(
 
     merged.write.mode("overwrite").parquet(staging)
     with open(os.path.join(staging, _META), "w") as f:
-        json.dump({"last_batch_id": batch_id}, f)
+        json.dump({"last_batch_id": batch_id, "incarnation": incarnation}, f)
     if os.path.exists(rollup_path):
-        _swap(rollup_path, staging, backup)
-        import shutil
-
-        shutil.rmtree(backup, ignore_errors=True)
+        _swap(rollup_path, staging, backup)  # removes backup itself
     else:
         os.rename(staging, rollup_path)
     return True

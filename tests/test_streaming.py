@@ -804,3 +804,101 @@ def test_drift_monitor_marks_one_sided_cohorts(spark):
     assert by[(1, "tvd")]["stat"] == 0.0
     assert by[(1, "ks")]["stat"] == 0.0
     assert abs(by[(1, "auc")]["stat"] - 0.5) < 1e-12
+
+
+def test_rollup_fence_scoped_to_query_incarnation(spark, tmp_path):
+    """A rollup restarted under a NEW checkpoint restarts its batch_ids
+    at 0; the replay fence must recognize the new incarnation instead
+    of silently dropping every batch until ids exceed the old run's
+    high-water mark (r13 review). Same-incarnation replays stay fenced;
+    None-incarnation callers keep the unscoped pre-r13 behavior."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.streaming.rollup import (
+        merge_batch_into_rollup,
+    )
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "view", 1.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rollup = str(tmp_path / "rollup")
+
+    # incarnation A runs to batch 5
+    assert merge_batch_into_rollup(rollup, ev, 5, incarnation="qA") is True
+    # same incarnation: replay of 5 and older are fenced
+    assert merge_batch_into_rollup(rollup, ev, 5, incarnation="qA") is False
+    assert merge_batch_into_rollup(rollup, ev, 3, incarnation="qA") is False
+    # NEW incarnation (fresh checkpoint): batch 0 must merge
+    assert merge_batch_into_rollup(rollup, ev, 0, incarnation="qB") is True
+    # and its own replays are now fenced
+    assert merge_batch_into_rollup(rollup, ev, 0, incarnation="qB") is False
+    # None-incarnation caller against a stored incarnation: batch-id-only
+    assert merge_batch_into_rollup(rollup, ev, 0, incarnation=None) is False
+    assert merge_batch_into_rollup(rollup, ev, 7, incarnation=None) is True
+
+
+def test_upsert_partitioned_bootstraps_new_table(spark, tmp_path):
+    """The first-ever upsert initializes the table instead of raising
+    on the missing path (r13 review) — including latest-per-key dedup
+    WITHIN the bootstrap batch, identical to the steady-state path."""
+    from airflow_kafka_spark_spark.sources.sinks import upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    updates = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0, "a"), (1, "2024-01-02", 11.0, "a"),
+         (2, "2024-01-01", 20.0, "b")],
+        "id long, day string, v double, part string",
+    )
+    upsert_partitioned(
+        spark, path, updates, ["id"], ["day"], ["part"]
+    )
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 11.0, 2: 20.0}
+    # steady state still works on top of the bootstrap
+    upd2 = spark.createDataFrame(
+        [(2, "2024-01-03", 25.0, "b")],
+        "id long, day string, v double, part string",
+    )
+    upsert_partitioned(spark, path, upd2, ["id"], ["day"], ["part"])
+    got2 = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got2 == {1: 11.0, 2: 25.0}
+
+
+def test_stream_stream_join_rejects_empty_keys(spark, tmp_path):
+    """Empty key_cols must raise eagerly: Spark rejects stream-stream
+    joins without an equality predicate (probed — STREAM_FAILED at
+    query start), and the old None-seeded condition builder was worse
+    — None & Column made a NULL condition, a join that ran green and
+    emitted zero rows forever (r13 review)."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.streaming.pipeline import stream_stream_join
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [("2024-01-01 10:00:00",)], "lts string"
+    ).withColumn("lts", F.col("lts").cast("timestamp")).write.parquet(ldir)
+    spark.createDataFrame(
+        [("2024-01-01 10:03:00",)], "rts string"
+    ).withColumn("rts", F.col("rts").cast("timestamp")).write.parquet(rdir)
+    ls = spark.readStream.schema("lts timestamp").parquet(ldir)
+    rs = spark.readStream.schema("rts timestamp").parquet(rdir)
+    with pytest.raises(ValueError, match="key_cols must be non-empty"):
+        stream_stream_join(ls, rs, [], "lts", "rts", "1 hour", "5 minutes")
+
+
+def test_quotefeed_stream_rejects_path_option(spark):
+    """The quotefeed STREAM reader has no fixture-replay mode; a path
+    option must fail at construction, not degrade to an empty-but-green
+    stream (r13 review)."""
+    from airflow_kafka_spark_spark.sources.quotefeed import (
+        QuoteFeedStreamReader,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not support the 'path'"):
+        QuoteFeedStreamReader({"path": "/tmp/x.jsonl"})
+    # the supported form still constructs
+    r = QuoteFeedStreamReader({"symbols": "AAA,BBB"})
+    assert r.symbols == ["AAA", "BBB"]
