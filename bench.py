@@ -19,6 +19,37 @@ import sys
 import time
 
 
+def load_bench_artifact(path: str, with_path: bool = False):
+    """Parse a bench artifact in any of its shapes: the driver's
+    pretty-printed wrapper ({"parsed": {...}}), a raw bench.py stdout
+    line (last line of the file), or a slim tail-captured line whose
+    full normalized columns live in the committed round-stamped
+    BENCH_DETAIL archive next to it. THE one loader — shared with
+    bench_compare.py (r13 review: the two private copies had already
+    diverged in both directions: cwd- vs artifact-relative detail
+    resolution, and 'parsed' unwrap applied on one fallback but not
+    the other). ``with_path=True`` also returns the file actually
+    used (the detail archive when the slim-line fallback fires)."""
+    import re
+
+    text = open(path).read().strip()
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        data = json.loads(text.splitlines()[-1])
+    data = (data.get("parsed") or data) if isinstance(data, dict) else {}
+    if not data.get("queries_normalized"):
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+        if m:
+            det = os.path.join(
+                os.path.dirname(os.path.abspath(path)),
+                f"BENCH_DETAIL_r{m.group(1)}.json",
+            )
+            if os.path.exists(det):
+                return load_bench_artifact(det, with_path=with_path)
+    return (data, path) if with_path else data
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -264,6 +295,7 @@ def _vs_prev_normalized(
     normalized: dict[str, float],
     normalized_chain: dict[str, float],
     sf,
+    artifact_dir: str | None = None,
 ) -> dict | None:
     """THE standing cross-round verdict (VERDICT r10 item 4): raw
     seconds are officially non-comparable on this host (r10's probes
@@ -279,36 +311,29 @@ def _vs_prev_normalized(
     import glob
     import re
 
-    def _read(path):
-        text = open(path).read().strip()
-        try:
-            d = json.loads(text)
-        except json.JSONDecodeError:
-            d = json.loads(text.splitlines()[-1])
-        return (d.get("parsed") or d) if isinstance(d, dict) else {}
-
     try:
+        # artifacts live next to THIS script, not in the caller's cwd —
+        # a cwd-relative glob silently loses the standing cross-round
+        # verdict when bench.py runs from elsewhere (r13 review; the
+        # detail write was already __file__-anchored). artifact_dir
+        # overrides for tests.
+        here = artifact_dir or os.path.dirname(os.path.abspath(__file__))
         prevs = sorted(
             (
                 f
-                for f in glob.glob("BENCH_r*.json")
-                if re.fullmatch(r"BENCH_r\d+\.json", f)
+                for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(f))
             ),
             # numeric round order: lexicographic puts BENCH_r100 before
             # BENCH_r11 (ADVICE r11)
-            key=lambda f: int(re.search(r"r(\d+)", f).group(1)),
+            key=lambda f: int(re.search(r"r(\d+)", os.path.basename(f)).group(1)),
         )
         if not prevs:
             return None
-        prev_file = prevs[-1]
-        prev = _read(prev_file)
-        if not prev.get("queries_normalized"):
-            # slim-line rounds park the full columns in the committed
-            # round-stamped detail archive (round-close ritual)
-            n = re.search(r"r(\d+)", prev_file).group(1)
-            det = f"BENCH_DETAIL_r{n}.json"
-            if glob.glob(det):
-                prev, prev_file = _read(det), det
+        # the loader transparently falls back to the round-stamped
+        # detail archive for slim tail-captured lines and reports
+        # which file it actually used
+        prev, prev_file = load_bench_artifact(prevs[-1], with_path=True)
         if prev.get("sf") != sf:
             return None  # cross-sf normalized ratios are nonsense
         p_norm = prev.get("queries_normalized") or {}
@@ -334,7 +359,7 @@ def _vs_prev_normalized(
             else None
         )
         return {
-            "prev": prev_file,
+            "prev": os.path.basename(prev_file),
             "median_normalized_ratio": med,
             "median_normalized_chain_ratio": med_chain,
             "watch_over_1p5x_both": watch,

@@ -20,27 +20,16 @@ import sys
 
 
 def _load(path: str) -> dict:
+    # ONE loader, owned by bench.py (r13 review: the two private
+    # copies had diverged in both directions) — resolve it next to
+    # this script so bench_compare stays runnable from any cwd
     import os
-    import re
+    import sys as _sys
 
-    text = open(path).read().strip()
-    try:
-        data = json.loads(text)  # whole file (driver artifact, pretty-printed)
-    except json.JSONDecodeError:
-        data = json.loads(text.splitlines()[-1])  # bench.py's one-line stdout
-    data = data.get("parsed") or data
-    if not data.get("queries_normalized"):
-        # slim-line artifact (r11+): the full columns live in the
-        # committed round-stamped detail archive next to it
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if m:
-            det = os.path.join(
-                os.path.dirname(os.path.abspath(path)),
-                f"BENCH_DETAIL_r{m.group(1)}.json",
-            )
-            if os.path.exists(det):
-                return json.loads(open(det).read())
-    return data
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench import load_bench_artifact
+
+    return load_bench_artifact(path)
 
 
 def main() -> int:
@@ -97,7 +86,15 @@ def main() -> int:
         watch = []
         nrs, crs = [], []
         for q in qs:
-            r = nn[q] / on[q] if on[q] else float("nan")
+            # a 0.0 old entry (query faster than ~0.005x the probe at
+            # 2dp rounding) has no ratio — skip it like bench.py's
+            # _vs_prev_normalized does; a NaN here poisons the median
+            # (r13 review: statistics.median on a NaN-bearing list is
+            # an arbitrary neighbor value, no error)
+            if not on[q]:
+                print(f"{q:28s} {on[q]:7.2f} {nn[q]:7.2f}      -      -")
+                continue
+            r = nn[q] / on[q]
             rc = (nc[q] / oc[q]) if oc.get(q) and nc.get(q) else None
             nrs.append(r)
             if rc is not None:
@@ -108,8 +105,9 @@ def main() -> int:
                 flag = "  WATCH"
             print(f"{q:28s} {on[q]:7.2f} {nn[q]:7.2f} {r:6.2f} "
                   + (f"{rc:6.2f}" if rc is not None else "     -") + flag)
-        print(f"median normalized ratio: {statistics.median(nrs):.3f}"
-              + (f"; chain: {statistics.median(crs):.3f}" if crs else ""))
+        if nrs:
+            print(f"median normalized ratio: {statistics.median(nrs):.3f}"
+                  + (f"; chain: {statistics.median(crs):.3f}" if crs else ""))
         if watch:
             print(f"WATCH (>1.5x on BOTH normalizations, A/B-bisect "
                   f"before believing): {', '.join(watch)}")

@@ -789,7 +789,18 @@ def main() -> None:
 
     exponent_results = {}
     per_scale: dict[str, dict[str, dict]] = {}
-    for d, tag in ((small_dir, "sf0.01"), (sf_dir, "sf0.1")):
+    # the two-scale comparison only exists when sf_dir IS the sf0.1
+    # tree: on any other SPARK_GRAFT_SF_DIR the replace() is a no-op,
+    # both legs would measure the SAME directory and the exponent
+    # divides by log(1) = 0 (r13 review: a full run's output was lost
+    # to the ZeroDivisionError at the very end)
+    scales = ((small_dir, "sf0.01"), (sf_dir, "sf0.1"))
+    if small_dir == sf_dir:
+        exponent_results["skipped"] = (
+            f"sf_dir {sf_dir!r} has no sf0.01 sibling to compare against"
+        )
+        scales = ()
+    for d, tag in scales:
         e = _edges_for(d)
         m = e.count()
         scale_entry = {}
@@ -825,7 +836,7 @@ def main() -> None:
             ),
         }
         per_scale[tag] = scale_entry
-    for op in per_scale["sf0.1"]:
+    for op in per_scale.get("sf0.1", ()):
         lo, hi = per_scale["sf0.01"][op], per_scale["sf0.1"][op]
         exponent_results[op] = {
             "n_small": lo["n"], "sec_small": round(lo["sec"], 3),

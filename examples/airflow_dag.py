@@ -97,7 +97,11 @@ try:  # the DAG object only exists where airflow does
     with DAG(
         dag_id="fetch_stock_to_kafka",
         default_args=default_args,
-        schedule_interval="*/30 * * * *",  # reference dag:132
+        # `schedule` (Airflow 2.4+), not `schedule_interval` — the old
+        # name was REMOVED in Airflow 3.0, where it raised TypeError
+        # past the ImportError guard and broke the whole DAG import
+        # (r13 review); the cron value matches reference dag:132
+        schedule="*/30 * * * *",
         catchup=False,
         tags=["stock", "kafka", "spark-engine"],
     ) as dag:
@@ -105,7 +109,10 @@ try:  # the DAG object only exists where airflow does
             task_id="fetch_push_kafka",
             python_callable=run_cycle_once,
         )
-except ImportError:  # pragma: no cover - airflow absent in this container
+except (ImportError, TypeError):  # pragma: no cover - airflow absent
+    # ImportError: no airflow in this container. TypeError: an Airflow
+    # older than 2.4 without the `schedule` parameter — degrade to the
+    # importable-module contract either way.
     dag = None
 
 

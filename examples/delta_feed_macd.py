@@ -83,6 +83,15 @@ def main() -> None:
     by_symbol: dict[str, dict[int, dict]] = {s: {} for s in SYMBOLS}
     for r in streamed:
         by_symbol[r["symbol"]][r["n_rows"] - 1] = r
+    # name the timeout instead of letting max() on an empty dict throw
+    # an opaque ValueError (r13 review: the overshoot direction already
+    # had its explanatory assert; the undershoot did not)
+    empty = [s for s in SYMBOLS if not by_symbol[s]]
+    assert not empty, (
+        f"stream produced no MACD rows for {empty} within the deadline "
+        "— loaded host; rerun (same slow-host artifact class as the "
+        "overshoot assert below)"
+    )
 
     # --- the batch oracle --------------------------------------------
     print(f"\n== streamed {len(streamed)} delta-bar MACD rows ==")

@@ -48,23 +48,15 @@ def main() -> None:
     li = load_table(spark, sf_dir, "lineitem")
 
     # 1. baskets → undirected co-occurrence edges, weighted by support
-    # (how many orders contain the pair). basket_pairs dedups per pair;
-    # the weight comes from counting BEFORE the distinct.
-    raw_pairs = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(items, (x, i) -> "
-                    "transform(slice(items, i + 2, size(items)), "
-                    "y -> struct(x AS src, y AS dst))))"
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-    )
-    weighted = raw_pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("support"))
+    # (how many orders contain the pair) — basket_pairs(counted=True)
+    # returns exactly (src, dst, support), including the
+    # max_basket_size cap on quadratic fan-out the hand-rolled
+    # expansion here used to drop (r13 review: grep for the CAPABILITY
+    # before re-implementing). localCheckpoint materializes the most
+    # expensive derivation once — four downstream actions read it.
+    weighted = basket_pairs(
+        li, "l_orderkey", "l_partkey", counted=True
+    ).localCheckpoint()
     edges = weighted.select("src", "dst")
     n_edges = edges.count()
 
@@ -85,9 +77,13 @@ def main() -> None:
     # is a sink — dangling="redistribute" keeps their mass in the
     # system (the leak default would deflate all ranks); still
     # fixed-point exact
-    directed_total = sum(
-        r["rank_s"]
-        for r in pagerank(edges, iterations=3, dangling="redistribute").collect()
+    # engine-side sum — collecting the node-sized rank table to add it
+    # up breaks at 10^9 nodes (r13 review; bench_scale computes the
+    # same mass check with one bounded agg)
+    directed_total = (
+        pagerank(edges, iterations=3, dangling="redistribute")
+        .agg(F.sum("rank_s").alias("s"))
+        .collect()[0]["s"]
     )
 
     # 4. co-purchase communities from the STRONG edges only (support >=

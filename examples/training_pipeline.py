@@ -268,8 +268,14 @@ def main() -> None:
     docs = docs.join(keepers, "doc_id", "left_semi")
     n2 = docs.count()
 
-    # 3. near-dup clusters → keep one doc per component
-    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.4)
+    # 3. near-dup clusters → keep one doc per component. The pairs get
+    # the SAME lineage cut stages 3b/3c already have: CC's loop would
+    # otherwise replant the whole stage 0-2 plan under every iteration
+    # (persist does not cut lineage — the compounded tree alone is the
+    # documented driver-heap blow-up class)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, threshold=0.4
+    ).localCheckpoint()
     drop = connected_components(pairs).filter(~F.col("is_keeper")).select("doc_id")
     docs = docs.join(drop, "doc_id", "left_anti")
     n3 = docs.count()

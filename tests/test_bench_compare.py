@@ -117,7 +117,11 @@ def test_vs_prev_picks_numerically_newest_round(tmp_path, monkeypatch):
                 }
             )
         )
-    monkeypatch.chdir(tmp_path)
-    got = bench._vs_prev_normalized({"q1": 2.0}, {"q1": 2.0}, 0.1)
+    # artifact_dir is explicit (r13: the lookup anchors to bench.py's
+    # own directory, not the caller's cwd — a cwd-relative glob lost
+    # the verdict whenever bench ran from elsewhere)
+    got = bench._vs_prev_normalized(
+        {"q1": 2.0}, {"q1": 2.0}, 0.1, artifact_dir=str(tmp_path)
+    )
     assert got["prev"] == "BENCH_r100.json"
     assert got["median_normalized_ratio"] == 1.0
