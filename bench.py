@@ -18,6 +18,17 @@ import os
 import sys
 import time
 
+# location-independent: the engine package and the BENCH_r*.json
+# artifacts both live next to this script, not in the caller's cwd.
+# PYTHONPATH too — Spark's forked Python workers unpickle package
+# UDFs with their own interpreter, which does not inherit the
+# driver-process sys.path insert.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+os.environ["PYTHONPATH"] = (
+    _HERE + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
+
 
 def load_bench_artifact(path: str, with_path: bool = False):
     """Parse a bench artifact in any of its shapes: the driver's

@@ -12,8 +12,17 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from functools import reduce
+
+# location-independent, same anchors as bench.py (sys.path for the
+# driver process, PYTHONPATH for Spark's forked Python workers)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+os.environ["PYTHONPATH"] = (
+    _HERE + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 
 def main() -> None:
