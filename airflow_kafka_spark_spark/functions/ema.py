@@ -29,25 +29,50 @@ import numpy as np
 def ema_recurrence(x: np.ndarray, span: int) -> np.ndarray:
     """Exact adjust=False EMA recurrence over a 1-D float64 array.
 
-    NULL (NaN) handling matches pandas ewm: NaN inputs leave the state
-    unchanged and emit the previous state (the driver fixtures have no
-    NULLs in the value column, but streaming data may).
+    NULL (NaN) handling matches pandas ewm's DEFAULT ``ignore_na=False``
+    — the reference's semantics, since it never passes ignore_na: a NaN
+    row emits the previous state unchanged but still DECAYS the old
+    state's weight, so the next observation counts the gap
+    (``y = (β^(g+1)·y + α·x) / (β^(g+1) + α)`` after g NaNs; pandas'
+    per-row weight multiply is mirrored exactly). r13 review caught the
+    old kernel implementing ``ignore_na=True`` (gap ignored) while its
+    docstring claimed pandas parity — confirmed divergent by execution.
+
+    The gapless step keeps the ORIGINAL single-expression op order
+    ``α·x + β·y`` (not pandas' divide-by-(w+α) form), so NaN-free series
+    — every oracled fixture, and the streaming continuation contract —
+    are bit-identical to the DuckDB recursive-CTE oracle as before.
+    Pending gap decay does NOT cross calls: a NaN run ending a batch is
+    forgotten at a ``_continue_ema`` boundary (the seed re-enters as a
+    fresh observation) — documented limit, NaN-free by contract there.
     """
     alpha = 2.0 / (span + 1.0)
     beta = 1.0 - alpha
     out = np.empty(len(x), dtype=np.float64)
     state = np.nan
     have_state = False
+    w = 1.0  # pending old-state weight (pandas old_wt), decayed per row
     for i in range(len(x)):
         v = x[i]
-        if np.isnan(v):
-            out[i] = state if have_state else np.nan
-            continue
         if not have_state:
+            if np.isnan(v):
+                out[i] = np.nan
+                continue
             state = v
             have_state = True
-        else:
+            w = 1.0
+            out[i] = state
+            continue
+        w *= beta  # one decay per row, observation or not (ignore_na=False)
+        if np.isnan(v):
+            out[i] = state
+            continue
+        if w == beta:  # no gap since last observation (1.0 * beta == beta
+            # exactly): the original op order, bit-identical to the oracle
             state = alpha * v + beta * state
+        else:
+            state = (w * state + alpha * v) / (w + alpha)
+        w = 1.0
         out[i] = state
     return out
 

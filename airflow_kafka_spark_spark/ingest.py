@@ -95,7 +95,14 @@ def publish_market_cycle(
     rate-limit policy. Returns message counts for observability."""
     now = now or dt.datetime.now(dt.timezone.utc)
     capped = list(symbols)[:max_symbols]  # dag:55
-    prices = {s: fetch_price(s) for s in capped}
+    # price fetches are API calls too — an unthrottled burst here (r13
+    # review) hit the upstream limiter before the dutifully-throttled
+    # history loop even started, nulling snapshot prices on big batches
+    prices: dict[str, float | None] = {}
+    for i, s in enumerate(capped):
+        prices[s] = fetch_price(s)
+        if throttle is not None:
+            throttle(i)
     send(SNAPSHOT_TOPIC, encode_message(snapshot_message(prices, now)))
     n_history = 0
     for i, sym in enumerate(capped):

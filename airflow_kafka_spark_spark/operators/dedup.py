@@ -25,13 +25,13 @@ def latest_message_per_key(
     order_cols: list[str],
 ) -> DataFrame:
     """Keep the single newest row per key. ``order_cols`` must form a total
-    order (e.g. Kafka ``["timestamp", "offset"]``)."""
-    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    order (e.g. Kafka ``["timestamp", "offset"]``). Delegates to
+    ``functions.windows.last_per_key`` — ONE definition of the rank-1
+    idiom (r13 review: a future null-ordering or tie-break fix to one
+    hand-copied variant would silently miss the streaming dedup path)."""
+    from ..functions.windows import last_per_key
+
+    return last_per_key(df, key_cols, [F.col(c) for c in order_cols])
 
 
 def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:

@@ -95,12 +95,15 @@ def asof_join(
         merged = merged.withColumn(
             "__r", F.when(in_band, F.col("__r"))
         )
+    # a NULL-ts left row matches nothing (NULL satisfies no predicate);
+    # without the guard the forward frame hands it the earliest right row
+    r_final = F.when(F.col("__ts").isNotNull(), F.col("__r"))
     return (
         merged.filter(F.col("__is_left"))
         .select(
             *key_cols,
             *left_payload,
-            *[F.col("__r")[c].alias(c) for c in right_value_cols],
+            *[r_final[c].alias(c) for c in right_value_cols],
         )
     )
 
@@ -126,8 +129,18 @@ def _asof_union_frame(
     ``__rts`` so tolerance checks run after the carry. Side tags order
     equal-ts rows; callers choose them to make the equal-ts match
     visible exactly when inclusive. Returns (union frame, left payload
-    column names)."""
+    column names).
+
+    NULL-ts right rows are dropped here (r13 review): NULL satisfies no
+    as-of predicate — but ascending window order puts NULLs FIRST, so
+    an un-dropped NULL-ts right row's payload would be carried into
+    every left row preceding the first real right row as its "most
+    recent" match. NULL-ts LEFT rows stay in the frame (every left row
+    must come back) — the callers NULL their match instead (they sort
+    first too, which is only accidentally correct for the backward
+    carry; the forward frame would hand them the earliest right row)."""
     left_payload = [c for c in left.columns if c not in key_cols]
+    right = right.filter(F.col(right_ts).isNotNull())
     r_struct = F.struct(F.col(right_ts).alias("__rts"), *right_value_cols)
     r_struct_type = (
         right.select(r_struct.alias("__r")).schema["__r"].dataType
@@ -214,7 +227,11 @@ def _asof_nearest(
             )
         )
     )
-    chosen = F.when(nearer_back, F.col("__back")).otherwise(F.col("__fwd"))
+    # NULL-ts left rows match nothing (same guard as asof_join)
+    chosen = F.when(
+        F.col("__ts").isNotNull(),
+        F.when(nearer_back, F.col("__back")).otherwise(F.col("__fwd")),
+    )
     return (
         merged.filter(F.col("__is_left"))
         .withColumn("__chosen", chosen)
@@ -614,7 +631,13 @@ def densify_daily(
     cal = spans.select(
         *key_cols, F.explode(F.sequence("__d0", "__d1")).alias("day")
     )
-    joined = cal.join(daily, [*key_cols, "day"], "left")
+    # is_gap marks SYNTHESIZED days only — detected by join-miss, not by
+    # a NULL day_value (r13 review: a day with a real observation whose
+    # value is NULL was mislabeled is_gap=1, indistinguishable from a
+    # calendar hole; locf still fills over it, the standard contract)
+    joined = cal.join(
+        daily.withColumn("__observed", F.lit(1)), [*key_cols, "day"], "left"
+    )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy("day")
@@ -624,7 +647,7 @@ def densify_daily(
         *key_cols,
         "day",
         F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
-        F.col("day_value").isNull().cast("int").alias("is_gap"),
+        F.col("__observed").isNull().cast("int").alias("is_gap"),
     )
 
 

@@ -57,9 +57,12 @@ def test_cycle_roundtrips_through_engine_parsers(spark):
     )
     assert counts == {"snapshot": 1, "history": 3}
     assert [t for t, _ in sent] == [SNAPSHOT_TOPIC] + [HISTORY_TOPIC] * 3
-    # throttle fires per API call — including DDD, whose empty history
-    # produced no message but did consume a fetch_history request
-    assert throttled == [0, 1, 2, 3]
+    # throttle fires per API call — the 4 snapshot price fetches FIRST
+    # (r13 review: the price loop used to burst unthrottled ahead of the
+    # rate-limited history loop), then the 4 history fetches including
+    # DDD, whose empty history produced no message but did consume a
+    # request
+    assert throttled == [0, 1, 2, 3, 0, 1, 2, 3]
 
     # history topic → engine parse → explode
     hist_raw = spark.createDataFrame(

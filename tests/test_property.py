@@ -837,3 +837,27 @@ def test_linear_quality_scores_property(spark, docs_toks, weights, bias, thresho
         # [""], which is out-of-vocab — same bias-only score
         score = bias + sum(weights.get(t, 0) for t in toks)
         assert got[i] == (score, 1 if score >= threshold else 0), (i, toks)
+
+
+@given(xs=prices, span=st.integers(min_value=2, max_value=30))
+@settings(max_examples=100, deadline=None)
+def test_ema_nan_gaps_match_pandas_default(xs, span):
+    """NaN handling = pandas ewm's DEFAULT ignore_na=False (the
+    reference never passes ignore_na): a gap decays the old state's
+    weight, so the next observation counts the missing rows. The r13
+    review caught the kernel implementing ignore_na=True while claiming
+    pandas parity. NaN positions themselves must emit the prior state
+    (or NaN before the first observation)."""
+    arr = np.asarray(xs, dtype=np.float64)
+    # plant NaNs deterministically from the values themselves
+    mask = (np.abs(arr) * 1e6).astype(np.int64) % 3 == 0
+    arr2 = arr.copy()
+    arr2[mask] = np.nan
+    ours = ema_recurrence(arr2, span)
+    ref = pd.Series(arr2).ewm(span=span, adjust=False).mean().to_numpy()
+    assert np.allclose(
+        np.nan_to_num(ours, nan=-1e300),
+        np.nan_to_num(ref, nan=-1e300),
+        rtol=1e-10,
+        atol=1e-12,
+    )

@@ -606,3 +606,64 @@ def test_asof_directions_share_one_union_frame():
         src = inspect.getsource(fn)
         assert "_time_metric_and_span(" in src
         assert "_require_uniform_ntz(" in src
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL satisfies no as-of predicate: a NULL-ts RIGHT row must never
+    be carried as a match (r13 review: ascending window order put NULLs
+    FIRST, so its payload became the 'most recent' match for every left
+    row before the first real right row — diverging from any SQL ASOF
+    formulation), and a NULL-ts LEFT row matches nothing in any
+    direction (the forward frame used to hand it the earliest right
+    row)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", "early"), (1, None, "null-ts")],
+        "k int, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, "2024-01-01 10:00:00", 1.0)],
+        "k int, rts string, rv double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    for direction in ("backward", "forward", "nearest"):
+        out = {
+            r["tag"]: r["rv"]
+            for r in asof_join(
+                left, right, ["k"], "ts", "rts", ["rv"], direction=direction
+            ).collect()
+        }
+        # the NULL-ts left row never matches
+        assert out["null-ts"] is None, direction
+        # the early left row: backward has nothing before it (the
+        # NULL-ts right row must NOT stand in); forward/nearest see the
+        # real 10:00 row
+        if direction == "backward":
+            assert out["early"] is None
+        else:
+            assert out["early"] == 1.0, direction
+
+
+def test_densify_daily_observed_null_is_not_a_gap(spark):
+    """is_gap marks SYNTHESIZED calendar days only: a day with a real
+    observation whose value is NULL was mislabeled is_gap=1 (r13
+    review) — indistinguishable from a calendar hole; locf still fills
+    over the NULL observation (the standard gapfill contract)."""
+    from airflow_kafka_spark_spark.operators.temporal import densify_daily
+
+    ev = _ts(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 5.0),
+            (1, "2024-01-02 10:00:00", None),  # observed, value NULL
+            (1, "2024-01-04 10:00:00", 7.0),   # Jan 3 is a true gap
+        ],
+        "k int, ts string, v double",
+    )
+    out = {
+        str(r["day"]): (r["value_ffill"], r["is_gap"])
+        for r in densify_daily(ev, ["k"], "ts", "v").collect()
+    }
+    assert out["2024-01-01"] == (5.0, 0)
+    assert out["2024-01-02"] == (5.0, 0)  # observed day, filled, NOT a gap
+    assert out["2024-01-03"] == (5.0, 1)  # the real calendar hole
+    assert out["2024-01-04"] == (7.0, 0)
