@@ -1032,7 +1032,12 @@ _WILDCARD_SUFFIX_TLDS = (
 # PSL exception rules (`!www.ck`): carved OUT of their wildcard — the
 # exception host IS the registered domain (for itself and everything
 # under it). Checked before every suffix tier (PSL: exception rules
-# beat all others).
+# beat all others) — with one documented normalization interplay: the
+# URL normalizer strips ONE leading `www.` BEFORE host extraction, so
+# a BARE `www.ck` URL reaches the tiers as host `ck` (its own domain)
+# and only subdomain forms (`mail.www.ck`) hit the exception. Pinned
+# by test_url_dedup_psl_wildcard_tlds_and_exception as an accepted
+# pre-PSL-heuristic tradeoff, not an oversight.
 _WILDCARD_EXCEPTIONS_2 = ("www.ck",)
 # the lookup tables the engine joins against: ICANN + private sections
 _SUFFIXES_2 = _PUBLIC_SUFFIXES_2 + _PRIVATE_SUFFIXES_2

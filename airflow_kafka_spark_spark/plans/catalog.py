@@ -6218,7 +6218,7 @@ FROM s1
 
 def _url_dedup_urls():
     """The shared messy-but-deterministic URL derivation for the
-    url_dedup entries. Six variants per (source, path): 0/1/3 normalize
+    url_dedup entries. Twelve variants per (source, path): 0/1/3 normalize
     to ONE .com url (scheme/case/www./slash/query junk); variant 2 is a
     cdn. subdomain — a distinct URL on the same registered .com domain;
     variants 4/5 are ccTLD-bearing — a bare and a cdn. host under
@@ -6496,12 +6496,14 @@ picked AS (
     -- min_score floor: best < 150 is the UNKNOWN verdict (lang NULL)
     CASE WHEN best >= 150 THEN CASE {_LANG_ID_PICK_SQL} END END AS lang,
     CAST(best AS BIGINT) AS lang_score,
-    CAST(best - second AS BIGINT) AS margin,
-    best
+    CAST(best - second AS BIGINT) AS margin
   FROM fin
 )
+-- ONE floor reference: lang_score IS best (BIGINT-exact), and lang is
+-- already NULL below the floor, so kept's gate reads the same column
 SELECT doc_id, lang, lang_score, margin,
-  CAST(CASE WHEN margin >= 50 AND lang IN ('en', 'de') AND best >= 150
+  CAST(CASE WHEN margin >= 50 AND lang IN ('en', 'de')
+            AND lang_score >= 150
        THEN 1 ELSE 0 END AS INTEGER) AS kept
 FROM picked
 """

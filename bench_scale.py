@@ -806,7 +806,9 @@ def main() -> None:
     scales = ((small_dir, "sf0.01"), (sf_dir, "sf0.1"))
     if small_dir == sf_dir:
         exponent_results["skipped"] = (
-            f"sf_dir {sf_dir!r} has no sf0.01 sibling to compare against"
+            f"scaling comparison needs sf_dir to be the sf0.1 tree "
+            f"(got {sf_dir!r}; the sf0.01 small leg would be the same "
+            "directory)"
         )
         scales = ()
     for d, tag in scales:
