@@ -462,7 +462,16 @@ def _verify_residual_code_provenance(
     Spark jobs per batch against an already-verified prebuilt index
     eroded exactly that advantage (ADVICE r12). A caller that rebuilds
     either frame object gets a fresh check, which is the conservative
-    direction."""
+    direction.
+
+    Immutable-input assumption (the flip side of keying on object
+    identity): the frames are LAZY — if the parquet/source backing
+    ``codes`` or ``assigned`` is overwritten between batches, the same
+    long-lived objects re-execute over the NEW data while the cached
+    verdict silently stands. Batch-serving callers that hold frame
+    objects across index rebuilds must re-create the frames (or treat
+    the index directory as write-once), same as every other prebuilt
+    Spark input."""
     seen = _RESIDUAL_PROVENANCE_OK.get(codes)
     if seen is not None and assigned in seen:
         return

@@ -13,20 +13,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..schemas import STOCK_HISTORY_SCHEMA
+from ..schemas import SNAPSHOT_SCHEMA, STOCK_HISTORY_SCHEMA
 
 
-def parse_history_messages(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_history_messages(
+    raw: DataFrame,
+    value_col: str = "value",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
     """Kafka-shaped rows (binary ``value``) → typed message rows.
 
     P1+P2+P3 (spark/stock_analysis.py:57-60): cast value to string, parse
     with the declared schema (PERMISSIVE — malformed JSON → null struct,
     matching the reference's default from_json behavior), flatten.
+
+    ``carry_cols`` names source columns (e.g. Kafka ``timestamp``/
+    ``offset``) to carry through the parse unchanged, so callers that
+    dedup on transport metadata don't re-implement the wire contract
+    (the pre-r14 ``analyze_history_batch`` kept a drifting inline copy
+    for exactly this). Names that collide with the message schema's own
+    fields are rejected — the flatten would silently produce duplicate
+    columns.
     """
+    carry = list(carry_cols or [])
+    clash = set(carry) & ({f.name for f in STOCK_HISTORY_SCHEMA.fields} | {"json_data"})
+    if clash:
+        raise ValueError(
+            f"carry_cols collide with message schema fields: {sorted(clash)}"
+        )
     return (
-        raw.select(F.col(value_col).cast("string").alias("json_data"))
-        .select(F.from_json("json_data", STOCK_HISTORY_SCHEMA).alias("data"))
-        .select("data.*")
+        raw.select(F.col(value_col).cast("string").alias("json_data"), *carry)
+        .select(F.from_json("json_data", STOCK_HISTORY_SCHEMA).alias("data"), *carry)
+        .select("data.*", *carry)
     )
 
 
@@ -91,7 +109,7 @@ def parse_snapshot_messages(raw: DataFrame, value_col: str = "value") -> DataFra
     map and melted with ``explode(map)``.
     """
     parsed = raw.select(
-        F.from_json(F.col(value_col).cast("string"), "map<string,string>").alias("m")
+        F.from_json(F.col(value_col).cast("string"), SNAPSHOT_SCHEMA).alias("m")
     )
     return (
         parsed.select(

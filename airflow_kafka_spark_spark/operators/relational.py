@@ -606,7 +606,11 @@ def quality_checks(
     few passes as Spark can fuse:
 
     - ``not_null`` columns and ``ranges`` (inclusive bounds) fold into
-      ONE aggregate over a single scan (conditional counts);
+      ONE aggregate over a single scan (conditional counts). NULL is
+      not a range violation — per the dbt/Deequ convention, only a
+      non-NULL value outside the bounds fails ``ranges``; request
+      ``not_null`` on the same column to count the NULLs (each row then
+      fails at most one of the two checks, never both);
     - each ``unique`` key list is one hash aggregate (count keys seen
       more than once — the duplicate-KEY count, not the row excess);
     - each ``foreign_keys`` entry ``(cols, dim_df, dim_cols)`` is a
@@ -629,7 +633,9 @@ def quality_checks(
             ).alias(f"not_null:{c}")
         )
     for c, (lo, hi) in (ranges or {}).items():
-        bad = ~F.col(c).between(F.lit(lo), F.lit(hi)) | F.col(c).isNull()
+        # NULL comparison yields NULL → casts to NULL → sum() skips it:
+        # NULLs are not range violations (they belong to not_null above)
+        bad = ~F.col(c).between(F.lit(lo), F.lit(hi))
         single_pass.append(
             F.coalesce(
                 F.sum(bad.cast("long")), F.lit(0).cast("long")

@@ -5650,7 +5650,7 @@ UNION ALL
 SELECT 'not_null:o_totalprice', CAST(COUNT(*) FILTER (o_totalprice IS NULL) AS BIGINT) FROM orders
 UNION ALL
 SELECT 'range:o_totalprice',
-       CAST(COUNT(*) FILTER (o_totalprice IS NULL OR o_totalprice < 0.0 OR o_totalprice > 1000000000.0) AS BIGINT)
+       CAST(COUNT(*) FILTER (o_totalprice < 0.0 OR o_totalprice > 1000000000.0) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'unique:o_orderkey', CAST(COUNT(*) AS BIGINT)

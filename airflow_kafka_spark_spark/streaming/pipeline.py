@@ -44,20 +44,7 @@ def analyze_history_batch(raw: DataFrame, dedup_order_cols: list[str] | None = N
     if not dedup_order_cols:
         messages = parse_history_messages(raw)
     else:
-        keyed = raw.select(
-            raw["value"].cast("string").alias("json_data"), *dedup_order_cols
-        )
-        from pyspark.sql import functions as F
-
-        from ..schemas import STOCK_HISTORY_SCHEMA
-
-        messages = (
-            keyed.select(
-                F.from_json("json_data", STOCK_HISTORY_SCHEMA).alias("data"),
-                *dedup_order_cols,
-            )
-            .select("data.*", *dedup_order_cols)
-        )
+        messages = parse_history_messages(raw, carry_cols=dedup_order_cols)
         messages = latest_message_per_key(messages, ["symbol"], dedup_order_cols)
         messages = messages.drop(*dedup_order_cols)
     quotes = explode_history(messages)

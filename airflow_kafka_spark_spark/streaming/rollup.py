@@ -94,6 +94,17 @@ def merge_batch_into_rollup(
     under a NEW checkpoint, whose batch_ids restart at 0, is recognized
     as a new sequence instead of being silently skipped.
 
+    Single-writer, no-source-replay assumption: the fence stores only
+    the LATEST incarnation's high-water mark, so it protects against
+    batch replay WITHIN one query incarnation — the foreachBatch
+    at-least-once failure mode. It does NOT deduplicate across
+    incarnations: a new checkpoint that re-reads the source from its
+    starting offsets re-folds events the old incarnation already merged
+    (double counting), and two queries alternating writes to one rollup
+    each overwrite the other's mark. Start a fresh checkpoint from
+    fresh offsets (or a fresh rollup path), and give each rollup table
+    exactly one writing query.
+
     The merged table is written to a staging dir and swapped atomically
     with its meta sidecar (same crash-recovery protocol as
     ``sources.sinks.upsert_partitioned``), so a crash between write and

@@ -49,13 +49,15 @@ def main() -> None:
 
     # 1. baskets → undirected co-occurrence edges, weighted by support
     # (how many orders contain the pair) — basket_pairs(counted=True)
-    # returns exactly (src, dst, support), including the
-    # max_basket_size cap on quadratic fan-out the hand-rolled
-    # expansion here used to drop (r13 review: grep for the CAPABILITY
-    # before re-implementing). localCheckpoint materializes the most
-    # expensive derivation once — four downstream actions read it.
+    # returns exactly (src, dst, support) (r13 review: grep for the
+    # CAPABILITY before re-implementing). max_basket_size caps the
+    # quadratic per-basket fan-out; TPC-H orders hold <= 7 line items,
+    # so 100 is a pure safety rail here, but at 100 TB a single 10k-item
+    # basket alone would emit ~50M pairs without it. localCheckpoint
+    # materializes the most expensive derivation once — four downstream
+    # actions read it.
     weighted = basket_pairs(
-        li, "l_orderkey", "l_partkey", counted=True
+        li, "l_orderkey", "l_partkey", max_basket_size=100, counted=True
     ).localCheckpoint()
     edges = weighted.select("src", "dst")
     n_edges = edges.count()

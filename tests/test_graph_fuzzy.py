@@ -422,7 +422,8 @@ def test_quality_checks_seeded_violations(spark):
             (1, 1, 10.0),
             (1, 1, 20.0),      # duplicate key 1 (counts once as a dup KEY)
             (2, 9, -5.0),      # orphan custkey 9, negative value
-            (3, 2, None),      # null value → not_null + range violations
+            (3, 2, None),      # null value → not_null ONLY (dbt/Deequ:
+                               # NULL is not a range failure; r14 fix)
             (None, 1, 1.0),    # null key col
         ],
         "k int, cust int, v double",
@@ -441,7 +442,7 @@ def test_quality_checks_seeded_violations(spark):
     assert got == {
         "not_null:k": 1,
         "not_null:v": 1,
-        "range:v": 2,       # the NULL and the -5.0
+        "range:v": 1,       # only the -5.0 — the NULL row is not_null's
         "unique:k": 1,      # one duplicated KEY (not row excess)
         "fk:cust": 1,
     }
