@@ -53,6 +53,27 @@ def test_explode_drops_empty_and_null(raw):
     assert all(r["current_price"] == 10.5 for r in rows)
 
 
+def test_parse_carry_cols_survive_and_collide_loudly(spark):
+    """r14: the shared parser carries transport metadata (Kafka
+    timestamp/offset) through the wire parse so the streaming dedup
+    path doesn't re-implement the contract; names colliding with the
+    message schema's own fields (or the internal json_data alias) are
+    rejected eagerly — the flatten would otherwise emit duplicate
+    columns that fail only at a downstream .select."""
+    raw = spark.createDataFrame(
+        [(GOOD, 7, 42)], "value string, timestamp long, offset long"
+    )
+    out = parse_history_messages(raw, carry_cols=["timestamp", "offset"])
+    assert set(out.columns) == {
+        "symbol", "current_price", "historical_data", "timestamp", "offset"
+    }
+    row = out.collect()[0]
+    assert (row["symbol"], row["timestamp"], row["offset"]) == ("AAA", 7, 42)
+    for bad in (["symbol"], ["json_data"], ["offset", "historical_data"]):
+        with pytest.raises(ValueError, match="carry_cols"):
+            parse_history_messages(raw, carry_cols=bad)
+
+
 def test_snapshot_melt(spark):
     snap = '{"time":"2024-01-01T09:00:00","AAA":"10.5","BBB":null}'
     raw = spark.createDataFrame([(snap,)], "value string")
