@@ -861,3 +861,50 @@ def test_ema_nan_gaps_match_pandas_default(xs, span):
         rtol=1e-10,
         atol=1e-12,
     )
+
+
+# ---------------------------------------------------------------------------
+# round-14: quality_checks contract (NULL is not a range violation)
+# ---------------------------------------------------------------------------
+
+_qc_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=4)),   # key
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=15)), # value
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(rows=_qc_rows)
+@settings(max_examples=8, deadline=None)
+def test_quality_checks_matches_set_theoretic_reference(spark, rows):
+    """For ANY table: not_null counts NULLs, range counts only non-NULL
+    out-of-bounds values (dbt/Deequ convention — the r14 fix: a NULL row
+    fails at most ONE of the two checks, never both), unique counts
+    duplicated KEYS (not excess rows, NULL keys group together), and an
+    empty table audits all-zero, never NULL."""
+    from airflow_kafka_spark_spark.operators.relational import quality_checks
+
+    df = spark.createDataFrame(rows, "k int, v int") if rows else (
+        spark.createDataFrame([], "k int, v int")
+    )
+    got = {
+        r["check"]: r["violations"]
+        for r in quality_checks(
+            df, not_null=["k", "v"], unique=[["k"]], ranges={"v": (0.0, 10.0)}
+        ).collect()
+    }
+    from collections import Counter
+
+    key_counts = Counter(k for k, _ in rows)
+    expect = {
+        "not_null:k": sum(1 for k, _ in rows if k is None),
+        "not_null:v": sum(1 for _, v in rows if v is None),
+        "range:v": sum(
+            1 for _, v in rows if v is not None and not (0 <= v <= 10)
+        ),
+        "unique:k": sum(1 for c in key_counts.values() if c > 1),
+    }
+    assert got == expect, (rows, got, expect)
