@@ -56,16 +56,30 @@ def _query_incarnation(checkpoint_dir: str) -> str | None:
         return None
 
 
-def _replayed(meta_path: str, batch_id: int, incarnation: str | None) -> bool:
-    """True iff this (incarnation, batch_id) was already merged. A
-    DIFFERENT incarnation is a new batch-id sequence — never a replay.
-    Unknown incarnations (None on either side) compare by batch_id
-    alone, preserving the behavior of direct callers that manage their
-    own batch-id sequence."""
+def _load_meta(meta_path: str) -> dict | None:
     if not os.path.exists(meta_path):
-        return False
+        return None
     with open(meta_path) as f:
-        meta = json.load(f)
+        return json.load(f)
+
+
+def _replayed(meta: dict | None, batch_id: int, incarnation: str | None) -> bool:
+    """True iff this (incarnation, batch_id) was already merged.
+
+    ``meta["marks"]`` keeps EVERY seen incarnation's high-water mark
+    (r14, per the r13 review's flip-side note): a query rolled BACK to
+    an old checkpoint after another incarnation merged in between is
+    fenced against its OWN prior mark — the latest-only fence saw a
+    foreign ``incarnation`` and re-merged every replayed batch (double
+    counting). A NEVER-seen incarnation is a genuinely new batch-id
+    sequence — not a replay. Unknown incarnations (None on either
+    side) compare against the latest batch_id alone, preserving the
+    behavior of direct callers that manage their own sequence."""
+    if meta is None:
+        return False
+    marks = meta.get("marks") or {}
+    if incarnation is not None and incarnation in marks:
+        return batch_id <= marks[incarnation]
     stored_inc = meta.get("incarnation")
     if (
         incarnation is not None
@@ -74,6 +88,22 @@ def _replayed(meta_path: str, batch_id: int, incarnation: str | None) -> bool:
     ):
         return False
     return batch_id <= meta["last_batch_id"]
+
+
+def _meta_payload(
+    meta: dict | None, batch_id: int, incarnation: str | None
+) -> dict:
+    """Next meta sidecar: latest (batch_id, incarnation) plus the
+    carried-forward per-incarnation high-water marks. None incarnations
+    (direct callers) are tracked only via last_batch_id, as before."""
+    marks = dict((meta or {}).get("marks") or {})
+    if incarnation is not None:
+        marks[incarnation] = batch_id
+    return {
+        "last_batch_id": batch_id,
+        "incarnation": incarnation,
+        "marks": marks,
+    }
 
 
 def merge_batch_into_rollup(
@@ -94,16 +124,17 @@ def merge_batch_into_rollup(
     under a NEW checkpoint, whose batch_ids restart at 0, is recognized
     as a new sequence instead of being silently skipped.
 
-    Single-writer, no-source-replay assumption: the fence stores only
-    the LATEST incarnation's high-water mark, so it protects against
-    batch replay WITHIN one query incarnation — the foreachBatch
-    at-least-once failure mode. It does NOT deduplicate across
-    incarnations: a new checkpoint that re-reads the source from its
-    starting offsets re-folds events the old incarnation already merged
-    (double counting), and two queries alternating writes to one rollup
-    each overwrite the other's mark. Start a fresh checkpoint from
-    fresh offsets (or a fresh rollup path), and give each rollup table
-    exactly one writing query.
+    Single-writer, no-source-replay assumption: the fence keeps a
+    per-incarnation high-water-mark map (``marks`` in the sidecar), so
+    batch replay is detected within EVERY incarnation ever seen —
+    including a query rolled back to an old checkpoint after a newer
+    incarnation merged in between. It does NOT deduplicate EVENTS
+    across incarnations: a new checkpoint that re-reads the source from
+    its starting offsets re-folds events the old incarnation already
+    merged (double counting — batch ids don't align with offsets across
+    incarnations). Start a fresh checkpoint from fresh offsets (or a
+    fresh rollup path), and give each rollup table one writing query at
+    a time.
 
     The merged table is written to a staging dir and swapped atomically
     with its meta sidecar (same crash-recovery protocol as
@@ -118,8 +149,8 @@ def merge_batch_into_rollup(
     # mid-swap crash leaves the table only in the backup dir, and reading
     # the fence first would silently restart the rollup from empty
     _recover_and_clean(rollup_path, staging, backup)
-    meta_path = os.path.join(rollup_path, _META)
-    if _replayed(meta_path, batch_id, incarnation):
+    meta = _load_meta(os.path.join(rollup_path, _META))
+    if _replayed(meta, batch_id, incarnation):
         return False
 
     delta = partial_rollup(batch_df, ts_col, grain, keys, value_col)
@@ -133,7 +164,7 @@ def merge_batch_into_rollup(
 
     merged.write.mode("overwrite").parquet(staging)
     with open(os.path.join(staging, _META), "w") as f:
-        json.dump({"last_batch_id": batch_id, "incarnation": incarnation}, f)
+        json.dump(_meta_payload(meta, batch_id, incarnation), f)
     if os.path.exists(rollup_path):
         _swap(rollup_path, staging, backup)  # removes backup itself
     else:
@@ -213,8 +244,8 @@ def merge_batch_into_distinct_rollup(
     staging = rollup_path.rstrip("/") + "__staging"
     backup = rollup_path.rstrip("/") + "__backup"
     _recover_and_clean(rollup_path, staging, backup)
-    meta_path = os.path.join(rollup_path, _META)
-    if _replayed(meta_path, batch_id, incarnation):
+    meta = _load_meta(os.path.join(rollup_path, _META))
+    if _replayed(meta, batch_id, incarnation):
         return False
 
     bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket_ts")
@@ -238,7 +269,7 @@ def merge_batch_into_distinct_rollup(
 
     merged.write.mode("overwrite").parquet(staging)
     with open(os.path.join(staging, _META), "w") as f:
-        json.dump({"last_batch_id": batch_id, "incarnation": incarnation}, f)
+        json.dump(_meta_payload(meta, batch_id, incarnation), f)
     if os.path.exists(rollup_path):
         _swap(rollup_path, staging, backup)  # removes backup itself
     else:

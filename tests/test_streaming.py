@@ -836,6 +836,16 @@ def test_rollup_fence_scoped_to_query_incarnation(spark, tmp_path):
     # None-incarnation caller against a stored incarnation: batch-id-only
     assert merge_batch_into_rollup(rollup, ev, 0, incarnation=None) is False
     assert merge_batch_into_rollup(rollup, ev, 7, incarnation=None) is True
+    # ROLLBACK to a previously-seen incarnation (r14, the r13 fence's
+    # flip side): qA's own high-water mark (5) still fences its replays
+    # even though qB and a None writer merged in between — the
+    # latest-only fence saw a foreign incarnation and re-merged
+    # (double counting). Genuinely new qA batches still merge.
+    assert merge_batch_into_rollup(rollup, ev, 3, incarnation="qA") is False
+    assert merge_batch_into_rollup(rollup, ev, 5, incarnation="qA") is False
+    assert merge_batch_into_rollup(rollup, ev, 6, incarnation="qA") is True
+    # ...and qB's mark survived the interleaving too
+    assert merge_batch_into_rollup(rollup, ev, 0, incarnation="qB") is False
 
 
 def test_upsert_partitioned_bootstraps_new_table(spark, tmp_path):
