@@ -36,6 +36,9 @@ def parse_history_messages(
     columns.
     """
     carry = list(carry_cols or [])
+    if len(set(carry)) != len(carry):
+        dupes = sorted({c for c in carry if carry.count(c) > 1})
+        raise ValueError(f"carry_cols contains duplicates: {dupes}")
     clash = set(carry) & ({f.name for f in STOCK_HISTORY_SCHEMA.fields} | {"json_data"})
     if clash:
         raise ValueError(

@@ -60,7 +60,20 @@ def _load_meta(meta_path: str) -> dict | None:
     if not os.path.exists(meta_path):
         return None
     with open(meta_path) as f:
-        return json.load(f)
+        meta = json.load(f)
+    # Pre-r14 sidecars carried the incarnation only in the top-level
+    # field — no "marks" map. Seed it so the per-incarnation fence holds
+    # for incarnations seen only under the legacy format: without this,
+    # a query rolled back to a legacy-era checkpoint after a newer
+    # incarnation merged would look like a never-seen sequence and
+    # re-merge every replayed batch (r14 review).
+    inc = meta.get("incarnation")
+    if inc is not None:
+        marks = dict(meta.get("marks") or {})
+        if inc not in marks:
+            marks[inc] = meta["last_batch_id"]
+            meta["marks"] = marks
+    return meta
 
 
 def _replayed(meta: dict | None, batch_id: int, incarnation: str | None) -> bool:
@@ -95,7 +108,13 @@ def _meta_payload(
 ) -> dict:
     """Next meta sidecar: latest (batch_id, incarnation) plus the
     carried-forward per-incarnation high-water marks. None incarnations
-    (direct callers) are tracked only via last_batch_id, as before."""
+    (direct callers) are tracked only via last_batch_id, as before.
+
+    ``marks`` grows by one entry per incarnation ever seen and is never
+    pruned — intentional: each entry is ~50 bytes, incarnations are
+    created by operator action (new checkpoint dir), and dropping an old
+    mark reopens the exact rollback double-count the map exists to
+    fence. At any plausible incarnation count the sidecar stays tiny."""
     marks = dict((meta or {}).get("marks") or {})
     if incarnation is not None:
         marks[incarnation] = batch_id

@@ -72,6 +72,11 @@ def test_parse_carry_cols_survive_and_collide_loudly(spark):
     for bad in (["symbol"], ["json_data"], ["offset", "historical_data"]):
         with pytest.raises(ValueError, match="carry_cols"):
             parse_history_messages(raw, carry_cols=bad)
+    # duplicates WITHIN carry_cols pass a set-based clash check but emit
+    # duplicate output columns that only fail downstream — reject eagerly
+    # too (r15, r14 review)
+    with pytest.raises(ValueError, match="duplicates.*offset"):
+        parse_history_messages(raw, carry_cols=["offset", "offset"])
 
 
 def test_snapshot_melt(spark):

@@ -848,6 +848,50 @@ def test_rollup_fence_scoped_to_query_incarnation(spark, tmp_path):
     assert merge_batch_into_rollup(rollup, ev, 0, incarnation="qB") is False
 
 
+def test_rollup_fence_migrates_legacy_sidecar(spark, tmp_path):
+    """Pre-r14 sidecars stored the incarnation only in the top-level
+    field — no per-incarnation 'marks' map. _load_meta must seed that
+    incarnation's high-water mark, or a query rolled back to a
+    legacy-era checkpoint after a NEWER incarnation merged looks like a
+    never-seen sequence and re-merges every replayed batch (r14 review:
+    legacy {last_batch_id:9, incarnation:qA}; qB merges; qA replays 3
+    → double count)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.streaming.rollup import (
+        merge_batch_into_rollup,
+    )
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "view", 1.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rollup = str(tmp_path / "rollup")
+
+    # build a real table, then rewrite its sidecar in the legacy format
+    assert merge_batch_into_rollup(rollup, ev, 9, incarnation="qA") is True
+    with open(os.path.join(rollup, "_rollup_meta.json"), "w") as f:
+        json.dump({"last_batch_id": 9, "incarnation": "qA"}, f)
+
+    # a newer incarnation merges on top of the legacy-format sidecar
+    assert merge_batch_into_rollup(rollup, ev, 0, incarnation="qB") is True
+    # rollback to the legacy-era incarnation: its replays MUST stay
+    # fenced by the seeded mark...
+    assert merge_batch_into_rollup(rollup, ev, 3, incarnation="qA") is False
+    assert merge_batch_into_rollup(rollup, ev, 9, incarnation="qA") is False
+    # ...while genuinely new qA batches still merge
+    assert merge_batch_into_rollup(rollup, ev, 10, incarnation="qA") is True
+    # and the legacy mark also fences when qA is read back FIRST (the
+    # seed must happen at load, not only when another incarnation writes)
+    with open(os.path.join(rollup, "_rollup_meta.json"), "w") as f:
+        json.dump({"last_batch_id": 4, "incarnation": "qC"}, f)
+    assert merge_batch_into_rollup(rollup, ev, 4, incarnation="qC") is False
+    assert merge_batch_into_rollup(rollup, ev, 5, incarnation="qC") is True
+
+
 def test_upsert_partitioned_bootstraps_new_table(spark, tmp_path):
     """The first-ever upsert initializes the table instead of raising
     on the missing path (r13 review) — including latest-per-key dedup
