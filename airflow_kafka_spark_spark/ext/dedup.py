@@ -759,289 +759,43 @@ def incremental_dedup_gate(
     )
 
 
-# Bundled subset of the Mozilla Public Suffix List (publicsuffix.org —
-# public data): the MULTI-LABEL suffixes only. Single-label suffixes
-# (com, org, de, …) need no table — the last-two-labels default already
-# yields the registered domain under them. Only suffixes that CHANGE
-# the answer are bundled: under "co.uk" the registered domain is the
-# last THREE labels, so a last-two-labels regex silently pools every
-# *.co.uk site into one "co.uk" pseudo-domain (the data-loss class the
-# r10 verdict named). A deployment can extend these tuples with the
-# full PSL; the engine logic is suffix-length-tiered and unchanged.
-_PUBLIC_SUFFIXES_2 = (
-    # United Kingdom
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
-    "plc.uk", "sch.uk", "nhs.uk",
-    # Australia
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-    # Japan
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
-    "gr.jp", "lg.jp",
-    # New Zealand
-    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
-    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz",
-    # India
-    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
-    "edu.in", "res.in", "gov.in", "nic.in",
-    # Brazil
-    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
-    # China / Taiwan / Hong Kong
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
-    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
-    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
-    # Singapore / Malaysia / Indonesia
-    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
-    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my",
-    "co.id", "net.id", "org.id", "web.id", "ac.id", "sch.id", "go.id",
-    "mil.id", "or.id", "my.id", "biz.id",
-    # Mexico / Argentina / South Africa
-    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
-    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar",
-    "mil.ar", "tur.ar",
-    "co.za", "net.za", "org.za", "edu.za", "gov.za", "ac.za", "web.za",
-    # Turkey / South Korea
-    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "mil.tr",
-    "gen.tr", "web.tr", "av.tr", "bbs.tr",
-    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
-    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
-    # Ukraine / Israel / Saudi Arabia / Egypt
-    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
-    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il", "k12.il",
-    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
-    "pub.sa", "sch.sa",
-    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
-    "mil.eg", "name.eg",
-    # Nigeria / Kenya / Philippines / Vietnam / Thailand
-    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "mil.ng", "sch.ng",
-    "co.ke", "ne.ke", "or.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
-    "info.ke", "mobi.ke",
-    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "mil.ph", "ngo.ph",
-    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn",
-    "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
-    "ac.th", "co.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
-    # Pakistan / Bangladesh / Iran
-    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "fam.pk",
-    "biz.pk", "web.pk",
-    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd", "mil.bd",
-    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
-    # Europe (multi-label registries)
-    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
-    "co.at", "or.at", "ac.at", "gv.at", "priv.at",
-    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
-    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "org.pt", "publ.pt",
-    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
-    "gouv.fr", "asso.fr", "nom.fr", "prd.fr", "tm.fr",
-    # Latin America (rest)
-    "com.co", "edu.co", "gov.co", "net.co", "org.co", "nom.co", "mil.co",
-    "com.pe", "edu.pe", "gob.pe", "mil.pe", "net.pe", "nom.pe", "org.pe",
-    "gob.cl", "gov.cl", "mil.cl",
-    "com.ve", "edu.ve", "gob.ve", "net.ve", "org.ve", "mil.ve",
-    "web.ve", "info.ve", "co.ve",
-    "com.ec", "info.ec", "net.ec", "fin.ec", "med.ec", "pro.ec",
-    "org.ec", "edu.ec", "gov.ec", "gob.ec", "mil.ec",
-    "com.uy", "edu.uy", "gub.uy", "mil.uy", "net.uy", "org.uy",
-    "com.do", "com.bo", "com.py", "com.gt", "com.sv", "com.ni",
-    "com.pa", "com.hn",
-    # US states (registrations live at the third level)
-    "ca.us", "ny.us", "tx.us", "fl.us", "il.us", "wa.us", "pa.us",
-    "oh.us", "mi.us", "ma.us", "nj.us", "va.us", "nc.us", "ga.us",
-    "az.us", "co.us", "or.us", "mn.us", "wi.us", "md.us",
-    "ak.us", "al.us", "ar.us", "ct.us", "dc.us", "de.us", "hi.us",
-    "ia.us", "id.us", "in.us", "ks.us", "ky.us", "la.us", "me.us",
-    "mo.us", "ms.us", "mt.us", "nd.us", "ne.us", "nh.us", "nm.us",
-    "nv.us", "ok.us", "ri.us", "sc.us", "sd.us", "tn.us", "ut.us",
-    "vt.us", "wv.us", "wy.us",
-    # Canadian provinces/territories + federal
-    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca",
-    "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca",
-    "gc.ca",
-    # Russia / CIS
-    "com.ru", "net.ru", "org.ru", "pp.ru", "msk.ru", "spb.ru",
-    "com.by", "gov.by", "mil.by", "of.by",
-    "com.kz", "edu.kz", "gov.kz", "net.kz", "org.kz", "mil.kz",
-    "com.kg", "edu.kg", "gov.kg", "net.kg", "org.kg",
-    "co.uz", "com.uz", "net.uz", "org.uz",
-    "com.az", "net.az", "org.az", "edu.az", "gov.az", "mil.az",
-    "com.ge", "edu.ge", "gov.ge", "net.ge", "org.ge", "mil.ge",
-    "com.am", "net.am", "org.am",
-    # Middle East (rest)
-    "co.ae", "net.ae", "org.ae", "gov.ae", "ac.ae", "sch.ae", "mil.ae",
-    "com.qa", "edu.qa", "gov.qa", "net.qa", "org.qa", "mil.qa",
-    "com.kw", "edu.kw", "gov.kw", "net.kw", "org.kw",
-    "com.bh", "edu.bh", "gov.bh", "net.bh", "org.bh",
-    "com.om", "edu.om", "gov.om", "net.om", "org.om",
-    "com.jo", "edu.jo", "gov.jo", "net.jo", "org.jo", "mil.jo",
-    "com.lb", "edu.lb", "gov.lb", "net.lb", "org.lb",
-    "com.sy", "edu.sy", "gov.sy", "net.sy", "org.sy",
-    "com.iq", "edu.iq", "gov.iq", "net.iq", "org.iq", "mil.iq",
-    "com.ye", "edu.ye", "gov.ye", "net.ye", "org.ye", "mil.ye",
-    # Africa (rest)
-    "co.ma", "net.ma", "org.ma", "gov.ma", "ac.ma", "press.ma",
-    "com.dz", "org.dz", "net.dz", "gov.dz", "edu.dz", "asso.dz",
-    "com.tn", "org.tn", "net.tn", "gov.tn", "ens.tn", "fin.tn",
-    "ind.tn", "nat.tn", "rns.tn",
-    "com.ly", "edu.ly", "gov.ly", "net.ly", "org.ly", "sch.ly",
-    "med.ly", "plc.ly",
-    "com.et", "edu.et", "gov.et", "org.et", "net.et", "biz.et",
-    "name.et", "info.et",
-    "com.gh", "edu.gh", "gov.gh", "org.gh", "mil.gh",
-    "co.tz", "ac.tz", "go.tz", "or.tz", "ne.tz", "sc.tz",
-    "info.tz", "me.tz", "mobi.tz", "tv.tz",
-    "co.ug", "or.ug", "ac.ug", "sc.ug", "go.ug", "ne.ug", "com.ug",
-    "org.ug",
-    "co.zm", "ac.zm", "gov.zm", "org.zm", "com.zm", "edu.zm",
-    "co.zw", "ac.zw", "gov.zw", "org.zw", "mil.zw", "school.zw",
-    "co.bw", "org.bw",
-    "co.mz", "ac.mz", "gov.mz", "edu.mz", "org.mz",
-    "com.na", "org.na", "co.na",
-    "com.sd", "edu.sd", "gov.sd", "net.sd", "org.sd", "med.sd",
-    "tv.sd", "info.sd",
-    "co.rw", "ac.rw", "gov.rw", "net.rw", "org.rw", "int.rw", "mil.rw",
-    "com.sn", "edu.sn", "gouv.sn", "org.sn", "perso.sn", "univ.sn",
-    "com.ci", "edu.ci", "go.ci", "or.ci", "org.ci", "net.ci", "ac.ci",
-    "int.ci",
-    "com.cm", "co.cm", "gov.cm", "net.cm",
-    # South / Central Asia (rest; *.bd and *.np ride the wildcard tier)
-    "com.lk", "org.lk", "edu.lk", "gov.lk", "net.lk", "web.lk",
-    "ltd.lk", "int.lk", "ngo.lk", "soc.lk", "sch.lk",
-    "com.af", "edu.af", "gov.af", "net.af", "org.af",
-    "com.mv", "edu.mv", "gov.mv", "net.mv", "org.mv",
-    "com.bt", "edu.bt", "gov.bt", "net.bt", "org.bt",
-    # East / Southeast Asia (rest; *.kh and *.mm ride the wildcard tier)
-    "com.la", "net.la", "org.la", "edu.la", "gov.la", "int.la",
-    "com.bn", "edu.bn", "gov.bn", "net.bn", "org.bn",
-    "com.mo", "edu.mo", "gov.mo", "net.mo", "org.mo",
-    "com.tl", "gov.tl", "org.tl",
-    "gov.mn", "edu.mn", "org.mn",
-    # Europe (rest)
-    "co.hu", "info.hu", "org.hu", "priv.hu", "sport.hu", "tm.hu",
-    "2000.hu", "agrar.hu", "bolt.hu", "city.hu", "film.hu",
-    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro",
-    "rec.ro", "arts.ro", "firm.ro", "store.ro", "www.ro",
-    "com.hr", "iz.hr", "from.hr", "name.hr",
-    "co.rs", "org.rs", "edu.rs", "ac.rs", "gov.rs", "in.rs",
-    "com.ba", "edu.ba", "gov.ba", "net.ba", "org.ba",
-    "com.mk", "org.mk", "net.mk", "edu.mk", "gov.mk", "inf.mk",
-    "name.mk",
-    "com.al", "edu.al", "gov.al", "mil.al", "net.al", "org.al",
-    "com.mt", "edu.mt", "net.mt", "org.mt",
-    "com.cy", "biz.cy", "ltd.cy", "name.cy", "org.cy", "tm.cy",
-    "ac.cy", "net.cy", "gov.cy", "press.cy", "pro.cy",
-    "edu.it", "gov.it",
-    "gov.ie",
-    "ac.be",
-    "gov.lt",
-    "com.lv", "edu.lv", "gov.lv", "net.lv", "org.lv", "mil.lv",
-    "id.lv", "asn.lv", "conf.lv",
-    "com.ee", "org.ee", "edu.ee", "gov.ee", "riik.ee", "lib.ee",
-    "med.ee", "fie.ee", "aip.ee",
-    "com.is", "net.is", "gov.is", "org.is", "edu.is", "int.is",
-    "com.mc", "tm.mc", "asso.mc",
-    "co.gg", "net.gg", "org.gg",
-    "co.je", "net.je", "org.je",
-    "co.im", "com.im", "net.im", "org.im", "ac.im", "gov.im",
-    # Caribbean / Latin America (rest)
-    "co.tt", "com.tt", "org.tt", "net.tt", "biz.tt", "edu.tt",
-    "gov.tt", "info.tt",
-    "com.bb", "edu.bb", "gov.bb", "net.bb", "org.bb",
-    "com.bs", "net.bs", "org.bs", "edu.bs", "gov.bs",
-    "com.cu", "edu.cu", "org.cu", "net.cu", "gov.cu", "inf.cu",
-    "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
-    "edu.do", "gob.do", "gov.do", "net.do", "org.do", "sld.do",
-    "web.do", "art.do", "mil.do",
-    "edu.bo", "gob.bo", "int.bo", "org.bo", "net.bo", "mil.bo",
-    "tv.bo", "web.bo",
-    "edu.py", "gov.py", "mil.py", "net.py", "org.py", "coop.py",
-    "una.py",
-    "edu.gt", "gob.gt", "ind.gt", "mil.gt", "net.gt", "org.gt",
-    "edu.hn", "org.hn", "net.hn", "mil.hn", "gob.hn",
-    "edu.ni", "gob.ni", "net.ni", "org.ni", "mil.ni", "co.ni",
-    "biz.ni", "info.ni",
-    "ac.pa", "gob.pa", "sld.pa", "edu.pa", "net.pa", "org.pa",
-    "abo.pa", "ing.pa", "med.pa", "nom.pa",
-    "edu.sv", "gob.sv", "org.sv", "red.sv",
-    # Pacific
-    "com.sb", "edu.sb", "gov.sb", "net.sb", "org.sb",
-    "com.vu", "edu.vu", "net.vu", "org.vu",
-    "com.ws", "net.ws", "org.ws", "gov.ws", "edu.ws",
-)
-_PUBLIC_SUFFIXES_3 = (
-    # US K-12 districts register at the FOURTH level
-    "k12.ca.us", "k12.ny.us", "k12.tx.us", "k12.fl.us", "k12.il.us",
-    "k12.wa.us", "k12.pa.us", "k12.oh.us", "k12.mi.us", "k12.ma.us",
-    "k12.nj.us", "k12.va.us", "k12.nc.us", "k12.ga.us", "k12.az.us",
-    "k12.co.us", "k12.or.us", "k12.mn.us", "k12.wi.us", "k12.md.us",
-    "k12.ak.us", "k12.al.us", "k12.ar.us", "k12.ct.us", "k12.dc.us",
-    "k12.de.us", "k12.hi.us", "k12.ia.us", "k12.id.us", "k12.in.us",
-    "k12.ks.us", "k12.ky.us", "k12.la.us", "k12.me.us", "k12.mo.us",
-    "k12.ms.us", "k12.mt.us", "k12.nd.us", "k12.ne.us", "k12.nh.us",
-    "k12.nm.us", "k12.nv.us", "k12.ok.us", "k12.ri.us", "k12.sc.us",
-    "k12.sd.us", "k12.tn.us", "k12.ut.us", "k12.vt.us", "k12.wv.us",
-    "k12.wy.us",
-    # state-level libraries / community colleges share the shape
-    "cc.ca.us", "cc.ny.us", "cc.tx.us", "cc.fl.us", "cc.il.us",
-    "cc.wa.us", "cc.pa.us", "cc.oh.us", "cc.mi.us", "cc.ma.us",
-    "lib.ca.us", "lib.ny.us", "lib.tx.us", "lib.fl.us", "lib.il.us",
-    "lib.wa.us", "lib.pa.us", "lib.oh.us", "lib.mi.us", "lib.ma.us",
-    # Australian state education
-    "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au", "sa.edu.au",
-    "tas.edu.au", "vic.edu.au", "wa.edu.au",
-)
-# PSL PRIVATE section (same publicsuffix.org file, below the
-# "===BEGIN PRIVATE DOMAINS===" marker): platform suffixes under which
-# INDEPENDENT users register sites. Without these, every user site on
-# a platform pools under one capped pseudo-domain (alice.github.io and
-# bob.github.io would share registered domain "github.io" and the
-# per-domain cap would silently discard most platform-hosted content —
-# the r11-verdict data-loss class, one tier beyond the ccTLD fix).
-_PRIVATE_SUFFIXES_2 = (
-    # code-hosting pages
-    "github.io", "githubusercontent.com", "gitlab.io", "bitbucket.io",
-    # Google / Blogger
-    "blogspot.com", "appspot.com", "web.app", "firebaseapp.com",
-    # PaaS / static-site hosts
-    "herokuapp.com", "netlify.app", "vercel.app", "onrender.com",
-    "fly.dev", "pages.dev", "workers.dev", "glitch.me", "surge.sh",
-    "repl.co", "readthedocs.io", "neocities.org", "webflow.io",
-    # site builders / blogs
-    "wordpress.com", "weebly.com", "wixsite.com",
-    # cloud infra tenant hosts
-    "azurewebsites.net", "cloudapp.net", "cloudfront.net", "ngrok.io",
-    # dynamic-DNS tenants
-    "duckdns.org",
-    # commerce / docs / legacy PaaS tenant hosts
-    "myshopify.com", "now.sh", "000webhostapp.com", "gitbook.io",
-)
-_PRIVATE_SUFFIXES_3 = (
-    # AWS S3 website/bucket hosts (per-bucket registrants)
-    "s3.amazonaws.com", "s3-website-us-east-1.amazonaws.com",
-    # Blogger ccTLD mirrors
-    "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br",
-)
-# PSL WILDCARD rules, the `*.ck` class (r12-verdict gap): `*.<tld>`
-# means EVERY label directly under the TLD is itself a public suffix,
-# so the registered domain under it is the last THREE labels — a
-# last-two-labels answer pools every registrant of a wildcard ccTLD
-# into one capped pseudo-domain (shop.example.mm and blog.example.mm
-# are INDEPENDENT registrants). These are the ICANN wildcard TLDs;
-# deeper wildcard bases (`*.compute.amazonaws.com`-class, private
-# section) would add a join on the last-k-labels tier the same way.
-_WILDCARD_SUFFIX_TLDS = (
-    "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
-)
-# PSL exception rules (`!www.ck`): carved OUT of their wildcard — the
-# exception host IS the registered domain (for itself and everything
-# under it). Checked before every suffix tier (PSL: exception rules
-# beat all others) — with one documented normalization interplay: the
-# URL normalizer strips ONE leading `www.` BEFORE host extraction, so
-# a BARE `www.ck` URL reaches the tiers as host `ck` (its own domain)
-# and only subdomain forms (`mail.www.ck`) hit the exception. Pinned
-# by test_url_dedup_psl_wildcard_tlds_and_exception as an accepted
+# Bundled Mozilla Public Suffix List snapshot (publicsuffix.org —
+# public data, MPL 2.0), generated into ext/psl_data.py by
+# tools/gen_psl_data.py from the OS-packaged list: the full ICANN +
+# PRIVATE sections in the shapes the three-join tiers below express.
+# Single-label suffixes (com, org, de, …) need no table — the
+# last-two-labels default already yields the registered domain under
+# them. 2-label suffixes change the answer to last-THREE labels
+# (a last-two-labels regex silently pools every *.co.uk site into one
+# "co.uk" pseudo-domain — the r10-verdict data-loss class); the PRIVATE
+# section matters the same way one platform up (alice.github.io and
+# bob.github.io are independent registrants, r11 class); 3-label
+# suffixes to last-FOUR. PSL WILDCARD rules with a single-label base
+# (`*.ck`-class, r12 class): every label directly under the TLD is
+# itself a public suffix, registered domain = last THREE labels; their
+# `!www.ck` exception is carved out before every tier (PSL precedence).
+# Multi-label wildcard bases (`*.sch.uk` / `*.compute.amazonaws.com`
+# class, 96 rules) are DOWN-PROJECTED: bundled as plain suffixes of
+# their own label count — one level coarser than the true rule for
+# deep hosts, identical at or one label under the base, never coarser
+# than ignoring the rule; this also covers the `!city.kawasaki.jp`
+# exceptions at their own depth (tools/gen_psl_data.py). Truly out of
+# the tiers' scope, counted at generation time
+# (psl_data.PSL_OUT_OF_SCOPE_COUNTS): 136 4/5-label plain rules and 2
+# 4-label wildcard bases — each class would add one more
+# last-k-labels broadcast join the same way.
+# The `www.ck` normalization interplay: the URL normalizer strips ONE
+# leading `www.` BEFORE host extraction, so a BARE `www.ck` URL reaches
+# the tiers as host `ck` (its own domain) and only subdomain forms
+# (`mail.www.ck`) hit the exception — pinned by
+# test_url_dedup_psl_wildcard_tlds_and_exception as an accepted
 # pre-PSL-heuristic tradeoff, not an oversight.
-_WILDCARD_EXCEPTIONS_2 = ("www.ck",)
-# the lookup tables the engine joins against: ICANN + private sections
-_SUFFIXES_2 = _PUBLIC_SUFFIXES_2 + _PRIVATE_SUFFIXES_2
-_SUFFIXES_3 = _PUBLIC_SUFFIXES_3 + _PRIVATE_SUFFIXES_3
+from .psl_data import (  # noqa: E402  (data module, imported adjacent to use)
+    PSL_SUFFIXES_2 as _SUFFIXES_2,
+    PSL_SUFFIXES_3 as _SUFFIXES_3,
+    PSL_WILDCARD_EXCEPTIONS_2 as _WILDCARD_EXCEPTIONS_2,
+    PSL_WILDCARD_TLDS as _WILDCARD_SUFFIX_TLDS,
+)
 
 
 def url_dedup_domain_cap(

@@ -6242,15 +6242,24 @@ def _url_dedup_urls():
     every ``source.mm`` is itself a public suffix, so both must group
     under the 3-label registered domain ``shop.source.mm`` (the
     pre-wildcard tiers pooled them under ``source.mm`` — one tier too
-    high, merging independent registrants of a wildcard ccTLD)."""
+    high, merging independent registrants of a wildcard ccTLD);
+    variants 12/13 (r15, the full-PSL widening) exercise suffixes
+    ABSENT from the old ~980-entry hand-curated bundle —
+    ``source.js.org`` (a private-section platform suffix only the full
+    list carries) and ``ward.source.kawasaki.jp`` (the ``*.kawasaki.jp``
+    multi-label wildcard base, DOWN-PROJECTED into the 2-label table:
+    registered domain = ``source.kawasaki.jp``, one level coarser than
+    the true rule, vs the old bundle's ``kawasaki.jp``-level pooling)."""
     j = F.expr("doc_id div 20")
     host = F.concat(F.col("source"), F.lit(".com"))
     cchost = F.concat(F.col("source"), F.lit(".co.uk"))
     ghhost = F.concat(F.col("source"), F.lit(".github.io"))
     s3host = F.concat(F.col("source"), F.lit(".s3.amazonaws.com"))
     wchost = F.concat(F.lit("shop."), F.col("source"), F.lit(".mm"))
+    jshost = F.concat(F.col("source"), F.lit(".js.org"))
+    kwhost = F.concat(F.lit("ward."), F.col("source"), F.lit(".kawasaki.jp"))
     path = F.concat(F.lit("/p/"), (j % 5).cast("string"))
-    variant = j % 12
+    variant = j % 14
     return (
         F.when(
             variant == 0,
@@ -6286,6 +6295,11 @@ def _url_dedup_urls():
         .when(
             variant == 11,
             F.concat(F.lit("http://cdn."), wchost, path, F.lit("/")),
+        )
+        .when(variant == 12, F.concat(F.lit("https://"), jshost, path))
+        .when(
+            variant == 13,
+            F.concat(F.lit("http://"), kwhost, path, F.lit("/")),
         )
         .otherwise(F.concat(F.lit("https://"), host, path))
     )
@@ -6753,7 +6767,7 @@ _PSLX_SQL = ", ".join(f"'{s}'" for s in _WILDCARD_EXCEPTIONS_2)
 SQL_URL_DEDUP = rf"""
 WITH u AS (
   SELECT doc_id,
-    CASE CAST((doc_id // 20) % 12 AS INTEGER)
+    CASE CAST((doc_id // 20) % 14 AS INTEGER)
       WHEN 0 THEN 'HTTPS://WWW.' || upper(source || '.com')
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
       WHEN 1 THEN 'http://' || source || '.com'
@@ -6776,6 +6790,10 @@ WITH u AS (
       WHEN 10 THEN 'https://shop.' || source || '.mm'
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
       WHEN 11 THEN 'http://cdn.shop.' || source || '.mm'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
+      WHEN 12 THEN 'https://' || source || '.js.org'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
+      WHEN 13 THEN 'http://ward.' || source || '.kawasaki.jp'
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
       ELSE 'https://' || source || '.com'
            || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)

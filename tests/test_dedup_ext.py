@@ -2661,6 +2661,94 @@ def test_url_dedup_psl_wildcard_tlds_and_exception(spark):
     assert all(r["kept"] == 1 for r in out.values())
 
 
+def test_psl_bundle_is_full_generated_snapshot():
+    """r15 (VERDICT item 2, the twice-deferred widening): the suffix
+    tables are the FULL generated PSL snapshot (ext/psl_data.py, from
+    tools/gen_psl_data.py), not the old ~980-entry hand-curated
+    bundle. Floors, representative members old and NEW, punycode
+    twins for IDN rules, the 9 ICANN wildcard TLDs, the www.ck
+    exception, and the out-of-scope census shape — so a regeneration
+    that silently lost a rule class fails here, not in production."""
+    from airflow_kafka_spark_spark.ext.dedup import (
+        _SUFFIXES_2,
+        _SUFFIXES_3,
+        _WILDCARD_EXCEPTIONS_2,
+        _WILDCARD_SUFFIX_TLDS,
+    )
+    from airflow_kafka_spark_spark.ext.psl_data import (
+        PSL_OUT_OF_SCOPE_COUNTS,
+        PSL_VERSION,
+    )
+
+    # full-snapshot floors (old bundle: 885 / 84)
+    assert len(_SUFFIXES_2) > 5000
+    assert len(_SUFFIXES_3) > 2000
+    # hand-curated-era members survive
+    assert {"co.uk", "github.io", "blogspot.com"} <= set(_SUFFIXES_2)
+    assert "s3.amazonaws.com" in _SUFFIXES_3
+    # members ONLY the full list carries (absent from the old bundle)
+    assert "js.org" in _SUFFIXES_2
+    assert "priv.no" in _SUFFIXES_2
+    # multi-label wildcard bases arrive DOWN-PROJECTED as plain suffixes
+    assert {"sch.uk", "kawasaki.jp"} <= set(_SUFFIXES_2)
+    assert "compute.amazonaws.com" in _SUFFIXES_3
+    # IDN rules ship in unicode AND punycode forms
+    assert any(s.startswith("xn--") for s in _SUFFIXES_2)
+    assert any(not s.isascii() for s in _SUFFIXES_2)
+    # wildcard/exception tiers unchanged by the widening
+    assert _WILDCARD_SUFFIX_TLDS == (
+        "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+    )
+    assert _WILDCARD_EXCEPTIONS_2 == ("www.ck",)
+    # census: only 4/5-label plains and 4-label wildcard bases dropped
+    dropped = {
+        k: v
+        for k, v in PSL_OUT_OF_SCOPE_COUNTS.items()
+        if not k.endswith("_downprojected") and k != "exception_3_label"
+    }
+    assert set(dropped) <= {
+        "plain_4_label", "plain_5_label", "wildcard_base_4_label",
+    }
+    assert PSL_VERSION and PSL_VERSION != "unknown"
+
+
+def test_url_dedup_downprojected_wildcard_bases(spark):
+    """Multi-label wildcard bases (`*.sch.uk` / `*.kawasaki.jp` /
+    `*.compute.amazonaws.com`) are bundled as plain suffixes of their
+    own label count (r15 down-projection): hosts one label under the
+    base resolve EXACTLY as the true rule does (the label is its own
+    registered domain), deeper hosts resolve one level coarser than
+    the true rule but one level FINER than the old bundle (which
+    pooled whole platforms under the base's parent); the
+    !city.kawasaki.jp exception class is covered at its own depth."""
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://abbey.sch.uk/home"),       # 1 under base: exact
+            (2, "https://mail.abbey.sch.uk/inbox"),  # deep: groups under 1
+            (3, "https://other.sch.uk/home"),        # NOT pooled with 1
+            (4, "https://city.kawasaki.jp/ward"),    # the exception host
+            (5, "https://a.city.kawasaki.jp/x"),     # groups under it
+            (6, "https://ec2-1-2-3-4.us-east-1.compute.amazonaws.com/i"),
+            (7, "https://ec2-9-9-9-9.us-east-1.compute.amazonaws.com/i"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in url_dedup_domain_cap(docs, cap=9).collect()}
+
+    assert out[1]["domain"] == "abbey.sch.uk"
+    assert out[2]["domain"] == "abbey.sch.uk"
+    assert out[3]["domain"] == "other.sch.uk"
+    assert out[4]["domain"] == "city.kawasaki.jp"
+    assert out[5]["domain"] == "city.kawasaki.jp"
+    # down-projection: per-region granularity (true rule would give the
+    # 5-label per-host domain; the old bundle pooled ALL of
+    # amazonaws.com into one capped pseudo-domain)
+    assert out[6]["domain"] == "us-east-1.compute.amazonaws.com"
+    assert out[7]["domain"] == "us-east-1.compute.amazonaws.com"
+
+
 def test_point_paths_null_vector_raises_descriptive(spark):
     """A PRESENT query row with a NULL vector must raise the module's
     descriptive ValueError, not a bare TypeError from iterating None
