@@ -104,11 +104,18 @@ def _replayed(meta: dict | None, batch_id: int, incarnation: str | None) -> bool
 
 
 def _meta_payload(
-    meta: dict | None, batch_id: int, incarnation: str | None
+    meta: dict | None,
+    batch_id: int,
+    incarnation: str | None,
+    offsets: dict | None = None,
 ) -> dict:
     """Next meta sidecar: latest (batch_id, incarnation) plus the
     carried-forward per-incarnation high-water marks. None incarnations
     (direct callers) are tracked only via last_batch_id, as before.
+    ``offsets`` (the per-source-partition event fence, see
+    :func:`_apply_offset_fence`) replaces the stored map when given and
+    is carried forward untouched otherwise — a caller that stops
+    passing ``offset_cols`` must not silently erase the fence.
 
     ``marks`` grows by one entry per incarnation ever seen and is never
     pruned — intentional: each entry is ~50 bytes, incarnations are
@@ -118,11 +125,78 @@ def _meta_payload(
     marks = dict((meta or {}).get("marks") or {})
     if incarnation is not None:
         marks[incarnation] = batch_id
-    return {
+    payload = {
         "last_batch_id": batch_id,
         "incarnation": incarnation,
         "marks": marks,
     }
+    off = offsets if offsets is not None else (meta or {}).get("offsets")
+    if off is not None:
+        payload["offsets"] = off
+    return payload
+
+
+def _apply_offset_fence(
+    batch_df: DataFrame, meta: dict | None, offset_cols: tuple[str, str]
+) -> tuple[DataFrame | None, dict | None]:
+    """Event-level replay fence keyed on source offsets: drop every row
+    whose ``(partition, offset)`` is at or below the stored per-partition
+    high-water mark, and return the fenced frame plus the updated mark
+    map. Returns ``(None, None)`` when nothing in the batch is new.
+
+    This closes the gap the batch-id fence documents: batch ids restart
+    at 0 under a fresh checkpoint, so a query recreated over the SAME
+    source range re-folds events the old incarnation already merged.
+    Offsets are properties of the DATA, not the query, so a fence keyed
+    on them survives any number of incarnations. Contract: within each
+    partition, offsets are unique and monotone in delivery order (the
+    Kafka contract — pass ``("partition", "offset")``; for multi-topic
+    streams pre-concat a ``topic || '-' || partition`` column so keys
+    don't collide across topics).
+
+    Scale: the stored map is one entry per source partition (kilobytes
+    at thousands of partitions); the fence frame is explicitly
+    broadcast, and the per-batch maxima aggregate collects at most one
+    row per partition — both bounded by the partition domain, never by
+    batch or history size."""
+    part_col, off_col = offset_cols
+    missing = [c for c in offset_cols if c not in batch_df.columns]
+    if missing:
+        raise ValueError(
+            f"offset_cols {missing} not in batch columns {batch_df.columns}"
+        )
+    stored = dict((meta or {}).get("offsets") or {})
+    part_str = F.col(part_col).cast("string")
+    fenced = batch_df
+    if stored:
+        fence = batch_df.sparkSession.createDataFrame(
+            [(str(p), int(o)) for p, o in stored.items()],
+            "_fence_part string, _fence_max long",
+        )
+        fenced = (
+            batch_df.join(
+                F.broadcast(fence),
+                part_str == F.col("_fence_part"),
+                "left",
+            )
+            .filter(
+                F.col(off_col).cast("long")
+                > F.coalesce(F.col("_fence_max"), F.lit(-1))
+            )
+            .drop("_fence_part", "_fence_max")
+        )
+    maxima = {
+        row["p"]: row["m"]
+        for row in fenced.groupBy(part_str.alias("p"))
+        .agg(F.max(F.col(off_col).cast("long")).alias("m"))
+        .collect()
+    }
+    if not maxima:
+        return None, None
+    merged = dict(stored)
+    for p, m in maxima.items():
+        merged[p] = max(int(merged.get(p, -1)), int(m))
+    return fenced, merged
 
 
 def merge_batch_into_rollup(
@@ -134,6 +208,7 @@ def merge_batch_into_rollup(
     keys: list[str] | None = None,
     value_col: str = "value",
     incarnation: str | None = None,
+    offset_cols: tuple[str, str] | None = None,
 ) -> bool:
     """Fold one micro-batch into the stored rollup. Returns False (no-op)
     when ``batch_id`` was already merged — the replay fence that makes
@@ -143,17 +218,22 @@ def merge_batch_into_rollup(
     under a NEW checkpoint, whose batch_ids restart at 0, is recognized
     as a new sequence instead of being silently skipped.
 
-    Single-writer, no-source-replay assumption: the fence keeps a
-    per-incarnation high-water-mark map (``marks`` in the sidecar), so
-    batch replay is detected within EVERY incarnation ever seen —
-    including a query rolled back to an old checkpoint after a newer
-    incarnation merged in between. It does NOT deduplicate EVENTS
-    across incarnations: a new checkpoint that re-reads the source from
-    its starting offsets re-folds events the old incarnation already
-    merged (double counting — batch ids don't align with offsets across
-    incarnations). Start a fresh checkpoint from fresh offsets (or a
-    fresh rollup path), and give each rollup table one writing query at
-    a time.
+    Single-writer assumption: the fence keeps a per-incarnation
+    high-water-mark map (``marks`` in the sidecar), so batch replay is
+    detected within EVERY incarnation ever seen — including a query
+    rolled back to an old checkpoint after a newer incarnation merged
+    in between. By itself it does NOT deduplicate EVENTS across
+    incarnations: a new checkpoint that re-reads the source from its
+    starting offsets re-folds events the old incarnation already merged
+    (batch ids don't align with offsets across incarnations). Pass
+    ``offset_cols=("partition", "offset")`` (Kafka's data-carried
+    coordinates) to close that gap: rows at or below the stored
+    per-partition offset high-water mark are dropped before the fold
+    (see :func:`_apply_offset_fence`), so even a fresh checkpoint
+    replaying the source from earliest folds each event exactly once.
+    Without ``offset_cols``, start a fresh checkpoint from fresh
+    offsets (or a fresh rollup path); either way, give each rollup
+    table one writing query at a time.
 
     The merged table is written to a staging dir and swapped atomically
     with its meta sidecar (same crash-recovery protocol as
@@ -171,6 +251,11 @@ def merge_batch_into_rollup(
     meta = _load_meta(os.path.join(rollup_path, _META))
     if _replayed(meta, batch_id, incarnation):
         return False
+    offsets = None
+    if offset_cols is not None:
+        batch_df, offsets = _apply_offset_fence(batch_df, meta, offset_cols)
+        if batch_df is None:
+            return False
 
     delta = partial_rollup(batch_df, ts_col, grain, keys, value_col)
     if os.path.exists(rollup_path):
@@ -183,7 +268,7 @@ def merge_batch_into_rollup(
 
     merged.write.mode("overwrite").parquet(staging)
     with open(os.path.join(staging, _META), "w") as f:
-        json.dump(_meta_payload(meta, batch_id, incarnation), f)
+        json.dump(_meta_payload(meta, batch_id, incarnation, offsets), f)
     if os.path.exists(rollup_path):
         _swap(rollup_path, staging, backup)  # removes backup itself
     else:
@@ -201,10 +286,13 @@ def start_rollup_pipeline(
     value_col: str = "value",
     trigger: str | None = None,
     on_batch: Callable[[int, bool], None] | None = None,
+    offset_cols: tuple[str, str] | None = None,
 ) -> StreamingQuery:
     """Attach the continuous-aggregate sink to a streaming DataFrame.
     ``on_batch(batch_id, merged)`` is an observability hook (tests use it
-    to count replays)."""
+    to count replays). ``offset_cols`` enables the event-level replay
+    fence for sources that carry stable per-partition offsets — see
+    :func:`merge_batch_into_rollup`."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -220,6 +308,7 @@ def start_rollup_pipeline(
             # read lazily per batch: the metadata file exists once the
             # query has started, which is guaranteed inside foreachBatch
             incarnation=_query_incarnation(checkpoint_dir),
+            offset_cols=offset_cols,
         )
         if on_batch is not None:
             on_batch(batch_id, merged)
@@ -252,11 +341,14 @@ def merge_batch_into_distinct_rollup(
     — e.g. rolling windows or lake-wide unions) and the materialized
     ``users_est`` estimate for direct querying.
 
-    Same idempotency caveat as the sum rollup: a batch folds in once;
-    within-batch duplicate ids collapse inside the sketch, and
-    cross-batch duplicates are the POINT (the sketch union counts each
-    id once however many triggers it appears in — the property a
-    mergeable COUNT DISTINCT exists for).
+    Same batch-id replay fence as the sum rollup, but NO ``offset_cols``
+    event fence — it isn't needed: the sketch union is idempotent at the
+    EVENT level (an id re-folded by a fresh-checkpoint source replay
+    adds nothing to the HLL), so cross-incarnation replay can't inflate
+    the estimate. Within-batch duplicate ids collapse inside the sketch,
+    and cross-batch duplicates are the POINT (the union counts each id
+    once however many triggers it appears in — the property a mergeable
+    COUNT DISTINCT exists for).
     """
     keys = keys if keys is not None else ["event_type"]
     spark = batch_df.sparkSession

@@ -892,6 +892,108 @@ def test_rollup_fence_migrates_legacy_sidecar(spark, tmp_path):
     assert merge_batch_into_rollup(rollup, ev, 5, incarnation="qC") is True
 
 
+def test_rollup_offset_fence_dedups_events_across_incarnations(
+    spark, tmp_path
+):
+    """The offset-keyed event fence (r15, closing the documented r14
+    gap): a fresh checkpoint that re-reads the source from its starting
+    offsets must NOT re-fold events the old incarnation already merged —
+    batch ids restart at 0 under a new checkpoint, so only the
+    data-carried (partition, offset) coordinates can fence the replay.
+    Covers: full replay (no-op, table untouched), partial overlap (only
+    the new tail folds), a brand-new partition passing in full, sidecar
+    bootstrap (no stored offsets → everything merges), and the eager
+    missing-column error."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.streaming.rollup import (
+        merge_batch_into_rollup,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [("2024-01-01 10:00:00", "view", v, p, o) for v, p, o in rows],
+            "ts string, event_type string, value double,"
+            " partition int, offset long",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def total():
+        return float(
+            spark.read.parquet(rollup)
+            .agg(F.sum("_sum_v").cast("double"))
+            .collect()[0][0]
+        )
+
+    rollup = str(tmp_path / "rollup")
+    oc = ("partition", "offset")
+
+    # bootstrap: no stored offsets → whole batch merges
+    b0 = ev([(1.0, 0, 0), (2.0, 0, 1), (4.0, 0, 2)])
+    assert (
+        merge_batch_into_rollup(rollup, b0, 0, incarnation="qA", offset_cols=oc)
+        is True
+    )
+    assert total() == 7.0
+    with open(os.path.join(rollup, "_rollup_meta.json")) as f:
+        assert json.load(f)["offsets"] == {"0": 2}
+
+    # fresh checkpoint (new incarnation, batch ids restart at 0) replays
+    # the SAME events: batch-id fence passes, offset fence drops all
+    assert (
+        merge_batch_into_rollup(rollup, b0, 0, incarnation="qB", offset_cols=oc)
+        is False
+    )
+    assert total() == 7.0
+
+    # partial overlap: offsets 1-2 replayed, 3-4 new → only 8+16 fold
+    b1 = ev([(2.0, 0, 1), (4.0, 0, 2), (8.0, 0, 3), (16.0, 0, 4)])
+    assert (
+        merge_batch_into_rollup(rollup, b1, 1, incarnation="qB", offset_cols=oc)
+        is True
+    )
+    assert total() == 31.0
+
+    # a never-seen partition passes in full alongside a replayed one
+    b2 = ev([(8.0, 0, 3), (32.0, 1, 0)])
+    assert (
+        merge_batch_into_rollup(rollup, b2, 2, incarnation="qB", offset_cols=oc)
+        is True
+    )
+    assert total() == 63.0
+    with open(os.path.join(rollup, "_rollup_meta.json")) as f:
+        assert json.load(f)["offsets"] == {"0": 4, "1": 0}
+
+    # a caller that stops passing offset_cols must not erase the fence
+    assert (
+        merge_batch_into_rollup(rollup, ev([(64.0, 0, 5)]), 3,
+                                incarnation="qB")
+        is True
+    )
+    with open(os.path.join(rollup, "_rollup_meta.json")) as f:
+        assert json.load(f)["offsets"] == {"0": 4, "1": 0}
+    # ...so re-enabling it still fences the old range (offset 4 replay)
+    assert (
+        merge_batch_into_rollup(rollup, ev([(16.0, 0, 4)]), 0,
+                                incarnation="qC", offset_cols=oc)
+        is False
+    )
+    assert total() == 127.0
+
+    # eager contract check: missing fence columns raise before any work
+    with pytest.raises(ValueError, match="offset_cols"):
+        merge_batch_into_rollup(
+            rollup,
+            ev([(1.0, 0, 9)]).drop("offset"),
+            9,
+            incarnation="qC",
+            offset_cols=oc,
+        )
+
+
 def test_upsert_partitioned_bootstraps_new_table(spark, tmp_path):
     """The first-ever upsert initializes the table instead of raising
     on the missing path (r13 review) — including latest-per-key dedup
