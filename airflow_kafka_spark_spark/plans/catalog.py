@@ -3928,6 +3928,162 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_bm25_rank_cert(spark, sf_dir):
+    """BM25 rank-equality certification — the oracled companion the
+    COVERAGE.md contingency pre-commits for the catalog's one standing
+    libm-``log`` exception (``bm25_topk``'s idf): if that entry's float
+    hash row ever flakes on a last-ulp idf disagreement, it demotes to
+    rows-only and THIS entry keeps the ranking certified cross-engine
+    with zero float columns in the compared values.
+
+    Two independent legs:
+
+    - **Cross-engine (the hash check)**: the engine's top-10
+      ``(rnk, doc_id)`` mapping — integers only — against DuckDB's own
+      BM25 ranking computed from scratch in SQL. A ulp wiggle in a
+      score can no longer flake the row unless it actually REORDERS
+      two documents, which is the event that would matter.
+    - **In-engine (the boolean columns)**: ``bm25_topk``'s
+      array-HOF/no-explode formulation against a second, structurally
+      different Spark formulation (explode → conditional-sum tf — the
+      classic SQL shape, different plan, different FP expression
+      tree). Per-rank doc equality and 6dp-score agreement within 1e-9
+      are returned as booleans the oracle pins TRUE, mirroring
+      ``ann_recall_bounded``'s certification pattern.
+
+    Scale: both legs are corpus-scan → one broadcast stats row →
+    top-k; the rank join is 10×10 rows. The explode leg is the cert's
+    own reference shape, not a serving path."""
+    from pyspark.sql import Window
+
+    from ..ext.textstats import bm25_topk, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "join", "window"]
+    k, k1, b = 10, 1.2, 0.75
+
+    w_eng = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    eng = bm25_topk(docs, terms, k=k).select(
+        F.row_number().over(w_eng).cast("long").alias("rnk"),
+        "doc_id",
+        "score",
+    )
+
+    # independent formulation: explode tokens, conditional-sum tf
+    t = tokens(F.col("text"))
+    toks = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("dl"),
+        F.explode(t).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.max("dl").alias("dl"),
+        *[
+            F.sum((F.col("tok") == F.lit(term)).cast("long")).alias(f"tf{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("long").alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    n_d = F.col("n_docs").cast("double")
+    avgdl = F.col("total_dl").cast("double") / n_d
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        dfq = F.col(f"df{i}").cast("double")
+        idf = F.log((n_d - dfq + F.lit(0.5)) / (dfq + F.lit(0.5)) + F.lit(1.0))
+        s = (
+            idf
+            * (tf * (F.lit(k1) + F.lit(1.0)))
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1.0)
+                    - F.lit(b)
+                    + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+                )
+            )
+        )
+        score = s if score is None else score + s
+    w_ref = Window.orderBy(F.col("ref_score").desc(), F.col("doc_id").asc())
+    ref = (
+        j.select("doc_id", (F.round(score, 6) + F.lit(0.0)).alias("ref_score"))
+        .filter(F.col("ref_score") > 0)
+        .orderBy(F.col("ref_score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select(
+            F.row_number().over(w_ref).cast("long").alias("rnk"),
+            F.col("doc_id").alias("ref_doc_id"),
+            "ref_score",
+        )
+    )
+    return (
+        eng.join(ref, "rnk")
+        .select(
+            "rnk",
+            "doc_id",
+            (F.col("doc_id") == F.col("ref_doc_id")).alias("rank_equal_ok"),
+            (F.abs(F.col("score") - F.col("ref_score")) <= F.lit(1e-9)).alias(
+                "score_close_ok"
+            ),
+        )
+        .orderBy("rnk")
+    )
+
+
+SQL_BM25_RANK_CERT = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+per_doc AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0,
+         CAST(len(list_filter(t, x -> x = 'join')) AS BIGINT) AS tf1,
+         CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf2
+  FROM toks
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_dl,
+         CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM per_doc
+),
+scored AS (
+  SELECT doc_id,
+    ROUND(
+      ln((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+        * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+        / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      + ln((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+        * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+        / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+      + ln((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+        * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+        / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+    , 6) + CAST(0 AS DOUBLE) AS score
+  FROM per_doc, stats
+),
+top AS (
+  SELECT doc_id, score FROM scored WHERE score > 0
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk,
+       doc_id, TRUE AS rank_equal_ok, TRUE AS score_close_ok
+FROM top
+ORDER BY rnk
+"""
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric containment near-dup (ext.dedup.containment_pairs):
     catches subset/superset duplication Jaccard dilutes."""
@@ -6918,6 +7074,7 @@ CATALOG: dict[str, Query] = {
     "chunk_dedup": Query(q_chunk_dedup, SQL_CHUNK_DEDUP, headline=True),
     "mixture_sample": Query(q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "bm25_topk": Query(q_bm25_topk, SQL_BM25_TOPK, headline=True),
+    "bm25_rank_cert": Query(q_bm25_rank_cert, SQL_BM25_RANK_CERT),
     "containment_pairs": Query(q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "containment_pairs_capped": Query(
         q_containment_pairs_capped, SQL_CONTAINMENT_PAIRS_CAPPED, headline=True
