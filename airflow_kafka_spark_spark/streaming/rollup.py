@@ -149,10 +149,14 @@ def _apply_offset_fence(
     source range re-folds events the old incarnation already merged.
     Offsets are properties of the DATA, not the query, so a fence keyed
     on them survives any number of incarnations. Contract: within each
-    partition, offsets are unique and monotone in delivery order (the
-    Kafka contract — pass ``("partition", "offset")``; for multi-topic
-    streams pre-concat a ``topic || '-' || partition`` column so keys
-    don't collide across topics).
+    partition, offsets are unique, NON-NULL and monotone in delivery
+    order (the Kafka contract — pass ``("partition", "offset")``; for
+    multi-topic streams pre-concat a ``topic || '-' || partition``
+    column so keys don't collide across topics). NULLs in either fence
+    column raise eagerly: a NULL offset would otherwise be silently
+    DROPPED by the fence filter (``NULL > x`` is NULL) — the
+    silent-data-loss direction — and a NULL partition key can't
+    round-trip through the JSON sidecar.
 
     Scale: the stored map is one entry per source partition (kilobytes
     at thousands of partitions); the fence frame is explicitly
@@ -167,6 +171,36 @@ def _apply_offset_fence(
         )
     stored = dict((meta or {}).get("offsets") or {})
     part_str = F.col(part_col).cast("string")
+    # one bounded aggregate over the RAW batch (pre-filter, so replayed
+    # rows are still visible to the NULL census): per-partition max
+    # offset + NULL count. Replayed partitions can only report maxima
+    # at or below their stored mark, which the monotone merge ignores.
+    agg_rows = (
+        batch_df.groupBy(part_str.alias("p"))
+        .agg(
+            F.max(F.col(off_col).cast("long")).alias("m"),
+            F.sum(
+                (F.col(part_col).isNull() | F.col(off_col).isNull()).cast(
+                    "long"
+                )
+            ).alias("nulls"),
+        )
+        .collect()
+    )
+    bad = sum(row["nulls"] for row in agg_rows)
+    if bad:
+        raise ValueError(
+            f"offset fence: {bad} row(s) with NULL {part_col}/{off_col} — "
+            "fence columns must be non-null (a NULL offset would be "
+            "silently dropped by the replay filter)"
+        )
+    if not any(
+        row["m"] > int(stored.get(row["p"], -1)) for row in agg_rows
+    ):
+        return None, None
+    merged = dict(stored)
+    for row in agg_rows:
+        merged[row["p"]] = max(int(merged.get(row["p"], -1)), int(row["m"]))
     fenced = batch_df
     if stored:
         fence = batch_df.sparkSession.createDataFrame(
@@ -185,17 +219,6 @@ def _apply_offset_fence(
             )
             .drop("_fence_part", "_fence_max")
         )
-    maxima = {
-        row["p"]: row["m"]
-        for row in fenced.groupBy(part_str.alias("p"))
-        .agg(F.max(F.col(off_col).cast("long")).alias("m"))
-        .collect()
-    }
-    if not maxima:
-        return None, None
-    merged = dict(stored)
-    for p, m in maxima.items():
-        merged[p] = max(int(merged.get(p, -1)), int(m))
     return fenced, merged
 
 

@@ -993,6 +993,19 @@ def test_rollup_offset_fence_dedups_events_across_incarnations(
             offset_cols=oc,
         )
 
+    # NULL fence values raise instead of silently dropping the row
+    # (NULL > x is NULL → the replay filter would eat it)
+    nullish = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "view", 1.0, 0, None)],
+        "ts string, event_type string, value double,"
+        " partition int, offset long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="non-null"):
+        merge_batch_into_rollup(
+            rollup, nullish, 9, incarnation="qC", offset_cols=oc
+        )
+    assert total() == 127.0  # table untouched by either rejected batch
+
 
 def test_upsert_partitioned_bootstraps_new_table(spark, tmp_path):
     """The first-ever upsert initializes the table instead of raising
