@@ -762,28 +762,22 @@ def incremental_dedup_gate(
 # Bundled Mozilla Public Suffix List snapshot (publicsuffix.org —
 # public data, MPL 2.0), generated into ext/psl_data.py by
 # tools/gen_psl_data.py from the OS-packaged list: the full ICANN +
-# PRIVATE sections in the shapes the three-join tiers below express.
-# Single-label suffixes (com, org, de, …) need no table — the
-# last-two-labels default already yields the registered domain under
-# them. 2-label suffixes change the answer to last-THREE labels
-# (a last-two-labels regex silently pools every *.co.uk site into one
-# "co.uk" pseudo-domain — the r10-verdict data-loss class); the PRIVATE
-# section matters the same way one platform up (alice.github.io and
-# bob.github.io are independent registrants, r11 class); 3-label
-# suffixes to last-FOUR. PSL WILDCARD rules with a single-label base
-# (`*.ck`-class, r12 class): every label directly under the TLD is
-# itself a public suffix, registered domain = last THREE labels; their
-# `!www.ck` exception is carved out before every tier (PSL precedence).
-# Multi-label wildcard bases (`*.sch.uk` / `*.compute.amazonaws.com`
-# class, 96 rules) are DOWN-PROJECTED: bundled as plain suffixes of
-# their own label count — one level coarser than the true rule for
-# deep hosts, identical at or one label under the base, never coarser
-# than ignoring the rule; this also covers the `!city.kawasaki.jp`
-# exceptions at their own depth (tools/gen_psl_data.py). Truly out of
-# the tiers' scope, counted at generation time
-# (psl_data.PSL_OUT_OF_SCOPE_COUNTS): 136 4/5-label plain rules and 2
-# 4-label wildcard bases — each class would add one more
-# last-k-labels broadcast join the same way.
+# PRIVATE sections, expressed EXACTLY (out-of-scope census is zero as
+# of the r15 widening). Single-label suffixes (com, org, de, …) need
+# no table — the last-two-labels default already yields the registered
+# domain under them. Plain k-label suffixes (k in 2..5) change the
+# answer to last-(k+1) labels (a last-two-labels regex silently pools
+# every *.co.uk site into one "co.uk" pseudo-domain — the r10-verdict
+# data-loss class); the PRIVATE section matters the same way one
+# platform up (alice.github.io and bob.github.io are independent
+# registrants, r11 class). PSL WILDCARD rules `*.B` (base len 1..4 —
+# `*.ck`, `*.sch.uk`, `*.compute.amazonaws.com` classes): every label
+# directly under B is itself a public suffix, registered domain = last
+# len(B)+2 labels (exact per-depth tiers since r15; the pre-r15 bundle
+# down-projected multi-label bases one level coarser). Exception rules
+# (`!www.ck` at depth 2, `!city.kawasaki.jp` class at depth 3) carve
+# the host out as its own registered domain, checked before every
+# other tier (PSL precedence: exceptions, then longest matched rule).
 # The `www.ck` normalization interplay: the URL normalizer strips ONE
 # leading `www.` BEFORE host extraction, so a BARE `www.ck` URL reaches
 # the tiers as host `ck` (its own domain) and only subdomain forms
@@ -793,7 +787,13 @@ def incremental_dedup_gate(
 from .psl_data import (  # noqa: E402  (data module, imported adjacent to use)
     PSL_SUFFIXES_2 as _SUFFIXES_2,
     PSL_SUFFIXES_3 as _SUFFIXES_3,
+    PSL_SUFFIXES_4 as _SUFFIXES_4,
+    PSL_SUFFIXES_5 as _SUFFIXES_5,
+    PSL_WILDCARD_BASES_2 as _WILDCARD_BASES_2,
+    PSL_WILDCARD_BASES_3 as _WILDCARD_BASES_3,
+    PSL_WILDCARD_BASES_4 as _WILDCARD_BASES_4,
     PSL_WILDCARD_EXCEPTIONS_2 as _WILDCARD_EXCEPTIONS_2,
+    PSL_WILDCARD_EXCEPTIONS_3 as _WILDCARD_EXCEPTIONS_3,
     PSL_WILDCARD_TLDS as _WILDCARD_SUFFIX_TLDS,
 )
 
@@ -812,27 +812,27 @@ def url_dedup_domain_cap(
 
     Normalization (pure map, zero Exchange): lowercase; strip the
     scheme; strip query string and fragment; strip ONE leading ``www.``
-    label; strip a trailing slash. The registered domain follows the
-    public-suffix algorithm over the bundled PSL subset — ICANN
-    multi-label suffixes PLUS the private platform section
-    (``_SUFFIXES_2/3``; ``alice.github.io`` and ``bob.github.io`` are
-    distinct registered domains, not one pooled ``github.io``): if the
-    host's last THREE labels are a
-    public suffix, the domain is the last four labels; else if the last
-    TWO are, the last three (``a.co.uk`` and ``b.co.uk`` are distinct
-    domains; ``cdn.a.co.uk`` groups under ``a.co.uk``); else if the TLD
-    is a PSL WILDCARD (``*.ck``-class, ``_WILDCARD_SUFFIX_TLDS``) the
-    last three again — every label directly under a wildcard TLD is
-    itself a public suffix, so ``shop.example.mm`` and
-    ``blog.example.mm`` are independent registrants, with exception
-    rules (``!www.ck``) carved out first per the PSL algorithm; else
-    the last-two-labels default (correct under every single-label TLD).
-    The suffix lookup is three explicit-broadcast left joins against
-    the bundled tables — bounded by contract at a few hundred rows,
-    still kilobytes with the full 9k-entry PSL; a deployment extends
-    the tuples. (An InSet literal was tried first and blew janino's
-    64 KB generated-method limit on the salted path — see the code
-    comment.)
+    label; strip a trailing slash. The registered domain implements the
+    FULL public-suffix algorithm over the bundled PSL snapshot (ICANN +
+    private platform sections; ``alice.github.io`` and
+    ``bob.github.io`` are distinct registered domains, not one pooled
+    ``github.io``): exception rules first (``!www.ck``,
+    ``!city.kawasaki.jp`` — the host itself registers), then the
+    LONGEST matched rule — plain k-label suffixes for k in 5..2
+    (domain = last k+1 labels: ``a.co.uk`` and ``b.co.uk`` are distinct
+    domains; ``cdn.a.co.uk`` groups under ``a.co.uk``) interleaved with
+    wildcard bases ``*.B`` for len(B) in 4..1 (every label directly
+    under B is itself a public suffix, domain = last len(B)+2 labels:
+    ``shop.example.mm`` and ``blog.example.mm`` are independent
+    registrants, as are ``*.sch.uk`` schools); else the
+    last-two-labels default (correct under every single-label TLD). A
+    host that IS exactly a matched public suffix keeps itself — never
+    pooled into its parent. The lookup is eight explicit-broadcast
+    left joins against the bundled tables (the full ~8.3k-rule PSL is
+    still kilobytes — bounded by contract) plus two tiny exception
+    ``isin``s. (An InSet literal for the big tables was tried first
+    and blew janino's 64 KB generated-method limit on the salted path
+    — see the code comment.)
 
     Keep policy, fully deterministic (RNG-free, partition-stable, the
     ``stratified_sample`` idiom): the URL keeper is the MIN id per
@@ -929,22 +929,23 @@ def url_dedup_domain_cap(
         ).alias("__host"),
     )
     hostc = F.col("__host")
+    def _last_k(k: int):
+        return F.regexp_extract(
+            hostc, r"(" + r"\.".join([r"[^.]+"] * k) + r")$", 1
+        )
+
     staged = staged.select(
         id_col,
         "url_norm",
         "__host",
-        F.regexp_extract(hostc, r"([^.]+)$", 1).alias("__l1"),
-        F.regexp_extract(hostc, r"([^.]+\.[^.]+)$", 1).alias("__l2"),
-        F.regexp_extract(hostc, r"([^.]+\.[^.]+\.[^.]+)$", 1).alias("__l3"),
-        F.regexp_extract(hostc, r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$", 1).alias(
-            "__l4"
-        ),
+        *[_last_k(k).alias(f"__l{k}") for k in range(1, 7)],
     )
     l2, l3, l4 = F.col("__l2"), F.col("__l3"), F.col("__l4")
-    # public-suffix tiers as three explicit-broadcast left joins against
-    # the bundled table (bounded BY CONTRACT — a few hundred rows, and
-    # still kilobytes with the full 9k-entry PSL): a matched suffix
-    # plus one more label is the registered domain. An InSet literal
+    l5, l6 = F.col("__l5"), F.col("__l6")
+    # public-suffix tiers as eight explicit-broadcast left joins against
+    # the bundled tables (bounded BY CONTRACT — the full ~8.3k-rule PSL
+    # is still kilobytes): a matched suffix plus one more label is the
+    # registered domain, a matched wildcard base plus two. An InSet literal
     # expression was tried first and blew the salted path's generated
     # aggregate past janino's 64 KB method limit (whole-stage fell back
     # to interpreted eval); the join keeps codegen small and the suffix
@@ -953,35 +954,47 @@ def url_dedup_domain_cap(
     # ("https:///p") is no domain evidence at all -> NULL (host is NULL
     # exactly when url_norm is — the no-url keep-exempt rows)
     spark = docs.sparkSession
-    s2df = spark.createDataFrame(
-        [(s,) for s in _SUFFIXES_2], "__psl2 string"
+    tiers = (
+        ("__psl2", _SUFFIXES_2, "__l2"),
+        ("__psl3", _SUFFIXES_3, "__l3"),
+        ("__psl4", _SUFFIXES_4, "__l4"),
+        ("__psl5", _SUFFIXES_5, "__l5"),
+        ("__pslw", _WILDCARD_SUFFIX_TLDS, "__l1"),
+        ("__pslw2", _WILDCARD_BASES_2, "__l2"),
+        ("__pslw3", _WILDCARD_BASES_3, "__l3"),
+        ("__pslw4", _WILDCARD_BASES_4, "__l4"),
     )
-    s3df = spark.createDataFrame(
-        [(s,) for s in _SUFFIXES_3], "__psl3 string"
-    )
-    swdf = spark.createDataFrame(
-        [(s,) for s in _WILDCARD_SUFFIX_TLDS], "__pslw string"
-    )
-    staged = (
-        staged.join(
-            F.broadcast(s2df), staged["__l2"] == s2df["__psl2"], "left"
+    for flag, table, key in tiers:
+        tdf = spark.createDataFrame([(s,) for s in table], f"{flag} string")
+        staged = staged.join(
+            F.broadcast(tdf), F.col(key) == tdf[flag], "left"
         )
-        .join(F.broadcast(s3df), F.col("__l3") == s3df["__psl3"], "left")
-        .join(F.broadcast(swdf), F.col("__l1") == swdf["__pslw"], "left")
-    )
-    # tier order = PSL rule precedence: exceptions beat everything;
-    # then longest match (3-label suffix > 2-label > wildcard — a
-    # wildcard match IS a 2-label suffix, ranked after the explicit
-    # list only because an explicit 2-label entry under a wildcard TLD
-    # gives the same answer); a 2-label host under a wildcard TLD is
-    # itself a public suffix and keeps itself, like the bare-suffix
-    # hosts below
+    # tier order = PSL rule precedence: exceptions beat everything
+    # (longest first); then the LONGEST matched rule. A plain k-label
+    # suffix and a wildcard base of k-1 labels both make a k-label
+    # suffix, so they share a precedence slot (either order gives the
+    # same registered domain); a wildcard rule `*.B` only matches
+    # hosts with at least one label UNDER B (the extra `l != ""`
+    # guard). Per tier, a host that IS exactly the matched public
+    # suffix has no registrable label above it and keeps itself —
+    # falling through to a shorter tier instead would pool it into its
+    # parent suffix (e.g. every *.sch.uk school into "sch.uk"), the
+    # data-loss direction the whole table exists to prevent.
+    def _tier(dom):
+        return F.when(dom != "", dom).otherwise(hostc)
+
     domain = F.when(
         hostc.isNotNull() & (hostc != ""),
-        F.when(l2.isin(list(_WILDCARD_EXCEPTIONS_2)), l2)
-        .when(F.col("__psl3").isNotNull() & (l4 != ""), l4)
-        .when(F.col("__psl2").isNotNull() & (l3 != ""), l3)
-        .when(F.col("__pslw").isNotNull() & (l3 != ""), l3)
+        F.when(l3.isin(list(_WILDCARD_EXCEPTIONS_3)), l3)
+        .when(l2.isin(list(_WILDCARD_EXCEPTIONS_2)), l2)
+        .when(F.col("__psl5").isNotNull(), _tier(l6))
+        .when(F.col("__pslw4").isNotNull() & (l5 != ""), _tier(l6))
+        .when(F.col("__psl4").isNotNull(), _tier(l5))
+        .when(F.col("__pslw3").isNotNull() & (l4 != ""), _tier(l5))
+        .when(F.col("__psl3").isNotNull(), _tier(l4))
+        .when(F.col("__pslw2").isNotNull() & (l3 != ""), _tier(l4))
+        .when(F.col("__psl2").isNotNull(), _tier(l3))
+        .when(F.col("__pslw").isNotNull() & (l2 != ""), _tier(l3))
         .when(l2 != "", l2)
         .otherwise(hostc),
     )

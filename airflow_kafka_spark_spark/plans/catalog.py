@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 from ..ext.dedup import (
     _SUFFIXES_2,
     _SUFFIXES_3,
+    _SUFFIXES_4,
+    _SUFFIXES_5,
+    _WILDCARD_BASES_2,
+    _WILDCARD_BASES_3,
+    _WILDCARD_BASES_4,
     _WILDCARD_EXCEPTIONS_2,
+    _WILDCARD_EXCEPTIONS_3,
     _WILDCARD_SUFFIX_TLDS,
     exact_duplicates,
     jaccard_pairs,
@@ -6403,9 +6409,20 @@ def _url_dedup_urls():
     ABSENT from the old ~980-entry hand-curated bundle —
     ``source.js.org`` (a private-section platform suffix only the full
     list carries) and ``ward.source.kawasaki.jp`` (the ``*.kawasaki.jp``
-    multi-label wildcard base, DOWN-PROJECTED into the 2-label table:
-    registered domain = ``source.kawasaki.jp``, one level coarser than
-    the true rule, vs the old bundle's ``kawasaki.jp``-level pooling)."""
+    multi-label wildcard base — EXACT since the r15 full-algorithm
+    tiers: ``source.kawasaki.jp`` is itself a public suffix, so the
+    registered domain is the 4-label ``ward.source.kawasaki.jp``);
+    variants 14-19 (r15, full-algorithm tiers) cover the remaining PSL
+    rule shapes — 14: a 4-label plain private suffix
+    (``source.a.prod.fastly.net`` → 5-label domain); 15: a 5-label
+    plain suffix (``source.app.os.stg.fedoraproject.org`` → 6-label
+    domain); 16: a 2-label wildcard base (``*.sch.uk`` →
+    ``lib.source.sch.uk`` registers at 4 labels); 17: a 3-label
+    EXCEPTION rule (``!city.kawasaki.jp`` — the host itself is the
+    registered domain, beating the ``*.kawasaki.jp`` wildcard); 18: a
+    3-label wildcard base (``*.backyards.banzaicloud.io`` → 5-label
+    domain); 19: a 4-label wildcard base
+    (``*.compute.amazonaws.com.cn`` → 6-label domain)."""
     j = F.expr("doc_id div 20")
     host = F.concat(F.col("source"), F.lit(".com"))
     cchost = F.concat(F.col("source"), F.lit(".co.uk"))
@@ -6414,8 +6431,20 @@ def _url_dedup_urls():
     wchost = F.concat(F.lit("shop."), F.col("source"), F.lit(".mm"))
     jshost = F.concat(F.col("source"), F.lit(".js.org"))
     kwhost = F.concat(F.lit("ward."), F.col("source"), F.lit(".kawasaki.jp"))
+    p4host = F.concat(F.col("source"), F.lit(".a.prod.fastly.net"))
+    p5host = F.concat(
+        F.col("source"), F.lit(".app.os.stg.fedoraproject.org")
+    )
+    w2host = F.concat(F.lit("lib."), F.col("source"), F.lit(".sch.uk"))
+    exhost = F.lit("cdn.city.kawasaki.jp")
+    w3host = F.concat(
+        F.lit("app."), F.col("source"), F.lit(".backyards.banzaicloud.io")
+    )
+    w4host = F.concat(
+        F.lit("ec2-1."), F.col("source"), F.lit(".compute.amazonaws.com.cn")
+    )
     path = F.concat(F.lit("/p/"), (j % 5).cast("string"))
-    variant = j % 14
+    variant = j % 20
     return (
         F.when(
             variant == 0,
@@ -6456,6 +6485,21 @@ def _url_dedup_urls():
         .when(
             variant == 13,
             F.concat(F.lit("http://"), kwhost, path, F.lit("/")),
+        )
+        .when(variant == 14, F.concat(F.lit("https://"), p4host, path))
+        .when(
+            variant == 15,
+            F.concat(F.lit("http://"), p5host, path, F.lit("/")),
+        )
+        .when(variant == 16, F.concat(F.lit("https://"), w2host, path))
+        .when(
+            variant == 17,
+            F.concat(F.lit("https://"), exhost, path, F.lit("?ref=x")),
+        )
+        .when(variant == 18, F.concat(F.lit("http://"), w3host, path))
+        .when(
+            variant == 19,
+            F.concat(F.lit("https://"), w4host, path, F.lit("/")),
         )
         .otherwise(F.concat(F.lit("https://"), host, path))
     )
@@ -6917,13 +6961,19 @@ def q_url_dedup_salted(spark, sf_dir):
 
 _PSL2_SQL = ", ".join(f"'{s}'" for s in _SUFFIXES_2)
 _PSL3_SQL = ", ".join(f"'{s}'" for s in _SUFFIXES_3)
+_PSL4_SQL = ", ".join(f"'{s}'" for s in _SUFFIXES_4)
+_PSL5_SQL = ", ".join(f"'{s}'" for s in _SUFFIXES_5)
 _PSLW_SQL = ", ".join(f"'{s}'" for s in _WILDCARD_SUFFIX_TLDS)
+_PSLW2_SQL = ", ".join(f"'{s}'" for s in _WILDCARD_BASES_2)
+_PSLW3_SQL = ", ".join(f"'{s}'" for s in _WILDCARD_BASES_3)
+_PSLW4_SQL = ", ".join(f"'{s}'" for s in _WILDCARD_BASES_4)
 _PSLX_SQL = ", ".join(f"'{s}'" for s in _WILDCARD_EXCEPTIONS_2)
+_PSLX3_SQL = ", ".join(f"'{s}'" for s in _WILDCARD_EXCEPTIONS_3)
 
 SQL_URL_DEDUP = rf"""
 WITH u AS (
   SELECT doc_id,
-    CASE CAST((doc_id // 20) % 14 AS INTEGER)
+    CASE CAST((doc_id // 20) % 20 AS INTEGER)
       WHEN 0 THEN 'HTTPS://WWW.' || upper(source || '.com')
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
       WHEN 1 THEN 'http://' || source || '.com'
@@ -6951,6 +7001,18 @@ WITH u AS (
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
       WHEN 13 THEN 'http://ward.' || source || '.kawasaki.jp'
                   || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
+      WHEN 14 THEN 'https://' || source || '.a.prod.fastly.net'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
+      WHEN 15 THEN 'http://' || source || '.app.os.stg.fedoraproject.org'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
+      WHEN 16 THEN 'https://lib.' || source || '.sch.uk'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
+      WHEN 17 THEN 'https://cdn.city.kawasaki.jp'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '?ref=x'
+      WHEN 18 THEN 'http://app.' || source || '.backyards.banzaicloud.io'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
+      WHEN 19 THEN 'https://ec2-1.' || source || '.compute.amazonaws.com.cn'
+                  || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR) || '/'
       ELSE 'https://' || source || '.com'
            || '/p/' || CAST((doc_id // 20) % 5 AS VARCHAR)
     END AS url
@@ -6972,27 +7034,41 @@ hosted AS (
     regexp_extract(url_norm, '^(\[[^\]]*\]|[^/:@]+)', 1) AS host
   FROM norm
 ),
+lab AS (
+  SELECT doc_id, url_norm, host,
+    regexp_extract(host, '([^.]+)$', 1) AS l1,
+    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS l2,
+    regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) AS l3,
+    regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1) AS l4,
+    regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1) AS l5,
+    regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1) AS l6
+  FROM hosted
+),
 base AS (
   SELECT doc_id, url_norm,
     CASE
-      WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) IN ({_PSLX_SQL})
-        THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
-      WHEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
-             IN ({_PSL3_SQL})
-           AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1) <> ''
-        THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+\.[^.]+)$', 1)
-      WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
-             IN ({_PSL2_SQL})
-           AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
-        THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
-      WHEN regexp_extract(host, '([^.]+)$', 1) IN ({_PSLW_SQL})
-           AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
-        THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
-      WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
-        THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+      WHEN l3 IN ({_PSLX3_SQL}) THEN l3
+      WHEN l2 IN ({_PSLX_SQL}) THEN l2
+      WHEN l5 IN ({_PSL5_SQL})
+        THEN CASE WHEN l6 <> '' THEN l6 ELSE host END
+      WHEN l4 IN ({_PSLW4_SQL}) AND l5 <> ''
+        THEN CASE WHEN l6 <> '' THEN l6 ELSE host END
+      WHEN l4 IN ({_PSL4_SQL})
+        THEN CASE WHEN l5 <> '' THEN l5 ELSE host END
+      WHEN l3 IN ({_PSLW3_SQL}) AND l4 <> ''
+        THEN CASE WHEN l5 <> '' THEN l5 ELSE host END
+      WHEN l3 IN ({_PSL3_SQL})
+        THEN CASE WHEN l4 <> '' THEN l4 ELSE host END
+      WHEN l2 IN ({_PSLW2_SQL}) AND l3 <> ''
+        THEN CASE WHEN l4 <> '' THEN l4 ELSE host END
+      WHEN l2 IN ({_PSL2_SQL})
+        THEN CASE WHEN l3 <> '' THEN l3 ELSE host END
+      WHEN l1 IN ({_PSLW_SQL}) AND l2 <> ''
+        THEN CASE WHEN l3 <> '' THEN l3 ELSE host END
+      WHEN l2 <> '' THEN l2
       ELSE host
     END AS domain
-  FROM hosted
+  FROM lab
 ),
 k AS (
   SELECT doc_id, url_norm, domain,

@@ -2662,17 +2662,25 @@ def test_url_dedup_psl_wildcard_tlds_and_exception(spark):
 
 
 def test_psl_bundle_is_full_generated_snapshot():
-    """r15 (VERDICT item 2, the twice-deferred widening): the suffix
-    tables are the FULL generated PSL snapshot (ext/psl_data.py, from
-    tools/gen_psl_data.py), not the old ~980-entry hand-curated
-    bundle. Floors, representative members old and NEW, punycode
-    twins for IDN rules, the 9 ICANN wildcard TLDs, the www.ck
-    exception, and the out-of-scope census shape — so a regeneration
-    that silently lost a rule class fails here, not in production."""
+    """r15 (VERDICT item 2, the twice-deferred widening, completed to
+    the FULL algorithm): the suffix tables are the complete generated
+    PSL snapshot (ext/psl_data.py, from tools/gen_psl_data.py) with
+    EVERY rule shape expressed exactly — plain 2..5-label suffixes,
+    wildcard bases of 1..4 labels at their own depth (no more
+    down-projection), and exception rules at depths 2 and 3. Floors,
+    representative members old and NEW, punycode twins for IDN rules,
+    and a ZERO out-of-scope census — so a regeneration that silently
+    lost a rule class fails here, not in production."""
     from airflow_kafka_spark_spark.ext.dedup import (
         _SUFFIXES_2,
         _SUFFIXES_3,
+        _SUFFIXES_4,
+        _SUFFIXES_5,
+        _WILDCARD_BASES_2,
+        _WILDCARD_BASES_3,
+        _WILDCARD_BASES_4,
         _WILDCARD_EXCEPTIONS_2,
+        _WILDCARD_EXCEPTIONS_3,
         _WILDCARD_SUFFIX_TLDS,
     )
     from airflow_kafka_spark_spark.ext.psl_data import (
@@ -2683,70 +2691,100 @@ def test_psl_bundle_is_full_generated_snapshot():
     # full-snapshot floors (old bundle: 885 / 84)
     assert len(_SUFFIXES_2) > 5000
     assert len(_SUFFIXES_3) > 2000
+    assert len(_SUFFIXES_4) >= 50
+    assert len(_SUFFIXES_5) >= 50
     # hand-curated-era members survive
     assert {"co.uk", "github.io", "blogspot.com"} <= set(_SUFFIXES_2)
     assert "s3.amazonaws.com" in _SUFFIXES_3
     # members ONLY the full list carries (absent from the old bundle)
     assert "js.org" in _SUFFIXES_2
     assert "priv.no" in _SUFFIXES_2
-    # multi-label wildcard bases arrive DOWN-PROJECTED as plain suffixes
-    assert {"sch.uk", "kawasaki.jp"} <= set(_SUFFIXES_2)
-    assert "compute.amazonaws.com" in _SUFFIXES_3
+    assert "a.prod.fastly.net" in _SUFFIXES_4
+    assert "app.os.stg.fedoraproject.org" in _SUFFIXES_5
+    # multi-label wildcard bases live in their OWN per-depth tables
+    # (exact rules) — and are NOT down-projected into the plain tiers
+    assert {"sch.uk", "kawasaki.jp"} <= set(_WILDCARD_BASES_2)
+    assert "compute.amazonaws.com" in _WILDCARD_BASES_3
+    assert "compute.amazonaws.com.cn" in _WILDCARD_BASES_4
+    assert "sch.uk" not in _SUFFIXES_2
+    assert "compute.amazonaws.com" not in _SUFFIXES_3
     # IDN rules ship in unicode AND punycode forms
     assert any(s.startswith("xn--") for s in _SUFFIXES_2)
     assert any(not s.isascii() for s in _SUFFIXES_2)
-    # wildcard/exception tiers unchanged by the widening
+    # wildcard TLD / exception tiers
     assert _WILDCARD_SUFFIX_TLDS == (
         "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
     )
     assert _WILDCARD_EXCEPTIONS_2 == ("www.ck",)
-    # census: only 4/5-label plains and 4-label wildcard bases dropped
-    dropped = {
-        k: v
-        for k, v in PSL_OUT_OF_SCOPE_COUNTS.items()
-        if not k.endswith("_downprojected") and k != "exception_3_label"
-    }
-    assert set(dropped) <= {
-        "plain_4_label", "plain_5_label", "wildcard_base_4_label",
-    }
+    assert "city.kawasaki.jp" in _WILDCARD_EXCEPTIONS_3
+    assert len(_WILDCARD_EXCEPTIONS_3) == 7
+    # the census is EMPTY: every snapshot rule is expressed exactly
+    assert PSL_OUT_OF_SCOPE_COUNTS == {}
     assert PSL_VERSION and PSL_VERSION != "unknown"
 
 
-def test_url_dedup_downprojected_wildcard_bases(spark):
+def test_url_dedup_exact_wildcard_bases_and_deep_tiers(spark):
     """Multi-label wildcard bases (`*.sch.uk` / `*.kawasaki.jp` /
-    `*.compute.amazonaws.com`) are bundled as plain suffixes of their
-    own label count (r15 down-projection): hosts one label under the
-    base resolve EXACTLY as the true rule does (the label is its own
-    registered domain), deeper hosts resolve one level coarser than
-    the true rule but one level FINER than the old bundle (which
-    pooled whole platforms under the base's parent); the
-    !city.kawasaki.jp exception class is covered at its own depth."""
+    `*.compute.amazonaws.com` / `*.compute.amazonaws.com.cn`) resolve
+    EXACTLY per the PSL algorithm (r15 full tiers; the earlier
+    down-projection was one level coarser for deep hosts): every label
+    directly under the base is itself a public suffix — it keeps
+    itself, never pooled into the base — and hosts below it register
+    at base+2 labels (the canonical PSL test vectors' `b.test.ck` →
+    `b.test.ck` shape). Exception rules at depth 3
+    (`!city.kawasaki.jp`) beat their covering wildcard; 4- and 5-label
+    PLAIN suffixes register one label above themselves; a host exactly
+    equal to a plain suffix keeps itself even when its parent isn't a
+    suffix (the fall-through would pool it — the data-loss
+    direction)."""
     from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
 
     docs = spark.createDataFrame(
         [
-            (1, "https://abbey.sch.uk/home"),       # 1 under base: exact
-            (2, "https://mail.abbey.sch.uk/inbox"),  # deep: groups under 1
+            (1, "https://abbey.sch.uk/home"),       # <x>.base: PS, itself
+            (2, "https://mail.abbey.sch.uk/inbox"),  # registers at base+2
             (3, "https://other.sch.uk/home"),        # NOT pooled with 1
             (4, "https://city.kawasaki.jp/ward"),    # the exception host
             (5, "https://a.city.kawasaki.jp/x"),     # groups under it
-            (6, "https://ec2-1-2-3-4.us-east-1.compute.amazonaws.com/i"),
-            (7, "https://ec2-9-9-9-9.us-east-1.compute.amazonaws.com/i"),
+            # *.kawasaki.jp (non-exception label): ward.x is a PS;
+            # deeper registers at 4 labels
+            (6, "https://ward.kawasaki.jp/x"),
+            (7, "https://lib.ward.kawasaki.jp/x"),
+            # *.compute.amazonaws.com: per-REGION label is the PS, so
+            # each ec2 host is its own registered domain (exact rule;
+            # the down-projection pooled a whole region)
+            (8, "https://ec2-1-2-3-4.us-east-1.compute.amazonaws.com/i"),
+            (9, "https://ec2-9-9-9-9.us-east-1.compute.amazonaws.com/i"),
+            # 4-label wildcard base (*.compute.amazonaws.com.cn)
+            (10, "https://ec2-1.cn-north-1.compute.amazonaws.com.cn/i"),
+            # 4-label plain suffix: a.prod.fastly.net
+            (11, "https://site.a.prod.fastly.net/x"),
+            (12, "https://cdn.site.a.prod.fastly.net/x"),
+            # 5-label plain suffix
+            (13, "https://app.app.os.stg.fedoraproject.org/x"),
+            # host == 4-label plain suffix: keeps itself (its parent
+            # prod.fastly.net is NOT a suffix — fall-through would
+            # pool it there)
+            (14, "https://a.prod.fastly.net/x"),
         ],
         "doc_id long, url string",
     )
     out = {r["doc_id"]: r for r in url_dedup_domain_cap(docs, cap=9).collect()}
 
     assert out[1]["domain"] == "abbey.sch.uk"
-    assert out[2]["domain"] == "abbey.sch.uk"
+    assert out[2]["domain"] == "mail.abbey.sch.uk"
     assert out[3]["domain"] == "other.sch.uk"
     assert out[4]["domain"] == "city.kawasaki.jp"
     assert out[5]["domain"] == "city.kawasaki.jp"
-    # down-projection: per-region granularity (true rule would give the
-    # 5-label per-host domain; the old bundle pooled ALL of
-    # amazonaws.com into one capped pseudo-domain)
-    assert out[6]["domain"] == "us-east-1.compute.amazonaws.com"
-    assert out[7]["domain"] == "us-east-1.compute.amazonaws.com"
+    assert out[6]["domain"] == "ward.kawasaki.jp"
+    assert out[7]["domain"] == "lib.ward.kawasaki.jp"
+    assert out[8]["domain"] == "ec2-1-2-3-4.us-east-1.compute.amazonaws.com"
+    assert out[9]["domain"] == "ec2-9-9-9-9.us-east-1.compute.amazonaws.com"
+    assert out[10]["domain"] == "ec2-1.cn-north-1.compute.amazonaws.com.cn"
+    assert out[11]["domain"] == "site.a.prod.fastly.net"
+    assert out[12]["domain"] == "site.a.prod.fastly.net"
+    assert out[13]["domain"] == "app.app.os.stg.fedoraproject.org"
+    assert out[14]["domain"] == "a.prod.fastly.net"
 
 
 def test_point_paths_null_vector_raises_descriptive(spark):

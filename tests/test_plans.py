@@ -760,13 +760,14 @@ def test_url_dedup_map_normalize_two_window_exchanges(spark):
     normalization is map-shaped over one documents scan, both keep
     flags derive from windows over that scan, and the plan shuffles
     exactly twice (url_norm, then domain). The ONLY joins are the
-    three explicit-broadcast public-suffix lookups (2-label, 3-label,
-    wildcard-TLD tiers), and the only broadcast builds are those
-    bounded-by-contract suffix local relations — never the corpus."""
+    eight explicit-broadcast public-suffix lookups (plain 2..5-label
+    and wildcard-base 1..4-label tiers — the full PSL algorithm,
+    r15), and the only broadcast builds are those bounded-by-contract
+    suffix local relations — never the corpus."""
     s = _explain(CATALOG["url_dedup"].fn(spark, SF_DIR))
     assert "ShuffledHashJoin" not in s and "SortMergeJoin" not in s, s
     tree = s.split("(1) Scan")[0]
-    assert tree.count("BroadcastHashJoin") == 3, s
+    assert tree.count("BroadcastHashJoin") == 8, s
     assert s.count("hashpartitioning") == 2, s
     assert s.count("Location: InMemoryFileIndex") <= 1, s
     for sub in _broadcast_subtrees(s):

@@ -622,6 +622,9 @@ _urls = st.lists(
                 "zeta.s3.amazonaws.com",      # PSL private, 3-label
                 "theta.kappa.mm",             # PSL wildcard TLD (*.mm)
                 "www.ck",                     # PSL exception (!www.ck)
+                "iota.a.prod.fastly.net",     # PSL plain 4-label (r15)
+                "mu.lib.sch.uk",              # PSL wildcard base-2 (r15)
+                "city.kawasaki.jp",           # PSL 3-label exception (r15)
             ]
         ),
         st.sampled_from(["", ":8080", ":443"]),                     # port
@@ -666,27 +669,54 @@ def test_url_dedup_domain_cap_property(spark, parts, cap):
         return re.sub(r"/$", "", u)
 
     def domain(u):
-        # the public-suffix tier algorithm, independently re-derived
+        # the FULL public-suffix algorithm, independently re-derived
+        # (r15 tiers): exceptions first, then longest matched rule —
+        # plain k-label suffixes register one label above, wildcard
+        # bases two; a host exactly equal to a matched suffix keeps
+        # itself; a wildcard rule matches only hosts under its base
         from airflow_kafka_spark_spark.ext.dedup import (
             _SUFFIXES_2,
             _SUFFIXES_3,
+            _SUFFIXES_4,
+            _SUFFIXES_5,
+            _WILDCARD_BASES_2,
+            _WILDCARD_BASES_3,
+            _WILDCARD_BASES_4,
             _WILDCARD_EXCEPTIONS_2,
+            _WILDCARD_EXCEPTIONS_3,
             _WILDCARD_SUFFIX_TLDS,
         )
 
         m = re.match(r"^(\[[^\]]*\]|[^/:@]+)", u)
         host = m.group(1) if m else ""
         labels = host.split(".")
-        if len(labels) >= 2 and ".".join(labels[-2:]) in _WILDCARD_EXCEPTIONS_2:
-            return ".".join(labels[-2:])
-        if len(labels) >= 4 and ".".join(labels[-3:]) in _SUFFIXES_3:
-            return ".".join(labels[-4:])
-        if len(labels) >= 3 and ".".join(labels[-2:]) in _SUFFIXES_2:
-            return ".".join(labels[-3:])
-        if len(labels) >= 3 and labels[-1] in _WILDCARD_SUFFIX_TLDS:
-            return ".".join(labels[-3:])
-        m = re.search(r"([^.]+\.[^.]+)$", host)
-        return m.group(1) if m else host
+
+        def last(k):
+            return ".".join(labels[-k:]) if len(labels) >= k else None
+
+        if last(3) in _WILDCARD_EXCEPTIONS_3:
+            return last(3)
+        if last(2) in _WILDCARD_EXCEPTIONS_2:
+            return last(2)
+        tiers = [
+            (5, _SUFFIXES_5, False),
+            (4, _WILDCARD_BASES_4, True),
+            (4, _SUFFIXES_4, False),
+            (3, _WILDCARD_BASES_3, True),
+            (3, _SUFFIXES_3, False),
+            (2, _WILDCARD_BASES_2, True),
+            (2, _SUFFIXES_2, False),
+            (1, tuple(_WILDCARD_SUFFIX_TLDS), True),
+        ]
+        for k, table, wild in tiers:
+            if last(k) is None or last(k) not in table:
+                continue
+            if wild:
+                if len(labels) >= k + 1:
+                    return last(k + 2) if len(labels) >= k + 2 else host
+                continue  # a wildcard base matches only hosts under it
+            return last(k + 1) if len(labels) >= k + 1 else host
+        return last(2) if len(labels) >= 2 else host
 
     norms = {i: norm(u) for i, u in rows}
     keepers = {}  # url_norm -> min doc_id

@@ -3,13 +3,21 @@ Suffix List snapshot (publicsuffix.org — public data, MPL 2.0; Debian
 ships a copy at /usr/share/publicsuffix/public_suffix_list.dat).
 
 The engine's registered-domain machinery (``ext/dedup.py``,
-``url_dedup_domain_cap``) is three broadcast lookups: 2-label suffixes
-(domain = last 3 labels), 3-label suffixes (domain = last 4),
-single-label wildcard TLDs (domain = last 3), plus a 2-label exception
-tier checked first. This script extracts exactly the rules those tiers
-can express and records a census of the shapes they cannot (4/5-label
-plain rules, multi-label wildcard bases and their exceptions) so the
-out-of-scope surface is a printed number, not a guess.
+``url_dedup_domain_cap``) expresses the FULL PSL algorithm as tiered
+broadcast lookups, longest matched rule first:
+
+- plain k-label suffixes for k in 2..5 (registered domain = last k+1
+  labels; single-label suffixes need no table — the last-two-labels
+  default already yields the registered domain under them);
+- wildcard bases ``*.B`` for len(B) in 1..4 (every label directly
+  under B is itself a public suffix; registered domain = last
+  len(B)+2 labels);
+- exception rules ``!X`` at depths 2 and 3 (X itself is the
+  registered domain), checked before every other tier.
+
+This script extracts every rule into those shapes and records a census
+of anything deeper (none in current snapshots) so the out-of-scope
+surface is a printed number, not a guess.
 
 IDN rules (the PSL stores U-labels) are emitted in BOTH the unicode
 form and the per-label punycode (A-label) form when IDNA encoding
@@ -35,6 +43,10 @@ DEFAULT_OUT = (
     / "psl_data.py"
 )
 
+MAX_PLAIN = 5  # plain suffix tiers 2..5 (last-(k+1)-labels joins)
+MAX_WILD = 4  # wildcard base tiers 1..4
+MAX_EXC = 3  # exception tiers 2..3
+
 
 def _punycode(rule: str) -> str | None:
     """Per-label IDNA (A-label) form, or None when a label won't encode
@@ -49,6 +61,13 @@ def _punycode(rule: str) -> str | None:
     return enc if enc != rule else None
 
 
+def _add(target: set[str], rule: str) -> None:
+    target.add(rule)
+    puny = _punycode(rule)
+    if puny:
+        target.add(puny)
+
+
 def parse(src: str):
     rules: list[str] = []
     version = "unknown"
@@ -60,44 +79,24 @@ def parse(src: str):
             continue
         rules.append(line.lower())
 
-    s2: set[str] = set()
-    s3: set[str] = set()
-    wild1: set[str] = set()
-    exc2: set[str] = set()
+    plain: dict[int, set[str]] = {k: set() for k in range(2, MAX_PLAIN + 1)}
+    wild: dict[int, set[str]] = {k: set() for k in range(1, MAX_WILD + 1)}
+    exc: dict[int, set[str]] = {k: set() for k in range(2, MAX_EXC + 1)}
     out_of_scope: Counter = Counter()
     for r in rules:
         if r.startswith("!"):
             body = r[1:]
-            if body.count(".") == 1:
-                exc2.add(body)
+            n = body.count(".") + 1
+            if n in exc:
+                _add(exc[n], body)
             else:
-                out_of_scope[f"exception_{body.count('.') + 1}_label"] += 1
+                out_of_scope[f"exception_{n}_label"] += 1
             continue
         if r.startswith("*."):
             base = r[2:]
             nb = base.count(".") + 1
-            if nb == 1:
-                wild1.add(base)
-            elif nb in (2, 3):
-                # DOWN-PROJECTION: a multi-label wildcard base ``*.B``
-                # (the ``*.sch.uk`` / ``*.compute.amazonaws.com`` class)
-                # true rule makes <label>.B the suffix (registered
-                # domain = last len(B)+2 labels). The engine has no
-                # per-wildcard-base tier, so B is bundled as a PLAIN
-                # suffix of its own label count: registered domain =
-                # last len(B)+1 labels — exactly one level coarser than
-                # the true rule for deep hosts, identical for hosts at
-                # or one label under B, and never coarser than the
-                # last-2-labels default that ignoring the rule would
-                # give. This also subsumes the ``!city.kawasaki.jp``
-                # exception class at its own depth: the exception host
-                # and everything one label under it already resolve to
-                # the exception host.
-                (s2 if nb == 2 else s3).add(base)
-                puny = _punycode(base)
-                if puny:
-                    (s2 if nb == 2 else s3).add(puny)
-                out_of_scope[f"wildcard_base_{nb}_label_downprojected"] += 1
+            if nb in wild:
+                _add(wild[nb], base)
             else:
                 out_of_scope[f"wildcard_base_{nb}_label"] += 1
             continue
@@ -106,22 +105,29 @@ def parse(src: str):
             # single-label suffixes need no table: the last-two-labels
             # default already yields the registered domain under them
             continue
-        target = s2 if n == 2 else s3 if n == 3 else None
-        if target is None:
+        if n in plain:
+            _add(plain[n], r)
+        else:
             out_of_scope[f"plain_{n}_label"] += 1
-            continue
-        target.add(r)
-        puny = _punycode(r)
-        if puny:
-            target.add(puny)
-    return version, sorted(s2), sorted(s3), sorted(wild1), sorted(exc2), out_of_scope
+    return (
+        version,
+        {k: sorted(v) for k, v in plain.items()},
+        {k: sorted(v) for k, v in wild.items()},
+        {k: sorted(v) for k, v in exc.items()},
+        out_of_scope,
+    )
 
 
-def emit(version, s2, s3, wild1, exc2, oos, out_path):
+def emit(version, plain, wild, exc, oos, out_path):
     def tup(name, vals):
         body = "\n".join(f"    {v!r}," for v in vals)
-        return f"{name} = (\n{body}\n)\n"
+        return f"{name} = (\n{body}\n)\n" if vals else f"{name} = ()\n"
 
+    sizes = ", ".join(
+        [f"plain{k}={len(plain[k])}" for k in sorted(plain)]
+        + [f"wild{k}={len(wild[k])}" for k in sorted(wild)]
+        + [f"exc{k}={len(exc[k])}" for k in sorted(exc)]
+    )
     header = f'''"""Public Suffix List snapshot, generated — do not edit by hand.
 
 Source: publicsuffix.org (public data, MPL 2.0), via the OS-packaged
@@ -130,40 +136,35 @@ copy of public_suffix_list.dat; regenerate with
 
 Contents (ICANN + PRIVATE sections merged — the registered-domain
 lookup treats them identically; IDN rules appear in unicode AND
-punycode forms):
+punycode forms): {sizes}.
 
-- ``PSL_SUFFIXES_2`` ({len(s2)}): 2-label public suffixes — registered
-  domain under them is the last THREE labels.
-- ``PSL_SUFFIXES_3`` ({len(s3)}): 3-label public suffixes — last FOUR.
-- ``PSL_WILDCARD_TLDS`` ({len(wild1)}): ``*.<tld>`` single-label
-  wildcard bases — every label directly under them is itself a public
-  suffix (registered domain = last three labels).
-- ``PSL_WILDCARD_EXCEPTIONS_2`` ({len(exc2)}): ``!host.tld`` carve-outs
-  checked before every other tier.
+- ``PSL_SUFFIXES_k`` (k in 2..5): plain k-label public suffixes —
+  registered domain under them is the last k+1 labels.
+- ``PSL_WILDCARD_TLDS`` / ``PSL_WILDCARD_BASES_k`` (k in 2..4):
+  ``*.B`` wildcard bases by base label count — every label directly
+  under B is itself a public suffix (registered domain = last
+  len(B)+2 labels).
+- ``PSL_WILDCARD_EXCEPTIONS_2/3``: ``!host`` carve-outs (the host IS
+  the registered domain), checked before every other tier.
 
-Rules the tiers cannot express EXACTLY, counted at generation time so
-the gap is a census, not a guess: {dict(sorted(oos.items()))!r}.
-Keys ending ``_downprojected`` are APPROXIMATED (the multi-label
-wildcard base is bundled as a plain suffix of its own label count —
-one level coarser than the true rule, see tools/gen_psl_data.py);
-that approximation also covers the 3-label exceptions at their own
-depth. The rest are dropped: 4/5-label plain rules would need
-last-5/6-label tiers; see ext/dedup.py's tier commentary.
+Rules the tiers cannot express, counted at generation time so the gap
+is a census, not a guess: {dict(sorted(oos.items()))!r}.
 """
 
 '''
     out = header
-    out += tup("PSL_SUFFIXES_2", s2) + "\n"
-    out += tup("PSL_SUFFIXES_3", s3) + "\n"
-    out += tup("PSL_WILDCARD_TLDS", wild1) + "\n"
-    out += tup("PSL_WILDCARD_EXCEPTIONS_2", exc2) + "\n"
+    for k in sorted(plain):
+        out += tup(f"PSL_SUFFIXES_{k}", plain[k]) + "\n"
+    out += tup("PSL_WILDCARD_TLDS", wild[1]) + "\n"
+    for k in sorted(wild):
+        if k >= 2:
+            out += tup(f"PSL_WILDCARD_BASES_{k}", wild[k]) + "\n"
+    for k in sorted(exc):
+        out += tup(f"PSL_WILDCARD_EXCEPTIONS_{k}", exc[k]) + "\n"
     out += f"PSL_OUT_OF_SCOPE_COUNTS = {dict(sorted(oos.items()))!r}\n"
     out += f"PSL_VERSION = {version!r}\n"
     Path(out_path).write_text(out, encoding="utf-8")
-    print(
-        f"wrote {out_path}: s2={len(s2)} s3={len(s3)} wild1={len(wild1)} "
-        f"exc2={len(exc2)} out_of_scope={sum(oos.values())} version={version}"
-    )
+    print(f"wrote {out_path}: {sizes} out_of_scope={sum(oos.values())} version={version}")
 
 
 if __name__ == "__main__":
