@@ -2434,6 +2434,51 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def q_tfidf_rank_cert(spark, sf_dir):
+    """tf-idf rank-equality certification — the tfidf leg of the
+    COVERAGE.md contingency for the libm-``log`` standing exception
+    (the bm25 leg is ``bm25_rank_cert``): the SAME per-document top-3
+    ranking as ``tfidf_topk`` with the float score column PROJECTED
+    AWAY, hash-compared against DuckDB's from-scratch tf-idf ranking.
+    The compared values are (doc_id, rnk, term) — integers and exact
+    strings only — so a last-ulp idf disagreement can only flake this
+    row by actually REORDERING two terms (ranking is on the
+    6dp-rounded score with term tiebreaks, the event that would
+    matter). If ``tfidf_topk``'s float hash ever flakes, it demotes to
+    rows-only and this cert keeps the ranking oracled.
+
+    Scale: identical plan to ``tfidf_topk`` (two keyed aggregates, a
+    shuffle_hash-pinned vocabulary join, one broadcast 1-row count)
+    minus one output column."""
+    from ..ext.textstats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3).select("doc_id", "rnk", "term")
+
+
+SQL_TFIDF_RANK_CERT = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+pairs AS (
+  SELECT doc_id, u.term AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks, UNNEST(t) AS u(term) GROUP BY doc_id, u.term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term,
+         ROUND(CAST(p.tf AS DOUBLE)
+               * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)), 6) AS score
+  FROM pairs p JOIN dfreq d ON p.term = d.term, n
+),
+ranked AS (
+  SELECT doc_id, term,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, term FROM ranked WHERE rnk <= 3
+"""
+
+
 def q_ngram_topk(spark, sf_dir):
     """Corpus-wide top-20 bigram census (ext.textstats.corpus_bigram_topk):
     one explode + one hash aggregate with map-side combine, TakeOrdered
@@ -7145,6 +7190,7 @@ CATALOG: dict[str, Query] = {
     "repetition_stats": Query(q_repetition_stats, SQL_REPETITION_STATS),
     "pii_redact": Query(q_pii_redact, SQL_PII_REDACT),
     "tfidf_topk": Query(q_tfidf_topk, SQL_TFIDF_TOPK),
+    "tfidf_rank_cert": Query(q_tfidf_rank_cert, SQL_TFIDF_RANK_CERT),
     "ngram_topk": Query(q_ngram_topk, SQL_NGRAM_TOPK),
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "chunk_dedup": Query(q_chunk_dedup, SQL_CHUNK_DEDUP, headline=True),
