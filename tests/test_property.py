@@ -938,3 +938,108 @@ def test_quality_checks_matches_set_theoretic_reference(spark, rows):
         "unique:k": sum(1 for c in key_counts.values() if c > 1),
     }
     assert got == expect, (rows, got, expect)
+
+
+_fence_calls = st.lists(
+    st.tuples(
+        st.sampled_from(["qA", "qB", None]),           # incarnation
+        st.integers(min_value=0, max_value=3),          # batch_id
+        st.lists(                                       # events (p, o)
+            st.tuples(
+                st.integers(min_value=0, max_value=2),
+                st.integers(min_value=0, max_value=5),
+            ),
+            min_size=1,
+            max_size=6,
+            unique=True,
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(calls=_fence_calls)
+@settings(max_examples=5, deadline=None)
+def test_rollup_offset_fence_differential_property(spark, calls):
+    """The rollup's dual replay fence (batch-id marks + offset
+    high-water map, r15) == a python simulation of its DOCUMENTED
+    contract over arbitrary interleavings of incarnations, batch ids
+    and (partition, offset) event sets — crash replays, rollbacks to
+    old incarnations, fresh checkpoints re-reading from earliest, and
+    partial-overlap batches all included. Event values are distinct
+    powers of two, so the stored decimal total uniquely identifies the
+    SET of folded events: every event folds at most once, exactly when
+    its offset first exceeds the stored per-partition mark and the
+    batch-id fence lets the batch through."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.streaming.rollup import (
+        merge_batch_into_rollup,
+    )
+
+    root = tempfile.mkdtemp()
+    try:
+        rollup = os.path.join(root, "rollup")
+        marks: dict[str, int] = {}
+        last_inc = None
+        last_bid = None
+        offsets: dict[int, int] = {}
+        folded: set[tuple[int, int]] = set()
+        for inc, bid, events in calls:
+            df = spark.createDataFrame(
+                [
+                    (
+                        "2024-01-01 10:00:00",
+                        "view",
+                        float(2 ** (p * 6 + o)),
+                        p,
+                        o,
+                    )
+                    for p, o in events
+                ],
+                "ts string, event_type string, value double,"
+                " partition int, offset long",
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+            got = merge_batch_into_rollup(
+                rollup,
+                df,
+                bid,
+                incarnation=inc,
+                offset_cols=("partition", "offset"),
+            )
+            # --- simulate the documented fence, in order of precedence
+            if last_bid is None:
+                replayed = False  # no sidecar yet
+            elif inc is not None and inc in marks:
+                replayed = bid <= marks[inc]
+            elif inc is not None and last_inc is not None and last_inc != inc:
+                replayed = False  # genuinely new batch-id sequence
+            else:
+                replayed = bid <= last_bid
+            merged = False
+            if not replayed:
+                fresh = [(p, o) for p, o in events if o > offsets.get(p, -1)]
+                merged = bool(fresh)
+                if merged:
+                    folded.update(fresh)
+                    for p, o in events:  # maxima from the raw batch
+                        offsets[p] = max(offsets.get(p, -1), o)
+                    if inc is not None:
+                        marks[inc] = bid
+                    last_inc, last_bid = inc, bid
+            assert got is merged, (calls, inc, bid, events)
+        if folded:
+            total = float(
+                spark.read.parquet(rollup)
+                .agg(F.sum(F.col("_sum_v").cast("double")))
+                .collect()[0][0]
+            )
+            expect = float(sum(2 ** (p * 6 + o) for p, o in folded))
+            assert total == expect, (calls, folded, total, expect)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
