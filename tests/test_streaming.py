@@ -1007,6 +1007,39 @@ def test_rollup_offset_fence_dedups_events_across_incarnations(
     assert total() == 127.0  # table untouched by either rejected batch
 
 
+def test_continuous_rollup_example_exactly_once(spark, tmp_path):
+    """examples/continuous_rollup.py end-to-end: three per-partition
+    contiguous micro-batches fold into the stored rollup; a
+    within-incarnation crash replay and a fresh-checkpoint
+    full-source replay both no-op (batch fence, offset fence); a
+    partially-new batch folds exactly its new tail; and the stored
+    decimal total equals the exact one-shot aggregate throughout."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "continuous_rollup.py",
+    )
+    spec = importlib.util.spec_from_file_location("continuous_rollup_ex", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    facts = mod.run_demo(spark, "/root/testdata/sf0.001", str(tmp_path))
+    assert facts["n_events"] > 0
+    assert facts["replay_within"] is False   # batch-id fence
+    assert facts["replay_fresh"] is False    # offset fence
+    assert facts["after_run1"] == facts["exact"]
+    assert facts["after_replay"] == facts["exact"]
+    assert facts["folded_tail"] is True      # only the new rows fold
+    assert facts["after_tail"] == round(
+        facts["exact"] + facts["tail_sum"], 6
+    )
+    # HLL estimate of hourly distinct users: positive and sane
+    assert 0 < facts["users_est_total"]
+
+
 def test_upsert_partitioned_bootstraps_new_table(spark, tmp_path):
     """The first-ever upsert initializes the table instead of raising
     on the missing path (r13 review) — including latest-per-key dedup
