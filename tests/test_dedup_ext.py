@@ -2787,6 +2787,90 @@ def test_url_dedup_exact_wildcard_bases_and_deep_tiers(spark):
     assert out[14]["domain"] == "a.prod.fastly.net"
 
 
+def test_url_dedup_canonical_psl_vectors(spark):
+    """The publicsuffix.org CANONICAL test vectors (the project's own
+    checkPublicSuffix suite — public data), adapted to the engine's
+    two documented conventions: a host that IS a public suffix keeps
+    itself (canonical: null registrable domain), and the normalizer
+    strips ONE leading ``www.`` before derivation (so the canonical
+    bare-``www.ck`` vector is asserted at its documented deviation).
+    The jp block alone walks a plain 2-label rule (ac.jp), a 2-label
+    rule that is also a geo name (kyoto.jp), a plain 3-label rule
+    (ide.kyoto.jp), a 2-label WILDCARD base (*.kobe.jp) and its
+    3-label EXCEPTION (!city.kobe.jp) — every r15 tier against the
+    algorithm's reference answers, not our own expectations."""
+    from airflow_kafka_spark_spark.ext.dedup import url_dedup_domain_cap
+
+    # (host, canonical registrable domain; None = host is a public
+    # suffix → engine keeps it as its own domain)
+    vectors = [
+        # Mixed case / unlisted TLD
+        ("example.COM", "example.com"),
+        ("a.b.example.com", "example.com"),
+        ("example.example", "example.example"),
+        ("b.example.example", "example.example"),
+        # TLD with only 1 (implicit) rule
+        ("domain.biz", "domain.biz"),
+        ("b.domain.biz", "domain.biz"),
+        # uk
+        ("example.co.uk", "example.co.uk"),
+        ("b.example.co.uk", "example.co.uk"),
+        # jp: plain 2-label, geo 2-label, plain 3-label, wildcard
+        # *.kobe.jp and its !city.kobe.jp exception
+        ("test.jp", "test.jp"),
+        ("ac.jp", None),
+        ("test.ac.jp", "test.ac.jp"),
+        ("www2.test.ac.jp", "test.ac.jp"),
+        ("kyoto.jp", None),
+        ("test.kyoto.jp", "test.kyoto.jp"),
+        ("ide.kyoto.jp", None),
+        ("b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+        ("a.b.ide.kyoto.jp", "b.ide.kyoto.jp"),
+        ("c.kobe.jp", None),
+        ("b.c.kobe.jp", "b.c.kobe.jp"),
+        ("a.b.c.kobe.jp", "b.c.kobe.jp"),
+        ("city.kobe.jp", "city.kobe.jp"),
+        ("sub.city.kobe.jp", "city.kobe.jp"),
+        # ck: wildcard TLD + !www.ck exception (subdomain form — the
+        # bare form is the documented www-strip deviation, below)
+        ("test.ck", None),
+        ("b.test.ck", "b.test.ck"),
+        ("a.b.test.ck", "b.test.ck"),
+        ("www.www.ck", "www.ck"),
+        # us: state 2-label + k12 3-label
+        ("test.us", "test.us"),
+        ("ak.us", None),
+        ("test.ak.us", "test.ak.us"),
+        ("www2.test.ak.us", "test.ak.us"),
+        ("k12.ak.us", None),
+        ("test.k12.ak.us", "test.k12.ak.us"),
+        # IDN: unicode form and its punycode twin resolve identically
+        ("食狮.com.cn", "食狮.com.cn"),
+        ("www2.食狮.com.cn", "食狮.com.cn"),
+        ("xn--85x722f.com.cn", "xn--85x722f.com.cn"),
+        ("www2.xn--85x722f.com.cn", "xn--85x722f.com.cn"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, f"https://{h}/x") for i, (h, _) in enumerate(vectors)],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: r["domain"]
+        for r in url_dedup_domain_cap(docs, cap=99).collect()
+    }
+    for i, (host, want) in enumerate(vectors):
+        expect = want if want is not None else host.lower()
+        assert out[i] == expect, (host, want, out[i])
+
+    # the documented www-strip deviation: the canonical vector says
+    # www.ck registers as www.ck, but a BARE www.ck URL loses its www.
+    # to the pre-PSL normalizer and reaches the tiers as host "ck"
+    bare = spark.createDataFrame(
+        [(0, "https://www.ck/x")], "doc_id long, url string"
+    )
+    assert url_dedup_domain_cap(bare, cap=9).collect()[0]["domain"] == "ck"
+
+
 def test_point_paths_null_vector_raises_descriptive(spark):
     """A PRESENT query row with a NULL vector must raise the module's
     descriptive ValueError, not a bare TypeError from iterating None
