@@ -114,8 +114,12 @@ def _meta_payload(
     (direct callers) are tracked only via last_batch_id, as before.
     ``offsets`` (the per-source-partition event fence, see
     :func:`_apply_offset_fence`) replaces the stored map when given and
-    is carried forward untouched otherwise — a caller that stops
-    passing ``offset_cols`` must not silently erase the fence.
+    is carried forward untouched otherwise — defensive: a fence must
+    never be silently erased. (``merge_batch_into_rollup`` additionally
+    REJECTS a fold without ``offset_cols`` once a fence exists, because
+    merging events without advancing the stored marks would let a later
+    replay of those same events double-fold — the carry-forward alone
+    cannot prevent that.)
 
     ``marks`` grows by one entry per incarnation ever seen and is never
     pruned — intentional: each entry is ~50 bytes, incarnations are
@@ -136,6 +140,17 @@ def _meta_payload(
     return payload
 
 
+def _free_name(base: str, taken) -> str:
+    """A helper-column name guaranteed absent from ``taken`` — fence
+    join columns must never collide with same-named batch columns."""
+    name = base
+    i = 0
+    while name in taken:
+        i += 1
+        name = f"{base}_{i}"
+    return name
+
+
 def _apply_offset_fence(
     batch_df: DataFrame, meta: dict | None, offset_cols: tuple[str, str]
 ) -> tuple[DataFrame | None, dict | None]:
@@ -152,11 +167,15 @@ def _apply_offset_fence(
     partition, offsets are unique, NON-NULL and monotone in delivery
     order (the Kafka contract — pass ``("partition", "offset")``; for
     multi-topic streams pre-concat a ``topic || '-' || partition``
-    column so keys don't collide across topics). NULLs in either fence
-    column raise eagerly: a NULL offset would otherwise be silently
-    DROPPED by the fence filter (``NULL > x`` is NULL) — the
-    silent-data-loss direction — and a NULL partition key can't
-    round-trip through the JSON sidecar.
+    column so keys don't collide across topics). The eager census
+    validates the CAST expression the replay filter actually compares
+    (``CAST(offset AS LONG)``), not just the raw column: a raw NULL or
+    a non-numeric string (casts to NULL) would be silently DROPPED by
+    the filter (``NULL > x`` is NULL) — the silent-data-loss direction
+    — a fractional value would TRUNCATE and mis-fence, and a negative
+    offset collides with the ``-1`` never-seen sentinel. All four
+    raise; a NULL partition key also raises (it can't round-trip
+    through the JSON sidecar).
 
     Scale: the stored map is one entry per source partition (kilobytes
     at thousands of partitions); the fence frame is explicitly
@@ -171,28 +190,51 @@ def _apply_offset_fence(
         )
     stored = dict((meta or {}).get("offsets") or {})
     part_str = F.col(part_col).cast("string")
+    off_long = F.col(off_col).cast("long")
+    # exact integrality probe: CAST AS LONG truncates, so compare the
+    # long back against a decimal cast of the raw value (exact decimal
+    # equality, pure non-libm ops). NULL when either cast overflows or
+    # fails — coalesced to "bad" below.
+    off_integral = off_long.cast("decimal(38,9)") == F.col(off_col).cast(
+        "decimal(38,9)"
+    )
     # one bounded aggregate over the RAW batch (pre-filter, so replayed
-    # rows are still visible to the NULL census): per-partition max
-    # offset + NULL count. Replayed partitions can only report maxima
-    # at or below their stored mark, which the monotone merge ignores.
+    # rows are still visible to the census): per-partition max offset
+    # plus a census of every value the fence filter cannot compare —
+    # on the CAST expression the filter actually uses. Replayed
+    # partitions can only report maxima at or below their stored mark,
+    # which the monotone merge ignores.
     agg_rows = (
         batch_df.groupBy(part_str.alias("p"))
         .agg(
-            F.max(F.col(off_col).cast("long")).alias("m"),
+            F.max(off_long).alias("m"),
             F.sum(
-                (F.col(part_col).isNull() | F.col(off_col).isNull()).cast(
-                    "long"
-                )
+                (F.col(part_col).isNull() | off_long.isNull()).cast("long")
             ).alias("nulls"),
+            F.sum((off_long < 0).cast("long")).alias("negs"),
+            F.sum(
+                (
+                    off_long.isNotNull()
+                    & F.coalesce(~off_integral, F.lit(True))
+                ).cast("long")
+            ).alias("nonint"),
         )
         .collect()
     )
-    bad = sum(row["nulls"] for row in agg_rows)
-    if bad:
+    # `negs` is NULL for a group whose offsets are all NULL ((NULL < 0)
+    # is NULL, and SUM over all-NULL inputs is NULL) — treat as 0; the
+    # NULL census catches those rows
+    nulls = sum(int(row["nulls"] or 0) for row in agg_rows)
+    negs = sum(int(row["negs"] or 0) for row in agg_rows)
+    nonint = sum(int(row["nonint"] or 0) for row in agg_rows)
+    if nulls or negs or nonint:
         raise ValueError(
-            f"offset fence: {bad} row(s) with NULL {part_col}/{off_col} — "
-            "fence columns must be non-null (a NULL offset would be "
-            "silently dropped by the replay filter)"
+            f"offset fence: unusable {part_col}/{off_col} values — "
+            f"{nulls} NULL (raw, or non-numeric after CAST AS LONG), "
+            f"{negs} negative, {nonint} non-integral. Fence columns must "
+            "be non-null with non-negative integral offsets: the replay "
+            "filter compares CAST(offset AS LONG) > mark, so such rows "
+            "would be silently dropped or mis-fenced instead of folded"
         )
     if not any(
         row["m"] > int(stored.get(row["p"], -1)) for row in agg_rows
@@ -203,21 +245,20 @@ def _apply_offset_fence(
         merged[row["p"]] = max(int(merged.get(row["p"], -1)), int(row["m"]))
     fenced = batch_df
     if stored:
+        fp = _free_name("_fence_part", batch_df.columns)
+        fm = _free_name("_fence_max", batch_df.columns)
         fence = batch_df.sparkSession.createDataFrame(
             [(str(p), int(o)) for p, o in stored.items()],
-            "_fence_part string, _fence_max long",
+            f"{fp} string, {fm} long",
         )
         fenced = (
             batch_df.join(
                 F.broadcast(fence),
-                part_str == F.col("_fence_part"),
+                part_str == F.col(fp),
                 "left",
             )
-            .filter(
-                F.col(off_col).cast("long")
-                > F.coalesce(F.col("_fence_max"), F.lit(-1))
-            )
-            .drop("_fence_part", "_fence_max")
+            .filter(off_long > F.coalesce(F.col(fm), F.lit(-1)))
+            .drop(fp, fm)
         )
     return fenced, merged
 
@@ -258,6 +299,13 @@ def merge_batch_into_rollup(
     offsets (or a fresh rollup path); either way, give each rollup
     table one writing query at a time.
 
+    Mode mixing is rejected: once a rollup carries an offset fence,
+    a fold WITHOUT ``offset_cols`` raises. Such a fold would merge its
+    events while leaving the stored marks stale, so re-enabling the
+    fence later would let a replay of exactly those events double-fold
+    — the fence would claim coverage it doesn't have. Dropping the
+    fence deliberately means starting a fresh rollup path.
+
     The merged table is written to a staging dir and swapped atomically
     with its meta sidecar (same crash-recovery protocol as
     ``sources.sinks.upsert_partitioned``), so a crash between write and
@@ -272,6 +320,15 @@ def merge_batch_into_rollup(
     # the fence first would silently restart the rollup from empty
     _recover_and_clean(rollup_path, staging, backup)
     meta = _load_meta(os.path.join(rollup_path, _META))
+    if offset_cols is None and (meta or {}).get("offsets"):
+        raise ValueError(
+            f"rollup at {rollup_path} carries an offset fence "
+            "('offsets' in the meta sidecar) but offset_cols was not "
+            "passed: folding without the fence leaves the stored marks "
+            "stale, so re-enabling offset_cols later would double-fold "
+            "a replay of these events. Pass offset_cols, or use a "
+            "fresh rollup path to deliberately drop the fence."
+        )
     if _replayed(meta, batch_id, incarnation):
         return False
     offsets = None

@@ -967,19 +967,25 @@ def test_rollup_offset_fence_dedups_events_across_incarnations(
     with open(os.path.join(rollup, "_rollup_meta.json")) as f:
         assert json.load(f)["offsets"] == {"0": 4, "1": 0}
 
-    # a caller that stops passing offset_cols must not erase the fence
-    assert (
+    # mode mixing is rejected: once the fence exists, a fold WITHOUT
+    # offset_cols raises — merging while leaving the marks stale would
+    # let a later replay of those events double-fold (r16, ADVICE)
+    with pytest.raises(ValueError, match="offset fence"):
         merge_batch_into_rollup(rollup, ev([(64.0, 0, 5)]), 3,
                                 incarnation="qB")
-        is True
-    )
     with open(os.path.join(rollup, "_rollup_meta.json")) as f:
         assert json.load(f)["offsets"] == {"0": 4, "1": 0}
-    # ...so re-enabling it still fences the old range (offset 4 replay)
+    # the fence still covers the old range (offset 4 replay drops)
     assert (
         merge_batch_into_rollup(rollup, ev([(16.0, 0, 4)]), 0,
                                 incarnation="qC", offset_cols=oc)
         is False
+    )
+    # folding WITH offset_cols still works after the rejected call
+    assert (
+        merge_batch_into_rollup(rollup, ev([(64.0, 0, 5)]), 1,
+                                incarnation="qC", offset_cols=oc)
+        is True
     )
     assert total() == 127.0
 
@@ -1000,11 +1006,53 @@ def test_rollup_offset_fence_dedups_events_across_incarnations(
         "ts string, event_type string, value double,"
         " partition int, offset long",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    with pytest.raises(ValueError, match="non-null"):
+    with pytest.raises(ValueError, match="NULL"):
         merge_batch_into_rollup(
             rollup, nullish, 9, incarnation="qC", offset_cols=oc
         )
-    assert total() == 127.0  # table untouched by either rejected batch
+
+    # the census checks the CAST expression the filter compares, not
+    # just the raw column (r16, ADVICE): a non-numeric string offset
+    # casts to NULL (would be silently dropped), a fractional value
+    # truncates (would mis-fence), a negative collides with the -1
+    # never-seen sentinel — all raise eagerly.
+    def ev_str(offset_val):
+        return spark.createDataFrame(
+            [("2024-01-01 10:00:00", "view", 1.0, 0, offset_val)],
+            "ts string, event_type string, value double,"
+            " partition int, offset string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    with pytest.raises(ValueError, match="NULL"):
+        merge_batch_into_rollup(
+            rollup, ev_str("not-a-number"), 9,
+            incarnation="qC", offset_cols=oc,
+        )
+    with pytest.raises(ValueError, match="non-integral"):
+        merge_batch_into_rollup(
+            rollup, ev_str("6.5"), 9, incarnation="qC", offset_cols=oc
+        )
+    with pytest.raises(ValueError, match="negative"):
+        merge_batch_into_rollup(
+            rollup, ev([(1.0, 0, -3)]), 9,
+            incarnation="qC", offset_cols=oc,
+        )
+    assert total() == 127.0  # table untouched by every rejected batch
+
+    # fence helper names must not collide with batch columns: a batch
+    # carrying its own `_fence_max` column still fences correctly
+    collide = (
+        ev([(16.0, 0, 4), (128.0, 0, 6)])
+        .withColumn("_fence_max", F.lit(999))
+        .withColumn("_fence_part", F.lit("zz"))
+    )
+    assert (
+        merge_batch_into_rollup(
+            rollup, collide, 2, incarnation="qC", offset_cols=oc
+        )
+        is True
+    )
+    assert total() == 255.0  # only offset 6 folded; replayed 4 dropped
 
 
 def test_continuous_rollup_example_exactly_once(spark, tmp_path):
