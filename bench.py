@@ -61,6 +61,26 @@ def load_bench_artifact(path: str, with_path: bool = False):
     return (data, path) if with_path else data
 
 
+def _per_pass_normalized(
+    runs: dict[str, list[float]], probe_samples: list[float]
+) -> dict[str, float]:
+    """Probe-normalized query times, computed per PASS: the median over
+    passes of ``query_time[p] / probe_time[p]`` where both numbers were
+    measured in the same interleaved pass (r16, VERDICT item 3). The
+    old definition divided a query's best-of-N by a probe measured ONCE
+    up front — a bursty host could sample the probe in a quiet window
+    and every normalized ratio inverted (r15 driver run: probes 11%
+    faster, every query slower). Pairing numerator and denominator
+    inside the same load window makes a uniform slow pass cancel out,
+    and the cross-pass median drops a single bursty pass entirely."""
+    out: dict[str, float] = {}
+    for name, rs in runs.items():
+        ratios = [r / p for r, p in zip(rs, probe_samples) if p]
+        if ratios:
+            out[name] = round(sorted(ratios)[len(ratios) // 2], 2)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -82,8 +102,17 @@ def main() -> None:
     # Cross-round query deltas divide by the matching probe's ratio
     # before being called regressions — r5's +50-90% "regression" was a
     # uniform host-performance shift that could only be asserted, not
-    # measured. Three probes cover the three cost regimes: pure JVM
-    # codegen CPU, parquet scan+decode, and a keyed shuffle.
+    # measured. Probes cover the cost regimes: pure JVM codegen CPU,
+    # parquet scan+decode, a keyed shuffle, and a 12-action stage chain
+    # (iterative queries are bound by PER-STAGE-BARRIER latency, which
+    # throughput probes under-correct — the r10 A/B bisection).
+    #
+    # The shuffle and chain probes are NOT timed up front: they are
+    # spliced into every interleaved query pass (r16, VERDICT item 3)
+    # so their samples see the same load window as that pass's queries.
+    # r15's driver run showed the failure mode of once-up-front probes:
+    # a bursty host sampled them in a quiet moment (probes 11% faster,
+    # every query slower) and every normalized ratio inverted.
     def _best_of(fn, n=3) -> float:
         runs = []
         for _ in range(n):
@@ -105,36 +134,18 @@ def main() -> None:
             .selectExpr("sum(l_quantity) AS s", "count(*) AS n")
             .collect()
         ),
-        "shuffle_groupby_sec": _best_of(
-            lambda: spark.range(20_000_000)
-            .selectExpr("id % 100000 AS g")
-            .groupBy("g")
-            .count()
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        ),
-        # Fourth probe (r10): a chain of 12 tiny sequential actions.
-        # The three single-shot probes measure throughput; iterative
-        # queries (pagerank, connected components, the checkpointing
-        # loops) are bound by PER-STAGE-BARRIER latency — under bursty
-        # external load every barrier waits for a straggler, so a
-        # 20-stage job inflates with stage COUNT, not wall share (the
-        # r10 A/B bisection showed the throughput probes under-correct
-        # exactly these queries). This probe inflates the same way.
-        "stage_chain_sec": _best_of(
-            lambda: [
-                spark.range(200_000)
-                .selectExpr("id % 1000 AS g")
-                .groupBy("g")
-                .count()
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-                for _ in range(12)
-            ]
-        ),
     }
+
+    def _probe_shuffle() -> None:
+        spark.range(20_000_000).selectExpr("id % 100000 AS g").groupBy(
+            "g"
+        ).count().write.format("noop").mode("overwrite").save()
+
+    def _probe_chain() -> None:
+        for _ in range(12):
+            spark.range(200_000).selectExpr("id % 1000 AS g").groupBy(
+                "g"
+            ).count().write.format("noop").mode("overwrite").save()
 
     # $SPARK_GRAFT_BENCH_RUNS (default 3): min-of-N with per-run cache
     # clearing, repetitions INTERLEAVED across the query set (VERDICT r9
@@ -157,34 +168,71 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    def interleaved(named_fns: list) -> dict[str, list[float]]:
+    def interleaved(
+        named_fns: list, probes: dict | None = None
+    ) -> tuple[dict[str, list[float]], dict[str, list[float]]]:
+        """One timing sample per (name, pass). ``probes`` ({name: thunk})
+        are spliced into each pass at evenly-spaced positions and timed
+        like queries — each probe sample shares its pass's load window,
+        which is what makes per-pass normalization meaningful."""
         runs: dict[str, list[float]] = {name: [] for name, _ in named_fns}
+        probe_runs: dict[str, list[float]] = {
+            name: [] for name in (probes or {})
+        }
         for _ in range(n_runs):
-            for name, fn in named_fns:
-                runs[name].append(run_once(fn))
-        return runs
+            seq: list = list(named_fns)
+            if probes:
+                step = max(1, len(seq) // (len(probes) + 1))
+                for i, (pname, pfn) in enumerate(probes.items(), start=1):
+                    seq.insert(min(i * step + i - 1, len(seq)), (None, (pname, pfn)))
+            for name, fn in seq:
+                if name is None:
+                    pname, pfn = fn
+                    t0 = time.perf_counter()
+                    pfn()
+                    probe_runs[pname].append(time.perf_counter() - t0)
+                else:
+                    runs[name].append(run_once(fn))
+        return runs, probe_runs
 
-    all_runs = interleaved(list(headline_queries().items()))
+    all_runs, probe_runs = interleaved(
+        list(headline_queries().items()),
+        probes={
+            "shuffle_groupby": _probe_shuffle,
+            "stage_chain": _probe_chain,
+        },
+    )
+    shuffle_samples = probe_runs["shuffle_groupby"]
+    chain_samples = probe_runs["stage_chain"]
+    # calibration keys keep their historical meaning (best observed
+    # probe time) but are now drawn from time-separated in-pass samples;
+    # the raw per-pass series is recorded alongside so the artifact
+    # shows the load spread the normalization had to absorb.
+    calibration["shuffle_groupby_sec"] = round(min(shuffle_samples), 3)
+    calibration["stage_chain_sec"] = round(min(chain_samples), 3)
+    calibration["shuffle_groupby_per_pass"] = [
+        round(x, 3) for x in shuffle_samples
+    ]
+    calibration["stage_chain_per_pass"] = [round(x, 3) for x in chain_samples]
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     first_run: dict[str, float] = {}
-    normalized: dict[str, float] = {}
-    normalized_chain: dict[str, float] = {}
     # calibration-normalized columns (VERDICT r9 item 2): query_sec over
     # a probe's sec — host-independent numbers comparable across rounds.
     # Two denominators because queries live in two cost regimes: the
     # shuffle probe tracks throughput-bound queries; the stage-chain
     # probe tracks iterative/barrier-bound queries (pagerank, cc — the
     # r10 A/B bisection showed the throughput probes under-correct
-    # them). Quote queries_normalized_chain for iterative rows.
-    shuffle_probe = calibration["shuffle_groupby_sec"]
-    chain_probe = calibration["stage_chain_sec"]
+    # them). Quote queries_normalized_chain for iterative rows. Since
+    # r16 the ratio is taken per PASS (query over the probe sample from
+    # the SAME pass, median across passes — see _per_pass_normalized).
+    normalized = _per_pass_normalized(all_runs, shuffle_samples)
+    normalized_chain = _per_pass_normalized(all_runs, chain_samples)
     for name, runs in all_runs.items():
         first_run[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
         medians[name] = round(sorted(runs)[len(runs) // 2], 3)
-        normalized[name] = round(min(runs) / shuffle_probe, 2)
-        normalized_chain[name] = round(min(runs) / chain_probe, 2)
 
     # fixed-point face-off, tracked per round (VERDICT r4 item 7):
     # the SAME three scale-6 q1 measures through decimal_sum vs the
@@ -209,7 +257,7 @@ def main() -> None:
             decimal_sum(disc).alias("sum_disc_price"),
         )
 
-    faceoff_runs = interleaved(
+    faceoff_runs, _ = interleaved(
         [
             ("decimal_3sums", q1_decimal_3sums),
             ("fixed_point_3sums", CATALOG["fixed_point_sums"].fn),

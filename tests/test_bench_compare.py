@@ -125,3 +125,48 @@ def test_vs_prev_picks_numerically_newest_round(tmp_path, monkeypatch):
     )
     assert got["prev"] == "BENCH_r100.json"
     assert got["median_normalized_ratio"] == 1.0
+
+
+def test_per_pass_normalization_absorbs_bursty_host(tmp_path):
+    """The r15 driver-bench failure mode (VERDICT r15): calibration
+    probes timed once up front can land in a quiet load window while
+    every query pass runs under bursts — the old min(query)/probe
+    definition then inflated EVERY normalized ratio and produced a
+    spurious dual-bar watch list on byte-identical code. Per-pass
+    normalization pairs each query sample with a probe sample from the
+    SAME pass, so a uniform slow pass cancels and the cross-pass
+    median drops a single bursty pass."""
+    import bench
+
+    # steady host: ratios are just query/probe
+    got = bench._per_pass_normalized(
+        {"q1": [1.0, 1.0, 1.0]}, [0.5, 0.5, 0.5]
+    )
+    assert got == {"q1": 2.0}
+
+    # one bursty pass (3x on query AND its in-pass probe): cancels
+    got = bench._per_pass_normalized(
+        {"q1": [1.0, 3.0, 1.0]}, [0.5, 1.5, 0.5]
+    )
+    assert got == {"q1": 2.0}
+
+    # the r15 inversion: EVERY query pass bursty. An up-front quiet
+    # probe (0.5) would report min(3.0)/0.5 = 6.0 — a fake 3x
+    # "regression"; in-pass probes see the same load and stay at 2.0
+    got = bench._per_pass_normalized(
+        {"q1": [3.0, 3.0, 3.0]}, [1.5, 1.5, 1.5]
+    )
+    assert got == {"q1": 2.0}
+
+    # a REAL regression is still visible: queries slow, probes quiet
+    got = bench._per_pass_normalized(
+        {"q1": [3.0, 3.0, 3.0]}, [0.5, 0.5, 0.5]
+    )
+    assert got == {"q1": 6.0}
+
+    # zero probe samples are skipped, not divided by
+    got = bench._per_pass_normalized({"q1": [1.0, 2.0]}, [0.0, 0.5])
+    assert got == {"q1": 4.0}
+
+    # no usable probe sample -> query omitted rather than fabricated
+    assert bench._per_pass_normalized({"q1": [1.0]}, [0.0]) == {}
