@@ -438,6 +438,77 @@ FROM ema
 """
 
 
+def q_running_macd_cert(spark, sf_dir):
+    """Oracled certification that the STREAMING MACD continuation equals
+    the one-shot batch kernel bit for bit (VERDICT r15 item 4's
+    preferred candidate: ``running_macd``'s cross-batch state rested on
+    pytest goldens only — this moves the claim under the driver's hash
+    check).
+
+    The continuation leg replays each user's ordered close series
+    through ``streaming.stateful.replay_macd_in_batches`` — k=3
+    contiguous chunks folded through the EXACT production state carry
+    (``_continue_ema`` seeded with the previous chunk's terminal
+    state, the function both ``applyInPandasWithState`` and
+    ``transformWithState`` processors call). The one-shot leg is
+    ``operators.indicators.with_macd``, the batch kernel the module
+    claims to reproduce. The driver-facing output is ONE aggregate
+    row: joined row count and NULL-close census (data-derived — the
+    oracle computes both from the events table, so a lost join row or
+    a fixture gaining NULL closes breaks the hash), plus per-column
+    EXACT double-mismatch counts the oracle pins 0. No rounding
+    anywhere: the claim is bit-identity, so the comparison is
+    ``eqNullSafe`` on raw doubles — in-engine only, never
+    cross-engine, so the no-libm oracle rule is untouched.
+
+    Scale: two grouped-map kernels (one shuffle each on user_id) and
+    one corpus⋈corpus join on (user_id, event_id) — shuffle_hash
+    pinned per the repo rule (neither side is bounded by contract, so
+    an AQE broadcast build must not be offered)."""
+    from ..operators.indicators import with_macd
+    from ..streaming.stateful import replay_macd_in_batches
+
+    ev = _events_series(spark, sf_dir)
+    one_shot = with_macd(
+        ev, ["user_id"], ["ts", "event_id"], "close"
+    ).select("user_id", "event_id", "close", "macd_line", "macd_signal",
+             "macd_histogram")
+    replay = replay_macd_in_batches(
+        ev, ["user_id"], ["ts", "event_id"], "close", n_batches=3
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("macd_line").alias("r_line"),
+        F.col("macd_signal").alias("r_signal"),
+        F.col("macd_histogram").alias("r_histogram"),
+    )
+    j = one_shot.join(
+        replay.hint("shuffle_hash"), ["user_id", "event_id"]
+    )
+
+    def _neq(a: str, b: str):
+        return F.sum((~F.col(a).eqNullSafe(F.col(b))).cast("long"))
+
+    return j.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("close").isNull().cast("long")).alias("null_close"),
+        _neq("macd_line", "r_line").alias("line_mismatch"),
+        _neq("macd_signal", "r_signal").alias("signal_mismatch"),
+        _neq("macd_histogram", "r_histogram").alias("histogram_mismatch"),
+    )
+
+
+SQL_RUNNING_MACD_CERT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_close,
+       CAST(0 AS BIGINT) AS line_mismatch,
+       CAST(0 AS BIGINT) AS signal_mismatch,
+       CAST(0 AS BIGINT) AS histogram_mismatch
+FROM events
+"""
+
+
 def q_signal_cascade(spark, sf_dir):
     """The flagship batch analytics: full W1-W10 indicator stack + C1/C2
     suggestion cascade, exactly the reference's per-key semantics."""
@@ -7158,6 +7229,7 @@ CATALOG: dict[str, Query] = {
     "ma_frame_windows": Query(q_ma_frame_windows, SQL_MA_FRAME_WINDOWS),
     "rsi14": Query(q_rsi14, SQL_RSI14),
     "ema_macd": Query(q_ema_macd, SQL_EMA_MACD),
+    "running_macd_cert": Query(q_running_macd_cert, SQL_RUNNING_MACD_CERT),
     "signal_cascade": Query(q_signal_cascade, SQL_SIGNAL_CASCADE, headline=True),
     "last_per_key": Query(q_last_per_key, SQL_LAST_PER_KEY),
     "distinct_pairs": Query(q_distinct_pairs, SQL_DISTINCT_PAIRS),

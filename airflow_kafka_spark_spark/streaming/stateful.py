@@ -242,3 +242,86 @@ def running_macd_tws(deltas: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def replay_macd_in_batches(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    close_col: str = "close",
+    n_batches: int = 3,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """Batch-mode replay of the streaming MACD continuation — the
+    certification surface for the module's bit-exactness claim.
+
+    Per key, the ordered series is split into ``n_batches`` contiguous
+    chunks and folded chunk-by-chunk through the EXACT state carry the
+    streaming processors use: :func:`_continue_ema` seeded with the
+    previous chunk's terminal ``(ema_fast, ema_slow, macd_signal)``
+    state, mirroring ``_update_macd`` /
+    ``RunningMacdProcessor.handleInputRows`` line for line. On a
+    NaN-free series (the delta-feed contract; a NaN run ending a chunk
+    forgets its pending gap decay at the boundary — see
+    ``ema_recurrence``) the concatenated output must equal the
+    uninterrupted one-shot kernel (``operators.indicators.with_macd``)
+    bit for bit — ``running_macd_cert`` pins that equality under the
+    driver's oracle hash check.
+
+    Scale: grouped-map ``applyInPandas`` like the serving paths — one
+    shuffle on the key, per-key work bounded by history length. An
+    empty chunk (key with fewer rows than batches) carries state
+    through unchanged, exactly like a micro-batch with no rows for
+    that key."""
+    from pyspark.sql import types as T
+
+    keep = list(dict.fromkeys([*key_cols, *order_cols, close_col]))
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[c] for c in keep]
+        + [
+            T.StructField(n, T.DoubleType())
+            for n in ("macd_line", "macd_signal", "macd_histogram")
+        ]
+    )
+    if n_batches < 1:
+        raise ValueError(f"n_batches must be >= 1, got {n_batches}")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            list(order_cols), kind="mergesort"
+        ).reset_index(drop=True)
+        close = pdf[close_col].to_numpy(dtype=np.float64)
+        n = len(close)
+        bounds = [(n * b) // n_batches for b in range(n_batches + 1)]
+        e12_prev = e26_prev = sig_prev = None
+        lines: list[np.ndarray] = []
+        sigs: list[np.ndarray] = []
+        for b in range(n_batches):
+            chunk = close[bounds[b] : bounds[b + 1]]
+            if len(chunk) == 0:
+                continue
+            e12 = _continue_ema(chunk, fast, e12_prev)
+            e26 = _continue_ema(chunk, slow, e26_prev)
+            line = e12 - e26
+            sig = _continue_ema(line, signal, sig_prev)
+            e12_prev, e26_prev, sig_prev = (
+                float(e12[-1]),
+                float(e26[-1]),
+                float(sig[-1]),
+            )
+            lines.append(line)
+            sigs.append(sig)
+        line = np.concatenate(lines) if lines else np.empty(0)
+        sig = np.concatenate(sigs) if sigs else np.empty(0)
+        out = pdf[keep].copy()
+        out["macd_line"] = line
+        out["macd_signal"] = sig
+        out["macd_histogram"] = line - sig
+        return out
+
+    return (
+        df.select(*keep).groupBy(*key_cols).applyInPandas(kernel, out_schema)
+    )

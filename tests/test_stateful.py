@@ -437,3 +437,54 @@ def test_quotefeed_delta_feed_macd_end_to_end(spark):
             assert row["macd_line"] == line[i]
             assert row["macd_signal"] == sig[i]
             assert row["macd_histogram"] == hist[i]
+
+
+def test_replay_macd_in_batches_equals_one_shot_kernel(spark):
+    """The certification surface behind the `running_macd_cert` catalog
+    entry: folding each key's series through the production state
+    carry (_continue_ema) in k contiguous chunks must reproduce the
+    one-shot with_macd kernel bit for bit — including keys with fewer
+    rows than chunks (empty chunks carry state through unchanged, like
+    a micro-batch with no rows for that key)."""
+    from pyspark.sql import functions as F
+
+    from airflow_kafka_spark_spark.operators.indicators import with_macd
+    from airflow_kafka_spark_spark.streaming.stateful import (
+        replay_macd_in_batches,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    # key "a": 57 bars; key "b": 2 bars (fewer than n_batches=5)
+    for sym, n in (("a", 57), ("b", 2)):
+        for i, v in enumerate(rng.normal(100.0, 5.0, size=n)):
+            rows.append((sym, f"d{i:03d}", float(v)))
+    df = spark.createDataFrame(rows, "symbol string, date_str string, close double")
+
+    one_shot = with_macd(df, ["symbol"], ["date_str"], "close")
+    for k in (1, 3, 5):
+        replay = replay_macd_in_batches(
+            df, ["symbol"], ["date_str"], "close", n_batches=k
+        )
+        j = one_shot.select(
+            "symbol", "date_str", "macd_line", "macd_signal", "macd_histogram"
+        ).join(
+            replay.select(
+                "symbol",
+                "date_str",
+                F.col("macd_line").alias("r_line"),
+                F.col("macd_signal").alias("r_signal"),
+                F.col("macd_histogram").alias("r_hist"),
+            ),
+            ["symbol", "date_str"],
+        )
+        got = j.agg(
+            F.count("*").alias("n"),
+            F.sum((~F.col("macd_line").eqNullSafe(F.col("r_line"))).cast("long")).alias("l"),
+            F.sum((~F.col("macd_signal").eqNullSafe(F.col("r_signal"))).cast("long")).alias("s"),
+            F.sum((~F.col("macd_histogram").eqNullSafe(F.col("r_hist"))).cast("long")).alias("h"),
+        ).collect()[0]
+        assert (got["n"], got["l"], got["s"], got["h"]) == (59, 0, 0, 0), k
+
+    with pytest.raises(ValueError, match="n_batches"):
+        replay_macd_in_batches(df, ["symbol"], ["date_str"], "close", n_batches=0)
