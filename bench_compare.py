@@ -40,10 +40,20 @@ def main() -> int:
     host = None
     cal_o, cal_n = old.get("calibration"), new.get("calibration")
     if cal_o and cal_n:
-        ratios = [cal_n[k] / cal_o[k] for k in sorted(set(cal_o) & set(cal_n))]
-        host = statistics.median(ratios)
-        print(f"host-shift factor (median calibration ratio): {host:.3f}")
-        for k in sorted(set(cal_o) & set(cal_n)):
+        # scalar probe keys only: since r16 the calibration block also
+        # carries *_per_pass LISTS (the in-pass probe series), which
+        # must not enter the ratio arithmetic
+        keys = sorted(
+            k
+            for k in set(cal_o) & set(cal_n)
+            if isinstance(cal_o[k], (int, float))
+            and isinstance(cal_n[k], (int, float))
+        )
+        ratios = [cal_n[k] / cal_o[k] for k in keys]
+        host = statistics.median(ratios) if ratios else None
+        if host is not None:
+            print(f"host-shift factor (median calibration ratio): {host:.3f}")
+        for k in keys:
             print(f"  {k}: {cal_o[k]:.3f}s -> {cal_n[k]:.3f}s")
     else:
         print("calibration absent from one side - raw ratios only")
