@@ -792,3 +792,20 @@ def test_url_dedup_salted_two_phase_shape(spark):
     assert "__salt" in s, s
     for sub in _broadcast_subtrees(s):
         assert "documents" not in sub, f"corpus under BroadcastExchange:\n{sub}"
+
+
+def test_running_macd_cert_shuffle_hash_no_corpus_broadcast(spark):
+    """The r16 certification entry joins two corpus-scale kernel
+    outputs (one-shot with_macd vs the k-chunk continuation replay) on
+    (user_id, event_id): neither side is bounded by contract, so the
+    join must be the pinned ShuffledHashJoin — an AQE-chosen broadcast
+    BUILD of either grouped-map output is the 1g-driver OOM class and
+    isn't broadcastable at 10^9+ keys anyway. No broadcast build may
+    contain the events scan or either python-kernel node."""
+    s = _explain(CATALOG["running_macd_cert"].fn(spark, SF_DIR))
+    assert "ShuffledHashJoin" in s, s
+    assert "SortMergeJoin" not in s, s
+    for sub in _broadcast_subtrees(s):
+        assert "events" not in sub and "EvalPython" not in sub, (
+            f"corpus-scale side under BroadcastExchange:\n{sub}"
+        )
