@@ -181,7 +181,12 @@ def _apply_offset_fence(
     at thousands of partitions); the fence frame is explicitly
     broadcast, and the per-batch maxima aggregate collects at most one
     row per partition — both bounded by the partition domain, never by
-    batch or history size."""
+    batch or history size. Measured (bench_scale
+    ``offset_fence_overhead``, local[32]): ~1.5-1.7 s FIXED per-batch
+    overhead vs the unfenced fold — flat across 200k → 3.2M batch rows
+    and 32 → 8192 source partitions (one extra action's latency plus
+    the kilobyte broadcast join), amortizing to noise at real trigger
+    intervals."""
     part_col, off_col = offset_cols
     missing = [c for c in offset_cols if c not in batch_df.columns]
     if missing:

@@ -891,6 +891,87 @@ def main() -> None:
         == skew_results["clean"]["n_triangles"] + skew_results["clean"]["n_edges"]
     ), (skew_results, n_nodes_clean)
 
+    # Offset-fence overhead (r16): the rollup event fence's 100 TB
+    # contract is "one bounded census aggregate + one kilobyte
+    # broadcast join per micro-batch". The honest metric is the
+    # ABSOLUTE overhead_sec (fenced − unfenced fold of the identical
+    # batch), not the ratio — the unfenced base is sub-second at these
+    # sizes, so a ratio overstates a fixed cost. Measured (local[32]):
+    # ~1.5-1.7 s per batch, FLAT across 200k → 3.2M batch rows (16×)
+    # and flat across 32 → 8192 source partitions (256× map growth) —
+    # i.e. one extra action's latency plus the broadcast join, not a
+    # data- or domain-proportional cost; it amortizes to noise at real
+    # trigger intervals. Two axes, fenced-vs-unfenced same-run
+    # face-off (raw seconds comparable within a run). The fenced leg
+    # folds a SECOND batch (offsets above the stored marks), so the
+    # broadcast fence join against a populated map is on the measured
+    # path; the unfenced leg folds the same second batch through a
+    # batch-id-only rollup.
+    import shutil
+    import tempfile
+
+    from airflow_kafka_spark_spark.streaming.rollup import (
+        merge_batch_into_rollup,
+    )
+
+    def _fence_batch(rows: int, parts: int, wave: int):
+        per = rows // parts
+        return spark.range(rows).select(
+            F.lit("2024-01-01 10:00:00").cast("timestamp").alias("ts"),
+            (F.col("id") % 3).cast("string").alias("event_type"),
+            (F.col("id") % 97).cast("double").alias("value"),
+            (F.col("id") % parts).cast("int").alias("partition"),
+            ((F.col("id") / parts).cast("long") + wave * per).alias(
+                "offset"
+            ),
+        )
+
+    fence_results = {}
+    fence_root = tempfile.mkdtemp(prefix="aks_fence_bench_")
+    try:
+        for tag, (rows, parts) in {
+            "rows_200k_parts_32": (200_000, 32),
+            "rows_800k_parts_32": (800_000, 32),
+            "rows_3200k_parts_32": (3_200_000, 32),
+            "rows_800k_parts_1024": (800_000, 1024),
+            "rows_800k_parts_8192": (800_000, 8192),
+        }.items():
+            fenced_path = os.path.join(fence_root, f"f_{tag}")
+            plain_path = os.path.join(fence_root, f"p_{tag}")
+            oc = ("partition", "offset")
+            # bootstrap both rollups with wave 0 (untimed)
+            merge_batch_into_rollup(
+                fenced_path, _fence_batch(rows, parts, 0), 0,
+                incarnation="bench", offset_cols=oc,
+            )
+            merge_batch_into_rollup(
+                plain_path, _fence_batch(rows, parts, 0), 0,
+                incarnation="bench",
+            )
+            # timed: wave-1 fold, best of 2 per leg (fresh batch ids so
+            # the batch-id fence never short-circuits the work)
+            fenced = plain = float("inf")
+            for rep in (1, 2):
+                t0 = time.perf_counter()
+                merge_batch_into_rollup(
+                    fenced_path, _fence_batch(rows, parts, rep), rep,
+                    incarnation="bench", offset_cols=oc,
+                )
+                fenced = min(fenced, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                merge_batch_into_rollup(
+                    plain_path, _fence_batch(rows, parts, rep), rep,
+                    incarnation="bench",
+                )
+                plain = min(plain, time.perf_counter() - t0)
+            fence_results[tag] = {
+                "fenced_sec": round(fenced, 3),
+                "unfenced_sec": round(plain, 3),
+                "overhead_sec": round(fenced - plain, 3),
+            }
+    finally:
+        shutil.rmtree(fence_root, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -915,6 +996,7 @@ def main() -> None:
                 "closure_formulations": closure_results,
                 "scaling_exponents_sf001_to_sf01": exponent_results,
                 "triangle_celebrity_skew": skew_results,
+                "offset_fence_overhead": fence_results,
             }
         )
     )
