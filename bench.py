@@ -61,6 +61,21 @@ def load_bench_artifact(path: str, with_path: bool = False):
     return (data, path) if with_path else data
 
 
+def _spliced_sequence(named_fns: list, probes: dict | None) -> list:
+    """One pass's execution order: the queries with each probe spliced
+    in at an evenly-spaced position (probe i of p lands ~i/(p+1) of
+    the way through), so probe samples spread across the pass's load
+    window instead of clustering at one end. Probe entries are
+    ``(None, (probe_name, thunk))``; query entries pass through
+    unchanged."""
+    seq = list(named_fns)
+    if probes:
+        step = max(1, len(seq) // (len(probes) + 1))
+        for i, (pname, pfn) in enumerate(probes.items(), start=1):
+            seq.insert(min(i * step + i - 1, len(seq)), (None, (pname, pfn)))
+    return seq
+
+
 def _per_pass_normalized(
     runs: dict[str, list[float]], probe_samples: list[float]
 ) -> dict[str, float]:
@@ -180,12 +195,7 @@ def main() -> None:
             name: [] for name in (probes or {})
         }
         for _ in range(n_runs):
-            seq: list = list(named_fns)
-            if probes:
-                step = max(1, len(seq) // (len(probes) + 1))
-                for i, (pname, pfn) in enumerate(probes.items(), start=1):
-                    seq.insert(min(i * step + i - 1, len(seq)), (None, (pname, pfn)))
-            for name, fn in seq:
+            for name, fn in _spliced_sequence(named_fns, probes):
                 if name is None:
                     pname, pfn = fn
                     t0 = time.perf_counter()

@@ -170,3 +170,34 @@ def test_per_pass_normalization_absorbs_bursty_host(tmp_path):
 
     # no usable probe sample -> query omitted rather than fabricated
     assert bench._per_pass_normalized({"q1": [1.0]}, [0.0]) == {}
+
+
+def test_probe_splice_positions_spread_through_pass():
+    """The per-pass pairing only works if probe samples SPREAD through
+    the pass — probes clustered at one end re-create the quiet-window
+    failure mode inside a single pass. Probe i of p must land ~i/(p+1)
+    of the way through, queries must all survive, and degenerate list
+    sizes must not crash."""
+    import bench
+
+    queries = [(f"q{i}", i) for i in range(23)]
+    probes = {"shuffle": "S", "chain": "C"}
+    seq = bench._spliced_sequence(queries, probes)
+
+    assert len(seq) == 25
+    # queries preserved, in order
+    assert [e for e in seq if e[0] is not None] == queries
+    pos = {e[1][0]: i for i, e in enumerate(seq) if e[0] is None}
+    # evenly spread: first probe in the first half, second in the
+    # second half, neither at the very ends, not adjacent
+    assert 3 <= pos["shuffle"] <= 11, pos
+    assert 13 <= pos["chain"] <= 21, pos
+    assert abs(pos["shuffle"] - pos["chain"]) > 4, pos
+
+    # degenerate: fewer queries than probes still yields every entry
+    seq1 = bench._spliced_sequence([("q0", 0)], probes)
+    assert len(seq1) == 3
+    assert sorted(e[1][0] for e in seq1 if e[0] is None) == ["chain", "shuffle"]
+
+    # no probes: pass-through
+    assert bench._spliced_sequence(queries, None) == queries
