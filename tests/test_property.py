@@ -1043,3 +1043,46 @@ def test_rollup_offset_fence_differential_property(spark, calls):
             assert total == expect, (calls, folded, total, expect)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    quiet=st.lists(
+        st.floats(min_value=0.05, max_value=30.0, allow_nan=False),
+        min_size=1,
+        max_size=6,
+    ),
+    loads=st.lists(
+        st.floats(min_value=0.25, max_value=8.0, allow_nan=False),
+        min_size=1,
+        max_size=6,
+    ),
+    probe=st.floats(min_value=0.05, max_value=10.0, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_per_pass_normalization_invariant_under_pass_load(
+    quiet, loads, probe
+):
+    """The mathematical core of the r16 bench fix: per-pass
+    normalization must be INVARIANT under any per-pass load scaling —
+    pass p running c_p× slower multiplies that pass's query sample AND
+    its in-pass probe sample by c_p, so the per-pass ratio (and hence
+    the cross-pass median) is unchanged. This is exactly the property
+    the old once-up-front probe lacked (only the numerator scaled)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    k = min(len(quiet), len(loads))
+    quiet, loads = quiet[:k], loads[:k]
+    base = bench._per_pass_normalized(
+        {"q": list(quiet)}, [probe] * k
+    )
+    scaled = bench._per_pass_normalized(
+        {"q": [q * c for q, c in zip(quiet, loads)]},
+        [probe * c for c in loads],
+    )
+    assert base.keys() == scaled.keys() == {"q"}
+    # identical up to the 2dp rounding the function applies
+    assert abs(base["q"] - scaled["q"]) <= 0.011, (base, scaled)
