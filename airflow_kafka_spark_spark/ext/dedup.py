@@ -17,7 +17,7 @@ oracle-checkable across engines — murmur/xxhash would be engine-specific.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -588,15 +588,19 @@ def strip_duplicate_chunks(
 
     Scale design (100 TB): chunking is a pure map (higher-order
     ``transform``/``slice`` on the split array — no explode needed to
-    build chunks); the document-frequency count is ONE hash aggregate on
-    the chunk string with map-side combine; flagged chunks join back as a
-    left-anti equi-join on the chunk key; the rebuild is one hash
-    aggregate on the document id. Three shuffles total, all on keys, no
-    cartesian anywhere. Hot chunks (stop-phrase spans) concentrate on one
-    reducer only in the count stage, where partial aggregation already
-    bounds them. At Bloom-filter scale the flagged-chunk side is small
-    (dup density, not corpus size) — AQE turns the anti join into a
-    broadcast automatically.
+    build chunks) and runs ONCE: the document-frequency gate is a
+    window over the chunk key (``size(collect_set(doc_id))``) on the
+    same shuffled rows the filter consumes, so the chunked frame is
+    neither recomputed for a separate count aggregate nor joined back
+    (the previous shape computed the chunk expansion twice — once under
+    the df aggregate, once as the anti-join probe side — guide §2.4).
+    The rebuild is one hash aggregate on the document id: two shuffles
+    total, all on keys, no cartesian anywhere. Hot chunks (stop-phrase
+    spans) land on one reducer either way — the old countDistinct
+    aggregate also shipped every (chunk, doc_id) pair of a hot chunk to
+    a single reducer (partial aggregation dedups only within map
+    partitions), and both shapes bound per-reducer state by the chunk's
+    distinct-doc set; WindowExec additionally spills its buffered rows.
     """
     words = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
@@ -611,13 +615,21 @@ def strip_duplicate_chunks(
     ).otherwise(F.array().cast("array<string>"))
 
     chunked = docs.select(id_col, F.posexplode(chunks).alias("cidx", "chunk"))
-    flagged = (
-        chunked.groupBy("chunk")
-        .agg(F.countDistinct(id_col).alias("doc_freq"))
-        .filter(F.col("doc_freq") > max_doc_freq)
-        .select("chunk")
+    # document frequency via a window over the chunk key: the SAME
+    # shuffle that would feed a df aggregate also feeds the filter, so
+    # no second chunk-expansion pass and no join back. collect_set
+    # (not a row count) because a chunk repeated inside one document
+    # must count that document once.
+    kept = (
+        chunked.withColumn(
+            "__doc_freq",
+            F.size(
+                F.collect_set(id_col).over(Window.partitionBy("chunk"))
+            ),
+        )
+        .filter(F.col("__doc_freq") <= max_doc_freq)
+        .drop("__doc_freq")
     )
-    kept = chunked.join(flagged, "chunk", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -640,9 +652,7 @@ def strip_duplicate_chunks(
     # totals and rebuilt are BOTH corpus-sized (one row per document,
     # rebuilt carries full clean_text): shuffle_hash pin so neither is
     # ever a broadcast build (at small stats AQE broadcast-built the
-    # rebuilt corpus — the 1g-driver OOM class). The flagged-chunk anti
-    # join above stays AQE-adaptive on purpose: that side is bounded by
-    # dup density, the documented deliberate-broadcast case.
+    # rebuilt corpus — the 1g-driver OOM class).
     return totals.join(rebuilt.hint("shuffle_hash"), id_col, "left").select(
         id_col,
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),

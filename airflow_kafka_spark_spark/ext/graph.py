@@ -44,6 +44,7 @@ def basket_pairs(
     item_col: str,
     max_basket_size: int | None = None,
     counted: bool = False,
+    distinct: bool = True,
 ) -> DataFrame:
     """Undirected co-occurrence edges ``(src < dst)`` between items
     sharing a basket — distinct pairs by default; with ``counted=True``
@@ -51,6 +52,13 @@ def basket_pairs(
     the market-basket statistic, same single extra aggregate).
     ``max_basket_size`` drops larger baskets (quadratic-inflation cap;
     a 10k-item basket alone emits ~50M pairs).
+
+    ``distinct=False`` skips the final dedup shuffle and returns the raw
+    expansion (each pair once per shared basket, still ``src < dst``) —
+    for consumers that canonicalize + dedup internally anyway
+    (:func:`triangle_stats`), the back-to-back distincts were two full
+    shuffles of the edge list doing one job (guide §2.4: remove
+    shuffles outright). Ignored when ``counted=True``.
     """
     baskets = df.groupBy(basket_col).agg(
         F.array_sort(F.collect_set(item_col)).alias("__items")
@@ -69,7 +77,7 @@ def basket_pairs(
         return exploded.groupBy("src", "dst").agg(
             F.count(F.lit(1)).alias("support")
         )
-    return exploded.distinct()
+    return exploded.distinct() if distinct else exploded
 
 
 def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -90,14 +98,20 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     orient each edge low→high ``(degree, id)`` rank → collect each
     node's OUT-adjacency as a sorted array (one shuffle; the
     orientation bounds every out-list by O(sqrt(m)), so no celebrity
-    node can blow an array up) → attach both endpoints' out-lists to
-    each oriented edge (two more equi-joins on a node key) → the
-    per-edge triangle count is ``size(array_intersect(out(u),
-    out(v)))``, a map-side JVM set intersection. The wedge set is never
-    materialized as rows: the naive oriented wedge join shuffles
-    Σ C(outdeg, 2) rows (~30M at sf0.1 on the part co-occurrence graph,
-    8.3 s), while this form shuffles only the edge list with O(sqrt(m))
-    array payloads and intersects inside the scan.
+    node can blow an array up) → re-derive each oriented edge FROM the
+    adjacency arrays (``explode(__nbrs)`` — map-side; the previous
+    shape equi-joined the oriented edge list back onto the adjacency
+    table, a third shuffle of the edges that carried no information
+    the arrays don't already hold) → attach the dst endpoint's
+    out-list (ONE equi-join on a node key) → the per-edge triangle
+    count is ``size(array_intersect(out(u), out(v)))``, a map-side JVM
+    set intersection, and ``n_edges`` rides the same aggregate (each
+    oriented edge appears exactly once), so no separate edge-count
+    subtree re-scans the input. The wedge set is never materialized as
+    rows: the naive oriented wedge join shuffles Σ C(outdeg, 2) rows
+    (~30M at sf0.1 on the part co-occurrence graph, 8.3 s), while this
+    form shuffles only the edge list with O(sqrt(m)) array payloads
+    and intersects inside the scan.
     ``clustering = 3·triangles / Σ C(deg, 2)`` (wedge total from the
     degree table — exact integer arithmetic below 2^53).
     """
@@ -146,21 +160,21 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     adj = o.groupBy(F.col("u").alias("__n")).agg(
         F.array_sort(F.collect_list("v")).alias("__nbrs")
     )
-    with_adj = (
-        o.join(
-            adj.select(
-                F.col("__n").alias("u"), F.col("__nbrs").alias("__au")
-            ).hint("shuffle_hash"),
-            "u",
-        )
+    # each oriented edge (u, v) is one element of u's out-list: explode
+    # the adjacency table instead of joining o back onto it — u's
+    # out-list attaches map-side, only the v-side lookup needs a join.
+    oe = adj.select(
+        F.col("__n").alias("u"),
+        F.col("__nbrs").alias("__au"),
+        F.explode("__nbrs").alias("v"),
+    )
+    with_adj = oe.join(
         # a sink node (no out-edges) has no adj row → empty list
-        .join(
-            adj.select(
-                F.col("__n").alias("v"), F.col("__nbrs").alias("__av")
-            ).hint("shuffle_hash"),
-            "v",
-            "left",
-        )
+        adj.select(
+            F.col("__n").alias("v"), F.col("__nbrs").alias("__av")
+        ).hint("shuffle_hash"),
+        "v",
+        "left",
     )
     # slice(__au, 1, 0) = a typed empty array for sink nodes (no out-list)
     per_edge = F.size(
@@ -169,18 +183,20 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.coalesce(F.col("__av"), F.slice(F.col("__au"), 1, 0)),
         )
     )
-    n_tri = with_adj.agg(
+    # n_edges folds into the same aggregate: with_adj holds each
+    # oriented edge exactly once (orientation is a bijection on e)
+    tri_edges = with_adj.agg(
         F.coalesce(F.sum(per_edge.cast("long")), F.lit(0).cast("long")).alias(
             "n_triangles"
-        )
+        ),
+        F.count(F.lit(1)).alias("n_edges"),
     )
-    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     deg_stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.expr("CAST(deg * (deg - 1) / 2 AS BIGINT)")).alias("__wedges"),
     )
     return (
-        n_tri.crossJoin(n_edges)
+        tri_edges
         .crossJoin(deg_stats)
         .select(
             "n_nodes",
@@ -249,17 +265,26 @@ def pagerank(
     localCheckpoint advice below applies sooner.
 
     Scale design: per iteration, ONE equi-join of the rank table onto
-    the edge list's src and ONE hash aggregate on dst. Both rank-side
-    joins carry an explicit ``shuffle_hash`` hint: the loop is
-    deliberately BROADCAST-FREE. At real scale the rank table is
-    node-sized (not broadcastable at 10^9 nodes), and in constrained
-    drivers the broadcast BUILD is the failure mode — the AQE-chosen
-    broadcast of the node-sized rank table died with "Not enough memory
-    to build and broadcast" in a long-lived 1g-heap session (round-6
-    sf0.1 full-catalog replica leg) even though the table itself was
-    tiny. With the hint, every iteration shuffles on the same keys, so
-    Catalyst's ReusedExchange computes the edge shuffle once for all
-    iterations within the single final action. The loop is driver-side
+    the edge list's src and ONE hash aggregate on dst. The rank table
+    CARRIES ``out_deg`` (and, via its NULL, the dangling flag): the
+    node table is built once as ``nodes LEFT JOIN out_deg`` and every
+    iteration's contribution join needs only ``edges ⋈ rank`` — the
+    previous shape joined ``out_deg`` onto the edge list again each
+    iteration (a second node-sized shuffle join per round) and
+    redistribute mode ran a third (the dangling anti-join), which the
+    flag turns into a map-side filter over the already-materialized
+    rank rows (r16 measurement: 5.1 → 3.7 s at sf0.1 for the
+    redistribute entry). All rank-side joins carry an explicit
+    ``shuffle_hash`` hint: the loop is deliberately BROADCAST-FREE. At
+    real scale the rank table is node-sized (not broadcastable at 10^9
+    nodes), and in constrained drivers the broadcast BUILD is the
+    failure mode — the AQE-chosen broadcast of the node-sized rank
+    table died with "Not enough memory to build and broadcast" in a
+    long-lived 1g-heap session (round-6 sf0.1 full-catalog replica
+    leg) even though the table itself was tiny. With the hint, every
+    iteration shuffles on the same keys, so Catalyst's ReusedExchange
+    computes the edge shuffle once for all iterations within the
+    single final action. In leak mode the loop is driver-side
     unrolling of a fixed small count with no action and no
     materialization — for deep iteration counts, localCheckpoint
     periodically as ext.dedup.connected_components does.
@@ -291,14 +316,21 @@ def pagerank(
     out_deg = edges.groupBy(F.col(src).alias("n")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
+    # ONE merged node table: (n, out_deg-or-NULL). The NULL doubles as
+    # the dangling flag, so the iteration never re-joins out_deg onto
+    # the edge list and redistribute mode never anti-joins the rank
+    # frame — both were node-sized shuffle joins per iteration.
+    # Node-sized ⋈ node-sized: shuffle_hash, never a broadcast build
+    # (see docstring).
+    nt = nodes.join(out_deg.hint("shuffle_hash"), "n", "left")
     if dangling == "redistribute":
         # node-sized, re-read by every per-iteration action — cut once
-        nodes = nodes.localCheckpoint(eager=True)
-        out_deg = out_deg.localCheckpoint(eager=True)
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    rank = nodes.crossJoin(n_nodes).select(
+        nt = nt.localCheckpoint(eager=True)
+    n_nodes = nt.agg(F.count(F.lit(1)).alias("__n"))
+    rank = nt.crossJoin(n_nodes).select(
         "n",
         F.expr(f"CAST({unit} AS BIGINT) div __n").alias("rank_s"),
+        "out_deg",
         "__n",
     )
     teleport = F.expr(
@@ -309,16 +341,16 @@ def pagerank(
             # the redistribute loop references rank TWICE per iteration
             # (contrib + dangling sum), so the unrolled plan grows
             # 2^iterations between cuts — checkpoint every iteration,
-            # the connected_components lesson (measured ~25% faster at
-            # sf0.1 even at 3 iterations, and O(1) plans at any depth)
+            # the connected_components lesson (O(1) plans at any depth;
+            # both per-iteration references then read materialized rows)
             rank = rank.localCheckpoint(eager=True)
+        # inner join on src: every src has out_deg >= 1 by construction,
+        # so the carried out_deg is never NULL on matched rows
         contrib = (
             edges.join(
-                rank.select(F.col("n").alias(src), "rank_s").hint("shuffle_hash"),
-                src,
-            )
-            .join(
-                out_deg.select(F.col("n").alias(src), "out_deg").hint("shuffle_hash"),
+                rank.select(
+                    F.col("n").alias(src), "rank_s", "out_deg"
+                ).hint("shuffle_hash"),
                 src,
             )
             .select(
@@ -328,12 +360,11 @@ def pagerank(
         )
         inflow = contrib.groupBy("n").agg(F.sum("c").alias("inflow"))
         if dangling == "redistribute":
-            # global dangling mass: rank rows with no out-degree (anti-
+            # global dangling mass: rank rows with no out-degree — a
+            # map-side filter on the carried flag (formerly an anti-
             # join), one 1-row BIGINT sum crossJoined back — each node's
             # effective inflow gains an equal integer share D div N
-            dang = rank.join(
-                out_deg.select("n").hint("shuffle_hash"), "n", "left_anti"
-            ).agg(
+            dang = rank.filter(F.col("out_deg").isNull()).agg(
                 F.coalesce(F.sum("rank_s"), F.lit(0).cast("bigint")).alias(
                     "__dang"
                 )
@@ -343,14 +374,16 @@ def pagerank(
                 f" + (__dang div __n))) div 100"
             )
             rank = (
-                nodes.crossJoin(n_nodes)
+                nt.crossJoin(n_nodes)
                 .crossJoin(dang)
                 .join(inflow.hint("shuffle_hash"), "n", "left")
-                .select("n", (teleport + update).alias("rank_s"), "__n")
+                .select(
+                    "n", (teleport + update).alias("rank_s"), "out_deg", "__n"
+                )
             )
         else:
             rank = (
-                nodes.crossJoin(n_nodes)
+                nt.crossJoin(n_nodes)
                 .join(inflow.hint("shuffle_hash"), "n", "left")
                 .select(
                     "n",
@@ -360,6 +393,7 @@ def pagerank(
                             f"({damping_pct} * coalesce(inflow, CAST(0 AS BIGINT))) div 100"
                         )
                     ).alias("rank_s"),
+                    "out_deg",
                     "__n",
                 )
             )

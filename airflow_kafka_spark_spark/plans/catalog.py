@@ -87,7 +87,7 @@ from ..operators.temporal import asof_join, bucketed_range_join, session_agg, tu
 from ..operators.signals import DEFAULT_REASON, DEFAULT_SUGGESTION, REASONS, SUGGESTIONS, with_suggestion
 from ..schemas import EVENT_PROPS_SCHEMA
 from ..session import ensure_engine_confs
-from ..sources.files import load_table
+from ..sources.files import fan_out_narrow_scan, load_table
 
 
 @dataclass(frozen=True)
@@ -582,12 +582,30 @@ SQL_DISTINCT_PAIRS = "SELECT DISTINCT user_id, event_type FROM events"
 # relational surface (SURVEY.md §2.4/§2.5/§2.9 + M4)
 # ---------------------------------------------------------------------------
 def q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: scan-filter → 2-key groupBy → 8 aggregates."""
+    """TPC-H Q1 shape: scan-filter → 2-key groupBy → 8 aggregates.
+
+    The 8 decimal aggregates are the dominant per-row cost (measured
+    r16: the same aggregates as doubles run 5× faster), and a
+    single-row-group input caps the scan — and with it the partial
+    aggregation — at one task: fan_out_narrow_scan spreads the
+    projected rows across the cores first (guide §2.5; 1.9 → 1.1 s at
+    sf0.1), and no-ops on a production multi-split scan. Decimal sums
+    and counts are partitioning-independent, so the result is
+    bit-identical."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= "2000-12-01")
+        fan_out_narrow_scan(
+            li.filter(F.col("l_shipdate") <= "2000-12-01").select(
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             (decimal_sum("l_quantity") + F.lit(0.0)).alias("sum_qty"),
@@ -5468,13 +5486,16 @@ def q_triangle_count(spark, sf_dir):
     graph (parts sharing an order): ext.graph.basket_pairs (one shuffle,
     map-side C(n,2) expansion — no fact-table self-join) feeding
     ext.graph.triangle_stats (degree-oriented wedge join — per-vertex
-    fan-out O(sqrt(m)), no celebrity-node deg² blow-up). The oracle
+    fan-out O(sqrt(m)), no celebrity-node deg² blow-up). The raw
+    (non-distinct) expansion feeds triangle_stats, whose internal
+    canonicalize+distinct dedups it — distinct=True here stacked a
+    second identical dedup shuffle on top (guide §2.4). The oracle
     verifies with the plain a<b<c SQL formulation; counts must agree
     exactly because the triangle count is orientation-independent."""
     from ..ext.graph import basket_pairs, triangle_stats
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = basket_pairs(li, "l_orderkey", "l_partkey")
+    edges = basket_pairs(li, "l_orderkey", "l_partkey", distinct=False)
     return triangle_stats(edges)
 
 

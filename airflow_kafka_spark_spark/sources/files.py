@@ -49,6 +49,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out_narrow_scan(df: DataFrame) -> DataFrame:
+    """Input-skew remedy (guide §2.5 "one huge unsplittable file"):
+    when the scan yields fewer partitions than the session's cores —
+    e.g. a single-row-group parquet fixture, whose scan cannot be split
+    below row-group granularity — heavy per-row work after the scan
+    (decimal casts + aggregation) runs single-threaded inside the scan
+    task. Round-robin repartition to ``defaultParallelism`` spreads
+    that work across the cores for one small shuffle of the projected
+    rows.
+
+    Scale-adaptive by construction, not a local[32] constant: the
+    trigger compares the PLANNED scan partition count against the
+    session's parallelism, so a production table of many files/row
+    groups (scan partitions >= cores) passes through untouched, and a
+    lower-core bench leg sees both sides shrink together. Call it on a
+    frame already filtered and projected to the columns the consumer
+    needs (shuffle the narrow rows, guide §2.3). Safe only for
+    partitioning-independent consumers — exact (decimal/integer)
+    aggregates, not raw double sums.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def read_csv_table(
     spark: SparkSession,
     path: str,
