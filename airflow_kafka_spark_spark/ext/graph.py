@@ -60,6 +60,14 @@ def basket_pairs(
     shuffles of the edge list doing one job (guide §2.4: remove
     shuffles outright). Ignored when ``counted=True``.
     """
+    # a narrow scan (single unsplittable file) would otherwise run the
+    # whole partial collect_set single-threaded inside the scan task;
+    # keyed repartition fans it out and doubles as the groupBy's
+    # exchange (no-op on a production multi-split scan) — r16: the
+    # expansion alone measured 1.0 -> 0.6 s at sf0.1
+    from ..sources.files import fan_out_narrow_scan
+
+    df = fan_out_narrow_scan(df.select(basket_col, item_col), basket_col)
     baskets = df.groupBy(basket_col).agg(
         F.array_sort(F.collect_set(item_col)).alias("__items")
     )
@@ -301,13 +309,22 @@ def pagerank(
         )
     unit = 10**scale
     if dangling == "redistribute":
-        # this mode runs an eager checkpoint ACTION per iteration (see
-        # the loop), and exchange reuse does not span separate actions —
-        # without materializing the edge frame first, every checkpoint
-        # would recompute the caller's upstream (e.g. the whole
-        # basket-pairs expansion: measured 8.2 s vs 4.1 s at sf0.1).
-        # Same lifecycle as connected_components' input cut.
-        edges = edges.localCheckpoint(eager=True)
+        # LAZY checkpoints (eager=False) throughout this mode: the SQL
+        # plan is cut to a LogicalRDD immediately (so the twice-per-
+        # iteration rank references never compound the logical plan —
+        # the connected_components lesson), but materialization is
+        # deferred to the caller's ONE action, inside which each
+        # checkpointed RDD is computed once, persisted, and read by
+        # both consumers. The previous eager form ran an action per
+        # checkpoint (6 jobs for 3 iterations), paying the full
+        # job-submission + stage-barrier cascade each time — r16
+        # measured lazy at 3.2 s vs eager 3.5 s min (and far lower
+        # variance: no cold multi-job cascade) at sf0.1, bit-identical.
+        # The loops that DO need eager cuts are the ones with per-round
+        # convergence actions (connected_components, transitive_closure)
+        # — this loop has a fixed iteration count and no data-dependent
+        # exit, so nothing ever forces an intermediate job.
+        edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col(src).alias("n"))
         .unionAll(edges.select(F.col(dst).alias("n")))
@@ -324,8 +341,8 @@ def pagerank(
     # (see docstring).
     nt = nodes.join(out_deg.hint("shuffle_hash"), "n", "left")
     if dangling == "redistribute":
-        # node-sized, re-read by every per-iteration action — cut once
-        nt = nt.localCheckpoint(eager=True)
+        # node-sized, read per iteration — cut once (lazy, see above)
+        nt = nt.localCheckpoint(eager=False)
     n_nodes = nt.agg(F.count(F.lit(1)).alias("__n"))
     rank = nt.crossJoin(n_nodes).select(
         "n",
@@ -342,8 +359,9 @@ def pagerank(
             # (contrib + dangling sum), so the unrolled plan grows
             # 2^iterations between cuts — checkpoint every iteration,
             # the connected_components lesson (O(1) plans at any depth;
-            # both per-iteration references then read materialized rows)
-            rank = rank.localCheckpoint(eager=True)
+            # both per-iteration references then read the once-computed,
+            # persisted blocks — lazily, inside the caller's one action)
+            rank = rank.localCheckpoint(eager=False)
         # inner join on src: every src has out_deg >= 1 by construction,
         # so the carried out_deg is never NULL on matched rows
         contrib = (

@@ -49,7 +49,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def fan_out_narrow_scan(df: DataFrame) -> DataFrame:
+def fan_out_narrow_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     """Input-skew remedy (guide §2.5 "one huge unsplittable file"):
     when the scan yields fewer partitions than the session's cores —
     e.g. a single-row-group parquet fixture, whose scan cannot be split
@@ -68,9 +68,18 @@ def fan_out_narrow_scan(df: DataFrame) -> DataFrame:
     needs (shuffle the narrow rows, guide §2.3). Safe only for
     partitioning-independent consumers — exact (decimal/integer)
     aggregates, not raw double sums.
+
+    ``key_cols``: hash-repartition on those columns instead of
+    round-robin — for a consumer that immediately groups/joins on the
+    same keys, the repartition IS that operator's exchange (Catalyst
+    sees the distribution already satisfied), so the heavy aggregation
+    fans out at zero extra shuffles (guide §2.4 "two operations keyed
+    the same way share one exchange").
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= parallelism:
+        if key_cols:
+            return df.repartition(parallelism, *key_cols)
         return df.repartition(parallelism)
     return df
 
