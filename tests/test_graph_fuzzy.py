@@ -30,6 +30,55 @@ def test_basket_pairs_expansion_and_dedup(spark):
     assert got == {(10, 20), (10, 30), (20, 30)}
 
 
+def test_basket_pairs_raw_expansion_matches_distinct_after_dedup(spark):
+    """distinct=False (the triangle_count feed, r16): the raw expansion
+    keeps one row per shared basket but the same src<dst orientation —
+    deduping it must reproduce the distinct path exactly, and
+    triangle_stats over the raw feed must equal the distinct feed
+    (its internal canonicalize+distinct is the dedup)."""
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (1, 20), (2, 20), (2, 10), (3, 99)],
+        "basket int, item int",
+    )
+    raw = basket_pairs(df, "basket", "item", distinct=False)
+    # (10,20) shared by baskets 1 and 2 → appears twice in the raw feed
+    rows = [(r["src"], r["dst"]) for r in raw.collect()]
+    assert sorted(rows) == [(10, 20), (10, 20), (10, 30), (20, 30)]
+    assert set(rows) == {
+        (r["src"], r["dst"])
+        for r in basket_pairs(df, "basket", "item").collect()
+    }
+    assert (
+        triangle_stats(raw).collect()
+        == triangle_stats(basket_pairs(df, "basket", "item")).collect()
+    )
+
+
+def test_fan_out_narrow_scan_adaptive_and_row_preserving(spark):
+    """fan_out_narrow_scan (r16): repartitions a narrower-than-cores
+    frame to defaultParallelism (keyed when key columns are given),
+    no-ops on a frame already at/above half the parallelism, and never
+    changes the rows."""
+    from airflow_kafka_spark_spark.sources.files import fan_out_narrow_scan
+
+    p = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame(
+        [(i % 7, i) for i in range(100)], "k int, v int"
+    ).coalesce(1)
+    out = fan_out_narrow_scan(narrow)
+    assert out.rdd.getNumPartitions() == p
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == sorted(
+        (r["k"], r["v"]) for r in narrow.collect()
+    )
+    keyed = fan_out_narrow_scan(narrow, "k")
+    assert keyed.rdd.getNumPartitions() == p
+    assert sorted((r["k"], r["v"]) for r in keyed.collect()) == sorted(
+        (r["k"], r["v"]) for r in narrow.collect()
+    )
+    wide = spark.range(100).repartition(p)
+    assert fan_out_narrow_scan(wide) is wide
+
+
 def test_basket_pairs_size_cap(spark):
     df = spark.createDataFrame(
         [(1, i) for i in range(5)] + [(2, 1), (2, 2)], "basket int, item int"

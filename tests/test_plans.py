@@ -251,9 +251,20 @@ def test_cohort_retention_two_shuffles(spark):
 
 
 def test_chunk_dedup_no_cartesian(spark):
-    """Chunk-frequency count + anti join + rebuild: all equi-key ops."""
+    """Chunk-frequency window + rebuild: all equi-key ops."""
     s = _explain(CATALOG["chunk_dedup"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in s and "NestedLoop" not in s, s
+
+
+def test_chunk_dedup_single_chunk_expansion(spark):
+    """r16: the chunk expansion runs ONCE — the doc-frequency gate is a
+    window over the same shuffled rows, not a separate aggregate whose
+    anti-join re-computes the posexplode as its probe side. One
+    generator node in the plan guards against regressing to the
+    double-compute shape."""
+    s = _explain(CATALOG["chunk_dedup"].fn(spark, SF_DIR))
+    assert s.count("Generate posexplode") == 1, s
+    assert "Window" in s, s
 
 
 def test_mixture_sample_broadcast_weights(spark):
