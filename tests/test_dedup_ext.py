@@ -83,6 +83,45 @@ def test_containment_df_cap_is_recall_approximation(spark):
     assert uncapped == exact
 
 
+def test_capped_expand_path_matches_join_frame(spark):
+    """The capped branch of _common_shingle_counts (bounded posting-list
+    collect + map-side pair expansion, r16) must produce the EXACT frame
+    the inverted-index self-join produces — full rows incl. n1/n2/
+    n_common, not just the pair set — whenever the cap drops nothing
+    (unreachable cap routes the expand path; ``None`` routes the join
+    path). A NULL doc_id pairs with nothing under the join form
+    (``NULL < x`` is NULL), so the expand path must drop it too."""
+    from airflow_kafka_spark_spark.ext.dedup import (
+        _common_shingle_counts,
+        release_minhash_caches,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "alpha beta gamma theta iota kappa"),
+        (4, "completely different words here entirely now"),
+        (None, "alpha beta gamma delta epsilon zeta"),  # NULL id: no pairs
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        join_frame = sorted(
+            tuple(r)
+            for r in _common_shingle_counts(docs, "text", 3, None).collect()
+        )
+        expand_frame = sorted(
+            tuple(r)
+            for r in _common_shingle_counts(docs, "text", 3, 10**9).collect()
+        )
+    finally:
+        release_minhash_caches()
+    assert join_frame == expand_frame
+    assert join_frame, "planted corpus must produce shared-shingle pairs"
+    assert all(
+        r[0] is not None and r[1] is not None for r in join_frame
+    ), "NULL doc_id must never appear in a pair"
+
+
 def test_ivf_ann_recall(spark):
     """IVF ANN with 4/16 probes must recover most of the exact top-10 —
     and everything it returns must be a true cosine (subset with
