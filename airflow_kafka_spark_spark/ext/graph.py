@@ -131,6 +131,18 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .filter(F.col(src) != F.col(dst))
         .distinct()
     )
+    # LAZY plan cut (the pagerank idiom): e feeds THREE consumers (the
+    # degree union's both sides and the joint-degree attach), so the
+    # canonicalize+distinct subtree — and everything upstream, e.g. a
+    # basket-pairs expansion — is otherwise replicated per consumer in
+    # the logical/physical plan. Runtime exchange reuse already dedups
+    # the shuffle, but the triplicated subtree still pays analysis/
+    # planning per copy: cold-run A/B at sf0.1 measured 12.3 → 5.2 s
+    # (r17), warm runs a wash — adopted for the plan-size cut (guide
+    # §3.3 "materialise an intermediate to truncate the plan").
+    # eager=False: materialization happens inside the caller's one
+    # action, no extra job.
+    e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col(src).alias("n"))
         .unionAll(e.select(F.col(dst).alias("n")))

@@ -1265,6 +1265,23 @@ def pq_codebooks(
         .limit(max(n_codes * 20, 256))
         .collect()
     )
+    return _pq_train_books(rows, m, n_codes, seed, id_col, centroids)
+
+
+def _pq_train_books(
+    rows: list,
+    m: int,
+    n_codes: int,
+    seed: int,
+    id_col: str,
+    centroids: list[list[float]] | None,
+) -> list[list[list[float]]]:
+    """Driver-side PQ k-means over an already-collected bounded sample —
+    split out of :func:`pq_codebooks` so a one-shot serving path can
+    fetch the sample and its query vector in ONE job (see
+    :func:`ann_topk_pq`) and still train identically."""
+    import numpy as np
+
     _check_sample_id_conflicts(rows, id_col, "pq_codebooks")
     sample = np.array([list(r[1]) for r in rows], dtype=np.float64)
     if len(sample) == 0:
@@ -1453,19 +1470,47 @@ def ann_topk_pq(
     """
     import numpy as np
 
-    books = (
-        codebooks
-        if codebooks is not None
-        else pq_codebooks(
-            embeddings, m=m, n_codes=n_codes, vec_col=vec_col, id_col=id_col
+    if codebooks is not None:
+        books = codebooks
+        q_row = (
+            embeddings.filter(F.col(id_col) == query_vec_id)
+            .select(vec_col)
+            .first()
         )
-    )
-    q_row = (
-        embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
-    )
-    if q_row is None:
-        raise ValueError(f"ann_topk_pq: no row with {id_col}={query_vec_id!r}")
-    qvec = np.array(q_row[0], dtype=np.float64)
+        if q_row is None:
+            raise ValueError(
+                f"ann_topk_pq: no row with {id_col}={query_vec_id!r}"
+            )
+        qvec = np.array(q_row[0], dtype=np.float64)
+    else:
+        # train-in-call: the bounded training sample and the query row
+        # are TWO pushed-down lookups over the same table — union them
+        # into ONE collect so the one-shot path pays one driver job
+        # (and one scheduling round-trip at serving scale) instead of
+        # two. Rows and training are identical to pq_codebooks +
+        # first(): same sort+limit sample, same Lloyd's iterations.
+        lim = max(n_codes * 20, 256)
+        tagged = (
+            embeddings.select(id_col, vec_col)
+            .sort(id_col)
+            .limit(lim)
+            .withColumn("__q", F.lit(False))
+            .unionByName(
+                embeddings.filter(F.col(id_col) == query_vec_id)
+                .select(id_col, vec_col)
+                .withColumn("__q", F.lit(True))
+            )
+            .collect()
+        )
+        q_rows = [r for r in tagged if r["__q"]]
+        if not q_rows:
+            raise ValueError(
+                f"ann_topk_pq: no row with {id_col}={query_vec_id!r}"
+            )
+        books = _pq_train_books(
+            [r for r in tagged if not r["__q"]], m, n_codes, 7, id_col, None
+        )
+        qvec = np.array(list(q_rows[0][1]), dtype=np.float64)
     sub_d = len(books[0][0])
     tables = []  # tables[j][c] = ||q_sub_j - centroid_c||²
     for j, book in enumerate(books):

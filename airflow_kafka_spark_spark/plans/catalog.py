@@ -589,8 +589,15 @@ def q1_pricing_summary(spark, sf_dir):
     single-row-group input caps the scan — and with it the partial
     aggregation — at one task: fan_out_narrow_scan spreads the
     projected rows across the cores first (guide §2.5; 1.9 → 1.1 s at
-    sf0.1), and no-ops on a production multi-split scan. Decimal sums
-    and counts are partitioning-independent, so the result is
+    sf0.1), and no-ops on a production multi-split scan. Keyed on
+    l_extendedprice (high-cardinality, already projected) rather than
+    round-robin: a keyless repartition first pays a LOCAL SORT of the
+    scan task's rows (spark.sql.execution.sortBeforeRepartition, on so
+    retried tasks reproduce their row→partition assignment — guide
+    §2.5), which serializes in the same single scan task the fan-out
+    exists to relieve; a deterministic hash key needs no sort and is
+    retry-safe by construction (r17 A/B: med 1.16 → 0.82 s). Decimal
+    sums and counts are partitioning-independent, so the result is
     bit-identical."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -604,7 +611,8 @@ def q1_pricing_summary(spark, sf_dir):
                 "l_extendedprice",
                 "l_discount",
                 "l_tax",
-            )
+            ),
+            "l_extendedprice",
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -3398,11 +3406,32 @@ def q9_product_profit(spark, sf_dir):
     (p_retailprice stands in for ps_supplycost). nation broadcasts;
     part/supplier joins shuffle on their keys and AQE sizes the
     post-shuffle partitions. The row-level profit expression keeps one
-    fixed association so decimal-sum parity holds."""
+    fixed association so decimal-sum parity holds.
+
+    At fixture stats all three dims broadcast, fusing scan → 3 joins →
+    decimal partial-agg into the ONE task a single-row-group lineitem
+    scan allows: fan_out_narrow_scan keyed on l_partkey (the first
+    join's key — no sort, retry-safe, and a no-op on a multi-split
+    production scan) spreads that pipeline across the cores (guide
+    §2.5; r17 A/B med 1.46 → 1.27 s, results bit-identical). r16's
+    round-robin attempt measured WORSE (its keyless repartition adds
+    the sortBeforeRepartition local sort inside the scan task); the
+    keyed form is the fix."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = load_table(spark, sf_dir, "part")
     su = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation")
+    li = fan_out_narrow_scan(
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_quantity",
+            "l_shipdate",
+        ),
+        "l_partkey",
+    )
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
