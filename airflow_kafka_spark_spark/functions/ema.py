@@ -46,35 +46,56 @@ def ema_recurrence(x: np.ndarray, span: int) -> np.ndarray:
     forgotten at a ``_continue_ema`` boundary (the seed re-enters as a
     fresh observation) — documented limit, NaN-free by contract there.
     """
+    return ema_recurrence_state(x, span)[0]
+
+
+def ema_recurrence_state(
+    x: np.ndarray,
+    span: int,
+    state: tuple[float, bool, float] | None = None,
+) -> tuple[np.ndarray, tuple[float, bool, float]]:
+    """Resumable form of :func:`ema_recurrence`: runs the identical op
+    sequence over ``x`` starting from ``state = (value, have_state,
+    pending_w)`` (``None`` = fresh series) and returns the outputs plus
+    the terminal state. Feeding a series through in chunks with the
+    carried state is bit-identical to one call over the whole array —
+    INCLUDING a NaN run straddling a chunk boundary, which the
+    prepend-seed idiom (``streaming.stateful._continue_ema``) forgets
+    by construction (its documented limit). The chunked batch kernel
+    (``operators.indicators.with_macd``) therefore carries this full
+    triple, never just the value."""
     alpha = 2.0 / (span + 1.0)
     beta = 1.0 - alpha
     out = np.empty(len(x), dtype=np.float64)
-    state = np.nan
-    have_state = False
-    w = 1.0  # pending old-state weight (pandas old_wt), decayed per row
+    if state is None:
+        sval = np.nan
+        have_state = False
+        w = 1.0  # pending old-state weight (pandas old_wt), decayed per row
+    else:
+        sval, have_state, w = state
     for i in range(len(x)):
         v = x[i]
         if not have_state:
             if np.isnan(v):
                 out[i] = np.nan
                 continue
-            state = v
+            sval = v
             have_state = True
             w = 1.0
-            out[i] = state
+            out[i] = sval
             continue
         w *= beta  # one decay per row, observation or not (ignore_na=False)
         if np.isnan(v):
-            out[i] = state
+            out[i] = sval
             continue
         if w == beta:  # no gap since last observation (1.0 * beta == beta
             # exactly): the original op order, bit-identical to the oracle
-            state = alpha * v + beta * state
+            sval = alpha * v + beta * sval
         else:
-            state = (w * state + alpha * v) / (w + alpha)
+            sval = (w * sval + alpha * v) / (w + alpha)
         w = 1.0
-        out[i] = state
-    return out
+        out[i] = sval
+    return out, (sval, have_state, w)
 
 
 def macd_columns(

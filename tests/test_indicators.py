@@ -321,3 +321,51 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(left, right, ["k"], how="left_outer")
+
+
+def test_with_macd_cross_batch_carry_exact(spark):
+    """with_macd's mapInArrow kernel (r17) must be BIT-identical to a
+    per-group one-shot macd_columns reference — with Arrow batches
+    forced tiny (37 rows) so key groups span batch boundaries and the
+    carried (value, have_state, pending_w) recurrence state is
+    exercised, with NaN closes (including runs that straddle a batch
+    boundary) and with a NULL key (one group, like groupBy)."""
+    from airflow_kafka_spark_spark.functions.ema import macd_columns
+    from airflow_kafka_spark_spark.operators.indicators import with_macd
+
+    rows = []
+    for uid in [None, 1, 2, 3]:
+        for t in range(150):
+            v = (
+                None
+                if (t % 7 == 3 or t % 23 == 11)
+                else float((t * 13 % 97) + 0.01 * t)
+            )
+            rows.append((uid, t, v))
+    sdf = spark.createDataFrame(rows, "user_id int, event_id int, close double")
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 37)
+    try:
+        got = {
+            (r["user_id"], r["event_id"]): (
+                r["macd_line"], r["macd_signal"], r["macd_histogram"]
+            )
+            for r in with_macd(sdf, ["user_id"], ["event_id"]).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    assert len(got) == len(rows)
+    by_key: dict = {}
+    for uid, t, v in rows:
+        by_key.setdefault(uid, []).append((t, v))
+    for uid, series in by_key.items():
+        series.sort()
+        closes = np.array(
+            [np.nan if v is None else v for _, v in series], dtype=np.float64
+        )
+        line, sig, hist = macd_columns(closes)
+        for j, (t, _) in enumerate(series):
+            want = tuple(None if np.isnan(x) else x for x in (line[j], sig[j], hist[j]))
+            assert got[(uid, t)] == want, (uid, t, got[(uid, t)], want)
