@@ -156,6 +156,16 @@ def _common_shingle_counts(
         return cand.groupBy("doc1", "doc2", "n1", "n2").agg(
             F.count("*").alias("n_common")
         )
+    # LAZY plan cut on the self-join input (the minhash-banded idiom,
+    # r17): both join sides replicate the cache-read + explode subtree
+    # otherwise; the checkpoint guarantees one pass and halves the
+    # plan — A/B at sf0.1: med ratio 0.91 on both jaccard_pairs and
+    # containment_pairs, results identical. UNCAPPED branch only: the
+    # capped branch's collect+expand consumes the index once per
+    # consumer class already and measured parity-to-worse (1.00-1.04)
+    # with a cut here. eager=False — materializes inside the caller's
+    # action.
+    inv = inv.localCheckpoint(eager=False)
     a, b = inv.alias("a"), inv.alias("b")
     # the inverted-index self-join is corpus×shingles-scale on BOTH
     # sides: shuffle_hash pin so neither is ever a broadcast build (at
@@ -343,6 +353,15 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band_key")
     )
+    # LAZY plan cut: banded feeds BOTH sides of the self-join, so the
+    # signature compute (num_hashes md5s over every shingle — the
+    # query's heaviest per-row stage) is otherwise planned twice and
+    # relies on runtime exchange reuse to run once; the checkpoint
+    # guarantees ONE signature pass and halves the plan (r17 A/B at
+    # sf0.1: med ratio 0.82 vs the un-cut form, results identical).
+    # eager=False: materializes inside the caller's action, no extra
+    # job; rows are (doc_id, band_key) — corpus × bands, narrow.
+    banded = banded.localCheckpoint(eager=False)
     a, b_ = banded.alias("a"), banded.alias("b")
     # candidate pairs carry only ids — the (potentially large) shingle
     # arrays are joined back per *candidate doc*, not per band collision.
@@ -359,6 +378,16 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
         )
+        # dedup keyed by doc1 ONLY (hash-partitioning on a subset
+        # satisfies the (doc1, doc2) clustered distribution, and all
+        # copies of a pair share doc1): the dedup's exchange then IS
+        # the first verify join's exchange — one less shuffle of the
+        # candidate pairs (guide §2.4 "two operations keyed the same
+        # way share one exchange"; r17 A/B med ratio 0.94). No new
+        # skew exposure: a celebrity doc1 lands on one reducer in the
+        # doc1-keyed verify join regardless, and the dedup aggregate
+        # still partial-aggregates map-side first.
+        .repartition("doc1")
         .dropDuplicates(["doc1", "doc2"])
     )
     s1 = sh.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("sh1"))
