@@ -352,9 +352,6 @@ def pagerank(
     # Node-sized ⋈ node-sized: shuffle_hash, never a broadcast build
     # (see docstring).
     nt = nodes.join(out_deg.hint("shuffle_hash"), "n", "left")
-    if dangling == "redistribute":
-        # node-sized, read per iteration — cut once (lazy, see above)
-        nt = nt.localCheckpoint(eager=False)
     n_nodes = nt.agg(F.count(F.lit(1)).alias("__n"))
     rank = nt.crossJoin(n_nodes).select(
         "n",
@@ -403,8 +400,20 @@ def pagerank(
                 f"({damping_pct} * (coalesce(inflow, CAST(0 AS BIGINT))"
                 f" + (__dang div __n))) div 100"
             )
+            # rebuild from RANK, not nt: the per-iteration checkpointed
+            # rank already carries the full node table (n, out_deg, __n
+            # are iteration-invariant), so reading it back replaces a
+            # separate nt checkpoint (one less Catalyst planning pass —
+            # the dominant cost of this query is DRIVER-side planning,
+            # r17 instrumented split: build 2.7-3.7 s vs action
+            # 0.5-0.8 s) and the per-iteration nt reads. The third
+            # rank reference per iteration reads the same checkpointed
+            # blocks; plans stay O(1). Redistribute-mode ONLY: leak
+            # mode has no per-iteration cuts, so a second rank
+            # reference there would compound the unrolled plan
+            # 2^iterations (the connected_components lesson).
             rank = (
-                nt.crossJoin(n_nodes)
+                rank.select("n", "out_deg", "__n")
                 .crossJoin(dang)
                 .join(inflow.hint("shuffle_hash"), "n", "left")
                 .select(
